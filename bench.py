@@ -1,0 +1,140 @@
+"""Benchmark entry point (driver contract: print ONE JSON line to stdout).
+
+Headline metric: Cholesky TFLOP/s at N=16384 in float32 on the attached
+TPU — the north-star hot kernel (BASELINE.md: the reference's GSL/LAPACK
+factorization is single-core GFLOP/s class; BASELINE.json asks for "near MXU
+roofline" via a blocked implementation).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is the analytic serial-CPU estimate for the C code's factorization:
+10 GFLOP/s (optimistic single-core LAPACK dpotrf on a modern x86;
+GSL's own unblocked Cholesky is slower). vs_baseline = achieved / 0.01 TFLOP/s.
+
+Secondary diagnostics (fit wall-clock, predict throughput, both Cholesky
+implementations) go to stderr so stdout stays a single machine-readable line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args, reps=3, warmup=1):
+    """Wall-clock one call, synchronizing via a host fetch.
+
+    jax.block_until_ready alone does not block on the axon relay backend
+    (observed: 0.0 ms for a 16k Cholesky), so force a tiny device->host copy
+    that depends on the full result.
+    """
+    import jax
+    import numpy as _np
+
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _np.asarray(jax.device_get(leaf[(slice(0, 1),) * leaf.ndim]))
+
+    for _ in range(warmup):
+        sync(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from madaiemulator_tpu.ops import linalg
+
+    dev = jax.devices()[0]
+    log(f"bench device: {dev.platform} {dev.device_kind}")
+
+    n = 16384
+    dtype = jnp.float32
+    # SPD operand built on-device: C = I*n + A A^T from a fixed PRNG
+    key = jax.random.key(0)
+
+    @jax.jit
+    def make_spd(key):
+        A = jax.random.normal(key, (n, n), dtype=dtype) / np.sqrt(n)
+        return jnp.eye(n, dtype=dtype) * 4.0 + jnp.dot(
+            A, A.T, preferred_element_type=dtype
+        )
+
+    C = jax.block_until_ready(make_spd(key))
+    flops = n**3 / 3.0
+
+    xla_chol = jax.jit(linalg.xla_cholesky)
+    t_xla = timeit(xla_chol, C)
+    log(f"xla cholesky   N={n}: {t_xla*1e3:.1f} ms  {flops/t_xla/1e12:.2f} TFLOP/s")
+
+    best_t, best_name = t_xla, "xla"
+    for block in (256, 512, 1024):
+        try:
+            f = jax.jit(lambda M, b=block: linalg.blocked_cholesky(M, block=b))
+            t_b = timeit(f, C)
+            log(
+                f"blocked({block}) cholesky N={n}: {t_b*1e3:.1f} ms  "
+                f"{flops/t_b/1e12:.2f} TFLOP/s"
+            )
+            if t_b < best_t:
+                best_t, best_name = t_b, f"blocked({block})"
+        except Exception as e:  # keep the bench alive if one variant fails
+            log(f"blocked({block}) failed: {type(e).__name__}: {e}")
+
+    tflops = flops / best_t / 1e12
+    log(f"best: {best_name}  {tflops:.2f} TFLOP/s")
+
+    # secondary: predict throughput at N=4096 (batched posterior)
+    try:
+        from madaiemulator_tpu.models.gp import GPData, precompute_predictor, \
+            predict_from_precomputed
+        from madaiemulator_tpu.ops.kernels import GPParams
+        from madaiemulator_tpu.utils.config import GPConfig
+
+        d, m = 8, 4096
+        cfg = GPConfig(nparams=d, regression_order=1)
+        rng = np.random.default_rng(0)
+        X = jnp.asarray(rng.uniform(size=(4096, d)), dtype)
+        y = jnp.asarray(rng.standard_normal(4096), dtype)
+        p = GPParams(
+            log_amp=jnp.asarray(0.0, dtype),
+            log_nugget=jnp.asarray(np.log(1e-4), dtype),
+            log_ls=jnp.full((d,), np.log(0.4), dtype),
+        )
+        st = jax.jit(
+            lambda pp: precompute_predictor(pp, GPData(X, y), cfg)
+        )(p)
+        jax.block_until_ready(st)
+        Xs = jnp.asarray(rng.uniform(size=(m, d)), dtype)
+        pred = jax.jit(
+            lambda s, pp, q: predict_from_precomputed(s, pp, GPData(X, y), q, cfg)
+        )
+        t_pred = timeit(pred, st, p, Xs)
+        log(f"predict N=4096 m={m}: {t_pred*1e3:.2f} ms  {m/t_pred:,.0f} pts/s")
+    except Exception as e:
+        log(f"predict bench failed: {type(e).__name__}: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "cholesky_tflops_n16k_f32",
+                "value": round(tflops, 3),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(tflops / 0.01, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

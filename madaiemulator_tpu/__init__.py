@@ -1,0 +1,60 @@
+"""madaiemulator_tpu — a TPU-native Gaussian-process emulator framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of MADAI/MADAIEmulator
+(the Gaussian-process emulator library of the MADAI collaboration): GP
+hyperparameter estimation by maximizing the log-marginal likelihood,
+power-exponential / Matérn covariance over scaled design points, polynomial
+regression mean functions (GLS), multivariate outputs via PCA projection with
+independent per-component GPs, text-snapshot persistence, and an interactive
+stdin/stdout serving protocol.
+
+Architecture is TPU-first, not a translation:
+  * covariance (Gram) construction is a batched MXU matmul (scaled-sqdist
+    trick) rather than an O(N^2 d) scalar loop;
+  * Cholesky / triangular solves / logdet run through one `linalg` interface
+    with XLA and blocked (MXU-tiled) implementations;
+  * likelihood gradients are exact (autodiff), replacing the reference's
+    finite differences;
+  * multi-restart optimization is `vmap`ed over the restart axis, replacing
+    pthreads; PCA components and whole emulator ensembles are additional
+    `vmap`/`shard_map` batch axes sharded over a `jax.sharding.Mesh`.
+
+Reference provenance: /root/reference was EMPTY this round (see SURVEY.md §0);
+behavioral claims follow BASELINE.json's north-star contract [B] and upstream
+knowledge of github.com/MADAI/MADAIEmulator [U-*]. Expected upstream files are
+cited per-module as `ref: src/...` without line numbers; re-attach real
+file:line citations once the mount is populated.
+"""
+
+from madaiemulator_tpu.utils.config import GPConfig, CovarianceFamily
+from madaiemulator_tpu.models.gp import (
+    GPData,
+    log_marginal_likelihood,
+    gp_posterior,
+    precompute_predictor,
+    predict_from_precomputed,
+)
+from madaiemulator_tpu.models.fit import fit_gp, FitResult
+from madaiemulator_tpu.models.multivariate import (
+    MultivariateEmulator,
+    fit_multivariate,
+    predict_multivariate,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "GPConfig",
+    "CovarianceFamily",
+    "GPData",
+    "log_marginal_likelihood",
+    "gp_posterior",
+    "precompute_predictor",
+    "predict_from_precomputed",
+    "fit_gp",
+    "FitResult",
+    "MultivariateEmulator",
+    "fit_multivariate",
+    "predict_multivariate",
+    "__version__",
+]

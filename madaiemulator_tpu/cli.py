@@ -1,0 +1,204 @@
+"""`interactive_emulator` command-line tool.
+
+TPU-native equivalent of the reference CLI (ref: src/interactive_emulator.c
+main + subcommand handlers — SURVEY.md §1 L6, §3.1, §3.2; mount empty this
+round, SURVEY.md §0). Subcommands and flag names follow the reference for
+drop-in parity:
+
+    interactive_emulator estimate_thetas <model_file> <state_file>
+        [--regression_order=N] [--covariance_fn=NAME] [--pca_variance=P]
+        [--restarts=R] [--steps=S] [--seed=K] [--dtype=float64|float32]
+        [--quiet]
+
+    interactive_emulator interactive_mode <state_file>
+        reads query points (nparams whitespace-separated floats) on stdin
+        until EOF; writes t means then t variances per query on stdout,
+        flushing after each — the pipe protocol the MADAI MCMC calibration
+        framework drives (SURVEY.md §3.2). Header: nparams, param names,
+        2*noutputs, then mean_*/variance_* labels.
+
+    interactive_emulator print_thetas <state_file>
+        prints the fitted per-component hyperparameters (natural space).
+
+The math runs through the same jit paths as the library API; the CLI is a
+thin shell. Training defaults to float64 on CPU for reference-grade
+numerics; pass --dtype=float32 to fit on an accelerator.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="interactive_emulator",
+        description="TPU-native MADAI-style Gaussian-process emulator",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    est = sub.add_parser("estimate_thetas", help="fit hyperparameters")
+    est.add_argument("model_file")
+    est.add_argument("state_file")
+    est.add_argument("--regression_order", type=int, default=0)
+    est.add_argument("--covariance_fn", default="power_exponential")
+    est.add_argument("--pca_variance", type=float, default=0.95)
+    est.add_argument("--restarts", type=int, default=8)
+    est.add_argument("--steps", type=int, default=100)
+    est.add_argument("--seed", type=int, default=0)
+    est.add_argument("--dtype", choices=["float64", "float32"], default="float64")
+    est.add_argument("--quiet", action="store_true")
+
+    im = sub.add_parser("interactive_mode", help="serve queries over stdin/stdout")
+    im.add_argument("state_file")
+    im.add_argument("--dtype", choices=["float64", "float32"], default="float64")
+
+    pt = sub.add_parser("print_thetas", help="print fitted hyperparameters")
+    pt.add_argument("state_file")
+    return p
+
+
+def _setup_jax(dtype: str):
+    import jax
+
+    if dtype == "float64":
+        # reference-grade numerics want f64 => CPU backend (TPU f64 is
+        # emulated); float32 keeps whatever accelerator is configured.
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    return jnp.float64 if dtype == "float64" else jnp.float32
+
+
+def cmd_estimate_thetas(args) -> int:
+    dtype = _setup_jax(args.dtype)
+    import jax
+    import jax.numpy as jnp
+
+    from madaiemulator_tpu.io.modelfile import read_model_file
+    from madaiemulator_tpu.io.snapshot import write_snapshot
+    from madaiemulator_tpu.models.multivariate import fit_multivariate
+    from madaiemulator_tpu.utils.config import COVARIANCE_CLI_NAMES, GPConfig
+
+    mf = read_model_file(args.model_file)
+    try:
+        cov = COVARIANCE_CLI_NAMES[args.covariance_fn]
+    except KeyError:
+        print(
+            f"error: unknown --covariance_fn={args.covariance_fn!r}; "
+            f"choose from {sorted(COVARIANCE_CLI_NAMES)}",
+            file=sys.stderr,
+        )
+        return 2
+    cfg = GPConfig(
+        nparams=mf.nparams,
+        covariance=cov,
+        regression_order=args.regression_order,
+        n_restarts=args.restarts,
+        max_opt_steps=args.steps,
+    )
+    emu = fit_multivariate(
+        jax.random.key(args.seed),
+        jnp.asarray(mf.X, dtype=dtype),
+        jnp.asarray(mf.Y, dtype=dtype),
+        cfg,
+        pca_variance=args.pca_variance,
+    )
+    if not args.quiet:
+        lls = np.asarray(emu.restart_log_likelihoods)
+        for i in range(emu.n_components):
+            best = np.nanmax(np.where(np.isfinite(lls[i]), lls[i], np.nan))
+            print(
+                f"component {i}: best logL = {best:.6g} "
+                f"({np.isfinite(lls[i]).sum()}/{lls.shape[1]} restarts finite)",
+                file=sys.stderr,
+            )
+    write_snapshot(
+        args.state_file, emu, param_names=mf.param_names, output_names=mf.output_names
+    )
+    if not args.quiet:
+        print(
+            f"wrote {args.state_file}: {emu.n_components} component(s), "
+            f"N={mf.npoints}, d={mf.nparams}, t={mf.noutputs}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_interactive_mode(args) -> int:
+    dtype = _setup_jax(args.dtype)
+    import jax.numpy as jnp
+
+    from madaiemulator_tpu.io.snapshot import read_snapshot
+    from madaiemulator_tpu.models.multivariate import predict_multivariate
+
+    emu, param_names, output_names = read_snapshot(args.state_file, dtype=dtype)
+    d = len(param_names)
+    t = len(output_names)
+    out = sys.stdout
+    # header: expected inputs, then produced outputs (SURVEY.md §3.2 [U-med])
+    out.write(f"{d}\n")
+    for s in param_names:
+        out.write(f"{s}\n")
+    out.write(f"{2 * t}\n")
+    for s in output_names:
+        out.write(f"mean_{s}\n")
+    for s in output_names:
+        out.write(f"variance_{s}\n")
+    out.flush()
+
+    toks: List[str] = []
+    for line in sys.stdin:
+        toks.extend(line.split())
+        while len(toks) >= d:
+            point, toks = toks[:d], toks[d:]
+            try:
+                x = np.asarray([float(v) for v in point], dtype=np.float64)
+            except ValueError as e:
+                print(f"error: bad query token: {e}", file=sys.stderr)
+                return 1
+            mean, var = predict_multivariate(emu, jnp.asarray(x[None, :], dtype=dtype))
+            vals = np.concatenate([np.asarray(mean[0]), np.asarray(var[0])])
+            out.write("\n".join(f"{v:.17g}" for v in vals) + "\n")
+            out.flush()
+    if toks:
+        print(
+            f"warning: {len(toks)} trailing token(s) ignored (partial point)",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_print_thetas(args) -> int:
+    _setup_jax("float64")
+    from madaiemulator_tpu.io.snapshot import read_snapshot
+
+    emu, param_names, _ = read_snapshot(args.state_file)
+    amp = np.exp(np.asarray(emu.params.log_amp))
+    nug = np.exp(np.asarray(emu.params.log_nugget))
+    ls = np.exp(np.asarray(emu.params.log_ls))
+    print(f"# {emu.n_components} component(s); thetas = [amp nugget length_scales...]")
+    for i in range(emu.n_components):
+        row = [amp[i], nug[i], *ls[i]]
+        print(" ".join(f"{v:.17g}" for v in row))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.command == "estimate_thetas":
+        return cmd_estimate_thetas(args)
+    if args.command == "interactive_mode":
+        return cmd_interactive_mode(args)
+    if args.command == "print_thetas":
+        return cmd_print_thetas(args)
+    raise AssertionError(args.command)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,198 @@
+"""Hyperparameter estimation: multi-restart LBFGS over the exact-gradient LML.
+
+TPU-native replacement for the reference's estimation stack (ref:
+src/libEmu/estimate_threaded.c estimate_thetas_threaded,
+src/libEmu/maxmultimin.c GSL Nelder-Mead/BFGS wrappers; mount empty this
+round — SURVEY.md §0). Design mapping [B]:
+
+  reference                         | here
+  ----------------------------------+------------------------------------
+  pthreads over random restarts     | `vmap` over the restart batch axis
+  mutex-guarded best-result update  | argmax over per-restart best LML
+  GSL NM/BFGS, finite-diff grads    | optax LBFGS + zoom linesearch, exact
+                                    |   autodiff gradients (1 fwd+bwd per
+                                    |   step vs (ntheta+1) full likelihoods)
+  box theta ranges                  | smooth sigmoid reparametrization into
+                                    |   the same [lo, hi] boxes
+
+Restarts are drawn log-uniform inside the configured theta boxes from an
+explicit PRNG key (deterministic; the reference seeds gsl_rng from time()).
+A restart whose covariance goes non-SPD gets LML = -inf at that point and a
+NaN gradient afterwards; per-restart best-so-far tracking keeps its best
+finite iterate, and the cross-restart argmax ignores bad trajectories —
+the branchless analog of the reference's failed-Cholesky backoff.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from madaiemulator_tpu.models.gp import GPData, log_marginal_likelihood
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import GPConfig
+
+
+class FitResult(NamedTuple):
+    params: GPParams  # best-of-restarts hyperparameters (log space)
+    log_likelihood: jax.Array  # its LML
+    restart_log_likelihoods: jax.Array  # (R,) per-restart best LML
+    restart_params: GPParams  # (R, ...) per-restart best params
+
+
+def _bounds_arrays(config: GPConfig, dtype) -> Tuple[GPParams, GPParams]:
+    """(lo, hi) as GPParams pytrees of log-bounds."""
+    k = config.num_length_scales
+
+    def arr(v):
+        return jnp.asarray(jnp.log(v), dtype=dtype)
+
+    lo = GPParams(
+        log_amp=arr(config.amp_bounds[0]),
+        log_nugget=arr(config.nugget_bounds[0]),
+        log_ls=jnp.full((k,), jnp.log(config.length_scale_bounds[0]), dtype=dtype),
+    )
+    hi = GPParams(
+        log_amp=arr(config.amp_bounds[1]),
+        log_nugget=arr(config.nugget_bounds[1]),
+        log_ls=jnp.full((k,), jnp.log(config.length_scale_bounds[1]), dtype=dtype),
+    )
+    return lo, hi
+
+
+def _u_to_params(u: GPParams, lo: GPParams, hi: GPParams) -> GPParams:
+    """Unconstrained u -> log-theta via sigmoid into the [lo, hi] log-box."""
+    return jax.tree.map(
+        lambda uu, l, h: l + (h - l) * jax.nn.sigmoid(uu), u, lo, hi
+    )
+
+
+def _params_to_u(p: GPParams, lo: GPParams, hi: GPParams) -> GPParams:
+    def inv(pp, l, h):
+        s = jnp.clip((pp - l) / (h - l), 1e-6, 1.0 - 1e-6)
+        return jnp.log(s) - jnp.log1p(-s)
+
+    return jax.tree.map(inv, p, lo, hi)
+
+
+def sample_restarts(
+    key: jax.Array, config: GPConfig, n_restarts: int, dtype=jnp.float32
+) -> GPParams:
+    """Draw restart thetas log-uniform in the boxes (batched leading axis R).
+
+    Returned in unconstrained u-space, ready for the optimizer.
+    """
+    lo, hi = _bounds_arrays(config, dtype)
+    k_amp, k_nug, k_ls = jax.random.split(key, 3)
+    # uniform in (margin, 1-margin) of the box, then logit
+    def draw(k, shape):
+        s = jax.random.uniform(k, shape, dtype=dtype, minval=0.05, maxval=0.95)
+        return jnp.log(s) - jnp.log1p(-s)
+
+    return GPParams(
+        log_amp=draw(k_amp, (n_restarts,)),
+        log_nugget=draw(k_nug, (n_restarts,)),
+        log_ls=draw(k_ls, (n_restarts, config.num_length_scales)),
+    )
+
+
+def _run_lbfgs(u0, objective, max_steps: int):
+    """Fixed-length LBFGS loop with best-so-far tracking; scan-based so it
+    vmaps cleanly over the restart axis."""
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(objective)
+    state0 = opt.init(u0)
+    v0 = objective(u0)
+    big = jnp.asarray(jnp.inf, dtype=v0.dtype)
+
+    def step(carry, _):
+        u, st, best_u, best_v = carry
+        v, g = value_and_grad(u, state=st)
+        better = jnp.isfinite(v) & (v < best_v)
+        best_u = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), u, best_u
+        )
+        best_v = jnp.where(better, v, best_v)
+        updates, st = opt.update(
+            g, st, u, value=v, grad=g, value_fn=objective
+        )
+        u = optax.apply_updates(u, updates)
+        # optax linesearch scalars are f64 under x64; pin the iterate dtype
+        # so mixed-precision data (f32 fits with x64 enabled) stays stable
+        u = jax.tree.map(lambda a, b: a.astype(b.dtype), u, u0)
+        return (u, st, best_u, best_v), None
+
+    (u_f, _, best_u, best_v), _ = jax.lax.scan(
+        step, (u0, state0, u0, big), None, length=max_steps
+    )
+    # final iterate may beat the last tracked best
+    v_f = objective(u_f)
+    better = jnp.isfinite(v_f) & (v_f < best_v)
+    best_u = jax.tree.map(lambda a, b: jnp.where(better, a, b), u_f, best_u)
+    best_v = jnp.where(better, v_f, best_v)
+    return best_u, best_v
+
+
+def fit_one_start(
+    u0: GPParams,
+    X: jax.Array,
+    y: jax.Array,
+    config: GPConfig,
+    max_steps: int,
+) -> Tuple[GPParams, jax.Array]:
+    """Run one LBFGS trajectory from one unconstrained start.
+
+    The composable unit for batching: `fit_gp` vmaps it over restarts;
+    parallel.ensemble double-vmaps it over (ensemble, restart) and shards
+    both axes over a device mesh. Returns (best_u, best_neg_loglik).
+    """
+    dtype = y.dtype
+    lo, hi = _bounds_arrays(config, dtype)
+    data = GPData(X=X, y=y)
+
+    def objective(u):
+        # the zoom linesearch probes value_fn at u + t*d with an f64 t under
+        # x64, promoting u; pin the compute dtype at the boundary
+        u = jax.tree.map(lambda a: a.astype(dtype), u)
+        return -log_marginal_likelihood(_u_to_params(u, lo, hi), data, config)
+
+    return _run_lbfgs(u0, objective, max_steps)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_restarts", "max_steps"))
+def fit_gp(
+    key: jax.Array,
+    data: GPData,
+    config: GPConfig,
+    n_restarts: int | None = None,
+    max_steps: int | None = None,
+) -> FitResult:
+    """Estimate hyperparameters: the `estimate_thetas` equivalent.
+
+    jit-able end to end; restarts run as one vmapped batch (batched Gram
+    builds and Choleskys on the MXU), replacing the reference's pthread pool.
+    """
+    R = config.n_restarts if n_restarts is None else n_restarts
+    steps = config.max_opt_steps if max_steps is None else max_steps
+    dtype = data.y.dtype
+    lo, hi = _bounds_arrays(config, dtype)
+
+    u0 = sample_restarts(key, config, R, dtype=dtype)
+    best_u, best_negll = jax.vmap(
+        lambda u: fit_one_start(u, data.X, data.y, config, steps)
+    )(u0)
+
+    best_params_all = jax.vmap(lambda u: _u_to_params(u, lo, hi))(best_u)
+    lls = -best_negll  # (R,)
+    i = jnp.argmax(jnp.where(jnp.isfinite(lls), lls, -jnp.inf))
+    best = jax.tree.map(lambda a: a[i], best_params_all)
+    return FitResult(
+        params=best,
+        log_likelihood=lls[i],
+        restart_log_likelihoods=lls,
+        restart_params=best_params_all,
+    )

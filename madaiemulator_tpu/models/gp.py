@@ -1,0 +1,172 @@
+"""Scalar Gaussian-process emulator core: likelihood, regression mean, posterior.
+
+TPU-native replacement for the reference's estimator + regression + posterior
+code (ref: src/libEmu/estimator.c getLogLikelihood, src/libEmu/regression.c
+makeHMatrix/estimateRegressionParams, src/libEmu/emulator.c
+makeEmulatedMean/makeEmulatedVariance; mount empty this round — SURVEY.md §0).
+
+Differences by design (TPU-first):
+  * The log-marginal likelihood is one jit-able, differentiable function —
+    gradients come from autodiff, replacing the reference's (ntheta+1)
+    finite-difference likelihood evaluations per optimizer step [B].
+  * All queries predict in one batched pass (cross-kernel matmul + triangular
+    solves), replacing the per-point makeKVector loop.
+  * Non-SPD covariances yield -inf likelihood branchlessly (jnp.where on a
+    finite-ness flag), the jit-safe equivalent of the reference's
+    "Cholesky failed -> huge negative logL" [SURVEY.md §5].
+
+Math (standard GP with generalized-least-squares polynomial mean):
+  C = K(X,X;theta) + nugget*I,  H = poly basis (N,p),  A = H^T C^-1 H
+  beta = A^-1 H^T C^-1 y,   r = y - H beta
+  logL = -1/2 r^T C^-1 r - 1/2 log|C| - N/2 log 2pi   (- 1/2 log|A| if REML)
+  mean(x*) = h(x*)^T beta + k*^T C^-1 r
+  var(x*)  = k(x*,x*) - k*^T C^-1 k* + g^T A^-1 g,  g = h(x*) - H^T C^-1 k*
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from madaiemulator_tpu.ops import kernels, linalg
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import GPConfig
+
+
+class GPData(NamedTuple):
+    """Training data of one scalar GP (the reference's modelstruct payload).
+
+    X is the design scaled to [0,1]^d (use utils.designs.scale_design);
+    y is the training vector (z-scored per output in the multivariate path).
+    """
+
+    X: jax.Array  # (N, d)
+    y: jax.Array  # (N,)
+
+
+class GPPosteriorState(NamedTuple):
+    """Everything precomputable once per trained GP for fast serving.
+
+    Mirrors what the reference's interactive mode can cache between queries
+    (Cholesky of C, C^-1 r, regression normal matrix; SURVEY.md §3.2).
+    """
+
+    L: jax.Array  # (N, N) lower Cholesky of C
+    alpha: jax.Array  # (N,) = C^-1 (y - H beta)
+    beta: jax.Array  # (p,) GLS regression coefficients
+    LA: jax.Array  # (p, p) lower Cholesky of A = H^T C^-1 H
+    Linv_H: jax.Array  # (N, p) = L^-1 H
+    ok: jax.Array  # scalar bool; factorization succeeded
+
+
+def regression_basis(X: jax.Array, order: int) -> jax.Array:
+    """Polynomial basis H(X): [1, x_d, x_d^2, ...] per dimension, no cross terms.
+
+    Matches the reference's makeHVector layout [U-med]: column 0 is the
+    constant, then for each power q=1..order, the d per-dimension monomials.
+    order=0 gives the constant-mean (ordinary-kriging) model.
+    """
+    n = X.shape[0]
+    cols = [jnp.ones((n, 1), dtype=X.dtype)]
+    for q in range(1, order + 1):
+        cols.append(X**q)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _factor(
+    data: GPData, params: GPParams, config: GPConfig
+) -> GPPosteriorState:
+    C = kernels.gram_matrix(data.X, params, config)
+    L = linalg.xla_cholesky(C)
+    ok = linalg.chol_ok(L)
+    # Guard the solves: replace a failed factor with I so downstream
+    # triangular solves stay finite; `ok` gates the result.
+    Lsafe = jnp.where(ok, L, jnp.eye(L.shape[0], dtype=L.dtype))
+    H = regression_basis(data.X, config.regression_order)
+    Linv_H = linalg.solve_lower(Lsafe, H)  # (N, p)
+    Linv_y = linalg.solve_lower(Lsafe, data.y)  # (N,)
+    A = jnp.dot(
+        Linv_H.T,
+        Linv_H,
+        preferred_element_type=Linv_H.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    LA = linalg.xla_cholesky(A)
+    ok = jnp.logical_and(ok, linalg.chol_ok(LA))
+    LAsafe = jnp.where(ok, LA, jnp.eye(LA.shape[0], dtype=LA.dtype))
+    beta = linalg.cho_solve(LAsafe, jnp.dot(Linv_H.T, Linv_y))
+    resid = data.y - jnp.dot(H, beta)
+    alpha = linalg.cho_solve(Lsafe, resid)
+    return GPPosteriorState(
+        L=Lsafe, alpha=alpha, beta=beta, LA=LAsafe, Linv_H=Linv_H, ok=ok
+    )
+
+
+def log_marginal_likelihood(
+    params: GPParams, data: GPData, config: GPConfig
+) -> jax.Array:
+    """GLS log-marginal likelihood; -inf when C(theta) is not SPD.
+
+    Exactly differentiable wrt params (replaces the reference's
+    finite-difference gradient path [B]).
+    """
+    st = _factor(data, params, config)
+    n = data.y.shape[0]
+    # quadratic form via alpha: r^T C^-1 r = r . alpha
+    H = regression_basis(data.X, config.regression_order)
+    r = data.y - jnp.dot(H, st.beta)
+    quad = jnp.dot(r, st.alpha)
+    logdet = linalg.logdet_from_chol(st.L)
+    ll = -0.5 * quad - 0.5 * logdet - 0.5 * n * math.log(2.0 * math.pi)
+    if config.reml:
+        ll = ll - 0.5 * linalg.logdet_from_chol(st.LA)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=ll.dtype)
+    ll = jnp.where(jnp.isfinite(ll), ll, neg_inf)
+    return jnp.where(st.ok, ll, neg_inf)
+
+
+def precompute_predictor(
+    params: GPParams, data: GPData, config: GPConfig
+) -> GPPosteriorState:
+    """Factor once for repeated fast predictions (serving path)."""
+    return _factor(data, params, config)
+
+
+def predict_from_precomputed(
+    state: GPPosteriorState,
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Posterior mean and variance at query points Xs (m, d) -> ((m,), (m,)).
+
+    One batched cross-covariance matmul + two triangular solves for all
+    queries (vs the reference's per-point k-vector loop, SURVEY.md §3.2).
+    """
+    Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
+    Hs = regression_basis(Xs, config.regression_order)  # (m, p)
+    mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
+    V = linalg.solve_lower(state.L, Ks)  # (N, m)
+    kss = kernels.kdiag(Xs, params, config)  # (m,)
+    var = kss - jnp.sum(V * V, axis=0)
+    # GLS variance correction: g = h(x*) - H^T C^-1 k* = Hs^T - (L^-1 H)^T V
+    G = Hs.T - jnp.dot(state.Linv_H.T, V)  # (p, m)
+    W = linalg.solve_lower(state.LA, G)  # (p, m)
+    var = var + jnp.sum(W * W, axis=0)
+    var = jnp.maximum(var, 0.0)
+    return mean, var
+
+
+def gp_posterior(
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fit-free posterior predict: factor + predict in one call."""
+    st = precompute_predictor(params, data, config)
+    return predict_from_precomputed(st, params, data, Xs, config)

@@ -1,0 +1,205 @@
+"""Multivariate-output emulation via PCA projection + per-component GPs.
+
+TPU-native replacement for the reference's multivariate stack (ref:
+src/multi_modelstruct.c alloc/dump/load_multi_modelstruct,
+src/multivar_support.c estimate_multi / emulate_point_multi; mount empty this
+round — SURVEY.md §0). Pipeline [B]:
+
+  1. standardize each output column (subtract mean; optionally divide by std);
+  2. eigendecompose the output covariance, sort eigenvalues descending with a
+     deterministic eigenvector sign convention;
+  3. retain the top-r components covering `pca_variance` of total variance;
+  4. project training outputs to r unit-variance PC scores
+     z_i = u_i^T (y - ybar) / (s * sqrt(lambda_i));
+  5. fit r independent scalar GPs — `vmap`ed over the component axis (the
+     reference loops serially; here one batched fit on the MXU);
+  6. predict: per-PC (m_i, v_i) then rotate back:
+        mean_j = ybar_j + s_j * sum_i sqrt(lambda_i) U_ji m_i
+        var_j  = s_j^2  * sum_i lambda_i  U_ji^2 v_i
+
+The retained rank r is decided host-side (it changes array shapes); all
+device work below is shape-static and jit/vmap-friendly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madaiemulator_tpu.models.fit import FitResult, fit_gp
+from madaiemulator_tpu.models.gp import (
+    GPData,
+    GPPosteriorState,
+    precompute_predictor,
+    predict_from_precomputed,
+)
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import GPConfig
+from madaiemulator_tpu.utils.designs import DesignScaling, apply_scaling, fit_scaling
+
+
+class PCAState(NamedTuple):
+    ymean: jax.Array  # (t,)
+    ystd: jax.Array  # (t,) ones when standardize=False
+    eigenvalues: jax.Array  # (r,) retained, descending
+    U: jax.Array  # (t, r) retained eigenvectors (columns)
+
+
+class MultivariateEmulator(NamedTuple):
+    """A trained multivariate emulator (snapshot payload + serving cache)."""
+
+    scaling: DesignScaling
+    X: jax.Array  # (N, d) scaled design
+    Z: jax.Array  # (N, r) PC scores (training targets)
+    pca: PCAState
+    params: GPParams  # batched (r, ...) per-component hyperparameters
+    states: GPPosteriorState  # batched (r, ...) posterior factorizations
+    config: GPConfig
+    restart_log_likelihoods: Optional[jax.Array] = None  # (r, R)
+
+    @property
+    def n_components(self) -> int:
+        return self.Z.shape[1]
+
+    @property
+    def n_outputs(self) -> int:
+        return self.pca.ymean.shape[0]
+
+
+def pca_decompose(
+    Y: jax.Array, pca_variance: float, standardize: bool = True
+) -> Tuple[PCAState, jax.Array]:
+    """Host-side PCA of training outputs; returns (state, Z scores (N, r)).
+
+    Deterministic eigenvector sign: the entry of largest magnitude in each
+    retained eigenvector is made positive (the reference's GSL eigensolver
+    sign is arbitrary; snapshots pin whatever was stored).
+    """
+    Y = np.asarray(Y)
+    n, t = Y.shape
+    ymean = Y.mean(axis=0)
+    ystd = Y.std(axis=0, ddof=1) if standardize else np.ones(t, Y.dtype)
+    ystd = np.maximum(ystd, np.finfo(Y.dtype).tiny)
+    Yc = (Y - ymean) / ystd
+    cov = (Yc.T @ Yc) / max(n - 1, 1)
+    lam, U = np.linalg.eigh(cov)  # ascending
+    lam = lam[::-1]
+    U = U[:, ::-1]
+    lam = np.maximum(lam, 0.0)
+    total = lam.sum()
+    if total <= 0:
+        r = 1
+    else:
+        frac = np.cumsum(lam) / total
+        r = int(np.searchsorted(frac, pca_variance - 1e-12) + 1)
+        r = min(max(r, 1), t)
+    lam_r, U_r = lam[:r].copy(), U[:, :r].copy()
+    # sign convention
+    for i in range(r):
+        j = np.argmax(np.abs(U_r[:, i]))
+        if U_r[j, i] < 0:
+            U_r[:, i] = -U_r[:, i]
+    denom = np.sqrt(np.maximum(lam_r, np.finfo(Y.dtype).tiny))
+    Z = (Yc @ U_r) / denom[None, :]
+    state = PCAState(
+        ymean=jnp.asarray(ymean),
+        ystd=jnp.asarray(ystd),
+        eigenvalues=jnp.asarray(lam_r),
+        U=jnp.asarray(U_r),
+    )
+    return state, jnp.asarray(Z)
+
+
+def _vmapped_fit(key, X, Z, config: GPConfig) -> FitResult:
+    r = Z.shape[1]
+    keys = jax.random.split(key, r)
+
+    def one(k, z):
+        return fit_gp(k, GPData(X=X, y=z), config)
+
+    return jax.vmap(one)(keys, Z.T)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _vmapped_states(params: GPParams, X, Z, config: GPConfig) -> GPPosteriorState:
+    def one(p, z):
+        return precompute_predictor(p, GPData(X=X, y=z), config)
+
+    return jax.vmap(one)(params, Z.T)
+
+
+def fit_multivariate(
+    key: jax.Array,
+    X_raw: jax.Array,
+    Y: jax.Array,
+    config: GPConfig,
+    pca_variance: float = 0.95,
+    standardize: bool = True,
+    param_ranges: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> MultivariateEmulator:
+    """Train a multivariate emulator (the `estimate_thetas` multivariate path).
+
+    X_raw is the unscaled design; Y is (N, t) observables. The per-component
+    GP fits run as ONE vmapped batch over (component x restart) — the
+    reference's serial loop over r pthreaded estimations collapses into a
+    single device program.
+    """
+    scaling = fit_scaling(X_raw, ranges=param_ranges)
+    X = apply_scaling(jnp.asarray(X_raw), scaling)
+    pca, Z = pca_decompose(Y, pca_variance, standardize=standardize)
+    Z = Z.astype(X.dtype)
+    fit = _vmapped_fit(key, X, Z, config)
+    states = _vmapped_states(fit.params, X, Z, config)
+    return MultivariateEmulator(
+        scaling=scaling,
+        X=X,
+        Z=Z,
+        pca=pca,
+        params=fit.params,
+        states=states,
+        config=config,
+        restart_log_likelihoods=fit.restart_log_likelihoods,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _predict_components(
+    states: GPPosteriorState,
+    params: GPParams,
+    X: jax.Array,
+    Z: jax.Array,
+    Xs: jax.Array,
+    config: GPConfig,
+):
+    def one(st, p, z):
+        return predict_from_precomputed(st, p, GPData(X=X, y=z), Xs, config)
+
+    return jax.vmap(one)(states, params, Z.T)  # means, vars: (r, m)
+
+
+def predict_multivariate(
+    emu: MultivariateEmulator, Xs_raw: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Posterior mean and variance in observable space: (m, t), (m, t).
+
+    Equivalent of the reference's emulate_point_multi / EmuPlusPlus
+    QueryEmulator, batched over query points.
+    """
+    Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=emu.X.dtype), emu.scaling)
+    m_pc, v_pc = _predict_components(
+        emu.states, emu.params, emu.X, emu.Z, Xs, emu.config
+    )  # (r, m) each
+    lam = emu.pca.eigenvalues.astype(m_pc.dtype)
+    U = emu.pca.U.astype(m_pc.dtype)  # (t, r)
+    ymean = emu.pca.ymean.astype(m_pc.dtype)
+    ystd = emu.pca.ystd.astype(m_pc.dtype)
+    sqrt_lam = jnp.sqrt(lam)
+    # mean_j = ybar_j + s_j * sum_i sqrt(lam_i) U_ji m_i
+    mean = ymean[None, :] + (m_pc.T * sqrt_lam[None, :]) @ U.T * ystd[None, :]
+    # var_j = s_j^2 * sum_i lam_i U_ji^2 v_i
+    var = (v_pc.T * lam[None, :]) @ (U.T**2) * (ystd[None, :] ** 2)
+    return mean, var

@@ -1,0 +1,161 @@
+"""Ensembles of independent emulators, sharded over a TPU device mesh.
+
+The reference has no distributed computing at all (SURVEY.md §2: its only
+concurrency is pthreads over optimizer restarts); MCMC calibration runs many
+*separate process invocations* of the emulator. The TPU-native design makes
+"many independent emulators" a first-class batch axis [B, BASELINE config 5]:
+
+  * `fit_ensemble`    — fit E emulators at once: one program, batch axes
+    (ensemble, restart) vmapped and sharded over a `jax.sharding.Mesh`.
+    Each (e, r) cell is one LBFGS trajectory; XLA partitions the batch
+    axes over chips, no collectives needed on the hot path (the work is
+    embarrassingly parallel — the layout rides pure data parallelism,
+    with the cross-restart argmax as the only cross-shard reduction,
+    which XLA lowers to tiny ICI traffic).
+  * `predict_ensemble` — batched posterior prediction for E emulators.
+
+Arrays are laid out (ensemble, restart, ...) exactly so that scaling past
+one chip is a sharding annotation, not a rewrite (SURVEY.md §5, "distributed
+communication backend").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from madaiemulator_tpu.models.fit import (
+    FitResult,
+    _bounds_arrays,
+    _u_to_params,
+    fit_one_start,
+    sample_restarts,
+)
+from madaiemulator_tpu.models.gp import GPData, gp_posterior
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import GPConfig
+
+ENSEMBLE_AXIS = "ensemble"
+RESTART_AXIS = "restart"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    restart_shards: int = 1,
+) -> Mesh:
+    """A (ensemble, restart) mesh over the first n_devices devices.
+
+    restart_shards divides the restart batch axis over devices too (useful
+    when E is small but R is large); default 1 = pure ensemble sharding.
+    """
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    devs = np.asarray(devs[:n]).reshape(n // restart_shards, restart_shards)
+    return Mesh(devs, (ENSEMBLE_AXIS, RESTART_AXIS))
+
+
+def _fit_batched(u0: GPParams, Xb, yb, config: GPConfig, max_steps: int):
+    """(E, R, ...) starts -> per-ensemble best params + LML. Pure function of
+    its array args; shard annotations go on the caller's jit."""
+    run_r = jax.vmap(
+        lambda u, X, y: fit_one_start(u, X, y, config, max_steps),
+        in_axes=(0, None, None),
+    )  # over restarts
+    run_er = jax.vmap(run_r, in_axes=(0, 0, 0))  # over ensemble members
+    best_u, best_negll = run_er(u0, Xb, yb)  # (E, R, ...), (E, R)
+    lls = -best_negll
+    lls = jnp.where(jnp.isfinite(lls), lls, -jnp.inf)
+    i = jnp.argmax(lls, axis=1)  # (E,)
+    dtype = yb.dtype
+    lo, hi = _bounds_arrays(config, dtype)
+    params_all = jax.vmap(jax.vmap(lambda u: _u_to_params(u, lo, hi)))(best_u)
+    take = lambda a: jnp.take_along_axis(
+        a, i.reshape((-1,) + (1,) * (a.ndim - 1)), axis=1
+    )[:, 0]
+    best_params = jax.tree.map(take, params_all)
+    best_ll = jnp.take_along_axis(lls, i[:, None], axis=1)[:, 0]
+    return FitResult(
+        params=best_params,
+        log_likelihood=best_ll,
+        restart_log_likelihoods=lls,
+        restart_params=params_all,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "max_steps"))
+def fit_ensemble_from_starts(
+    u0: GPParams, Xb: jax.Array, yb: jax.Array, config: GPConfig, max_steps: int
+) -> FitResult:
+    """Fit from explicit (E, R, ...) starts. Callers control sharding by
+    placing u0 with P(ensemble, restart) and Xb/yb with P(ensemble); the jit
+    inherits input shardings and XLA partitions every batched intermediate."""
+    return _fit_batched(u0, Xb, yb, config, max_steps)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_restarts", "max_steps")
+)
+def _fit_ensemble_jit(key, Xb, yb, config, n_restarts, max_steps):
+    E = Xb.shape[0]
+    dtype = yb.dtype
+    keys = jax.random.split(key, E)
+    u0 = jax.vmap(
+        lambda k: sample_restarts(k, config, n_restarts, dtype=dtype)
+    )(keys)  # (E, R, ...)
+    return _fit_batched(u0, Xb, yb, config, max_steps)
+
+
+def fit_ensemble(
+    key: jax.Array,
+    Xb: jax.Array,  # (E, N, d)
+    yb: jax.Array,  # (E, N)
+    config: GPConfig,
+    mesh: Optional[Mesh] = None,
+    n_restarts: Optional[int] = None,
+    max_steps: Optional[int] = None,
+) -> FitResult:
+    """Fit E independent scalar GPs as one sharded program (config 5 [B]).
+
+    With a mesh, training data and every batched intermediate (restart
+    states, Gram matrices, Cholesky factors) are sharded over the
+    `ensemble` mesh axis; without one, everything runs on one device.
+    """
+    R = config.n_restarts if n_restarts is None else n_restarts
+    steps = config.max_opt_steps if max_steps is None else max_steps
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(ENSEMBLE_AXIS))
+        Xb = jax.device_put(Xb, sh)
+        yb = jax.device_put(yb, sh)
+    return _fit_ensemble_jit(key, Xb, yb, config, R, steps)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _predict_ensemble_jit(params, Xb, yb, Xsb, config):
+    def one(p, X, y, Xs):
+        return gp_posterior(p, GPData(X=X, y=y), Xs, config)
+
+    return jax.vmap(one)(params, Xb, yb, Xsb)
+
+
+def predict_ensemble(
+    params: GPParams,  # batched (E, ...)
+    Xb: jax.Array,
+    yb: jax.Array,
+    Xsb: jax.Array,  # (E, m, d) query points per member
+    config: GPConfig,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched posterior (means, variances): (E, m) each."""
+    if mesh is not None:
+        sh = NamedSharding(mesh, P(ENSEMBLE_AXIS))
+        Xb, yb, Xsb = (jax.device_put(a, sh) for a in (Xb, yb, Xsb))
+        params = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P(ENSEMBLE_AXIS))),
+            params,
+        )
+    return _predict_ensemble_jit(params, Xb, yb, Xsb, config)

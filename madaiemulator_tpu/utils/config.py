@@ -1,0 +1,108 @@
+"""Run configuration for the emulator.
+
+TPU-native replacement for the reference's `optstruct` (ref: src/optstruct.c/.h
+— mount empty this round, see SURVEY.md §0) and its CLI flags
+(--regression_order, --covariance_fn, --pca_variance; ref:
+src/interactive_emulator.c). One frozen dataclass consumed by fit / predict /
+CLI alike, hashable so it can be a static argument under `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class CovarianceFamily(enum.Enum):
+    """Covariance function families of the reference.
+
+    POWER_EXPONENTIAL is the reference's "gaussian" covariance (ref:
+    src/libEmu/emulator.c covariance_fn_gaussian): amplitude * exp(-0.5 *
+    sum_d |dx_d / ell_d|^alpha) with per-dimension length scales.
+    MATERN32 / MATERN52 are isotropic Matérn (single length scale), matching
+    covariance_fn_matern_three / covariance_fn_matern_five.
+    """
+
+    POWER_EXPONENTIAL = "power_exponential"
+    MATERN32 = "matern32"
+    MATERN52 = "matern52"
+
+    def num_length_scales(self, nparams: int) -> int:
+        if self is CovarianceFamily.POWER_EXPONENTIAL:
+            return nparams  # ARD: one length scale per input dimension
+        return 1  # isotropic Matérn, as in the reference
+
+    def num_thetas(self, nparams: int) -> int:
+        # theta layout (reference convention [U-hi]):
+        #   theta[0] = amplitude, theta[1] = nugget, theta[2:] = length scales
+        return 2 + self.num_length_scales(nparams)
+
+
+# Reference CLI names for --covariance_fn (ref: src/interactive_emulator.c).
+COVARIANCE_CLI_NAMES = {
+    "power_exponential": CovarianceFamily.POWER_EXPONENTIAL,
+    "gaussian": CovarianceFamily.POWER_EXPONENTIAL,
+    "matern32": CovarianceFamily.MATERN32,
+    "matern_three": CovarianceFamily.MATERN32,
+    "matern52": CovarianceFamily.MATERN52,
+    "matern_five": CovarianceFamily.MATERN52,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class GPConfig:
+    """Static configuration of one scalar-GP emulation problem.
+
+    Everything shape- or trace-relevant is here, so a `GPConfig` instance can
+    be passed as a static arg to jitted functions. Trainable values (thetas)
+    live in `madaiemulator_tpu.models.gp.GPParams` instead.
+    """
+
+    nparams: int
+    covariance: CovarianceFamily = CovarianceFamily.POWER_EXPONENTIAL
+    regression_order: int = 1  # polynomial mean order 0..3 (reference default 0 [U-med]; we default 1 like upstream docs recommend)
+    power_exp_alpha: float = 2.0  # alpha of the power-exponential kernel [U-med: verify against reference]
+    # Box bounds for optimization, in natural-parameter space. The reference
+    # draws restarts uniformly inside per-theta ranges (ref:
+    # src/libEmu/estimate_threaded.c / maxmultimin.c setup_optimization_ranges).
+    amp_bounds: Tuple[float, float] = (1e-4, 1e4)
+    nugget_bounds: Tuple[float, float] = (1e-9, 1.0)
+    length_scale_bounds: Tuple[float, float] = (1e-2, 1e2)
+    # Stability floor added to the Gram diagonal on top of the nugget,
+    # as a fraction of the kernel amplitude. None = auto: 0 in float64
+    # (parity runs), 1e-6 in float32/bfloat16 where the nugget lower bound
+    # sits below machine eps and Cholesky needs help (SURVEY.md §7 hard
+    # part 2: precision policy).
+    jitter: float | None = None
+    # Number of random restarts for hyperparameter fitting (pthreads fan-out
+    # in the reference; a vmapped batch axis here).
+    n_restarts: int = 8
+    max_opt_steps: int = 100
+    # Include the nugget in the predictive variance at new points (the
+    # reference's covariance_fn adds the nugget when evaluating k(x*, x*)).
+    predict_variance_includes_nugget: bool = True
+    # Use the GLS profile (REML-style) extra term -0.5 log|H^T C^-1 H|.
+    reml: bool = False
+
+    def __post_init__(self):
+        if self.regression_order not in (0, 1, 2, 3):
+            raise ValueError(
+                f"regression_order must be 0..3, got {self.regression_order}"
+            )
+        if self.nparams < 1:
+            raise ValueError(f"nparams must be >= 1, got {self.nparams}")
+
+    @property
+    def num_thetas(self) -> int:
+        return self.covariance.num_thetas(self.nparams)
+
+    @property
+    def num_length_scales(self) -> int:
+        return self.covariance.num_length_scales(self.nparams)
+
+    @property
+    def num_regression_fns(self) -> int:
+        # Per-dimension pure powers, no cross terms (ref: src/libEmu/
+        # regression.c makeHVector [U-med]): 1 + order * nparams columns.
+        return 1 + self.regression_order * self.nparams

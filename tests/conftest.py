@@ -1,0 +1,34 @@
+"""Test harness: CPU backend with 8 virtual devices and x64 enabled.
+
+Tests run on the JAX CPU backend so CI needs no TPU (SURVEY.md §4); the same
+tests re-run on TPU by unsetting JAX_PLATFORMS. The 8 virtual devices let the
+sharding/ensemble tests exercise a real `jax.sharding.Mesh` on one host.
+Environment must be set before the first `import jax` anywhere, hence here.
+"""
+
+import os
+
+# Force CPU even if the ambient environment selects a TPU platform: the test
+# suite needs f64 for parity-grade tolerances and 8 virtual devices for mesh
+# tests. Override with MADAI_TEST_PLATFORM=tpu to run the suite on hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("MADAI_TEST_PLATFORM", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's axon site hook pins JAX_PLATFORMS=axon regardless of the
+# env var, so also force the platform through the config API (this one wins).
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

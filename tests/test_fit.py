@@ -1,0 +1,97 @@
+"""End-to-end hyperparameter fitting on BASELINE.json configs 1 and 2
+(1D sin toy; 4D Matérn-3/2 multi-restart). SURVEY.md §3.5 / §4."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.models.fit import fit_gp, sample_restarts, _bounds_arrays, _u_to_params
+from madaiemulator_tpu.models.gp import GPData, gp_posterior, log_marginal_likelihood
+from madaiemulator_tpu.utils.config import CovarianceFamily, GPConfig
+
+
+def test_restart_sampling_in_box():
+    cfg = GPConfig(nparams=3, n_restarts=16)
+    u = sample_restarts(jax.random.key(0), cfg, 16, dtype=jnp.float64)
+    lo, hi = _bounds_arrays(cfg, jnp.float64)
+    p = jax.vmap(lambda uu: _u_to_params(uu, lo, hi))(u)
+    amp = np.exp(np.asarray(p.log_amp))
+    assert np.all(amp >= cfg.amp_bounds[0]) and np.all(amp <= cfg.amp_bounds[1])
+    nug = np.exp(np.asarray(p.log_nugget))
+    assert np.all(nug >= cfg.nugget_bounds[0]) and np.all(nug <= cfg.nugget_bounds[1])
+    ls = np.exp(np.asarray(p.log_ls))
+    assert ls.shape == (16, 3)
+    assert np.all(ls >= cfg.length_scale_bounds[0])
+
+
+def test_fit_1d_sin_toy():
+    """Config 1: 25-point sin() design, power-exponential kernel, MLE + predict."""
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=4, max_opt_steps=60)
+    X = np.linspace(0.0, 1.0, 25)[:, None]
+    y = np.sin(2 * np.pi * X[:, 0])
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    res = fit_gp(jax.random.key(1), data, cfg)
+    assert np.isfinite(float(res.log_likelihood))
+    # the fitted model must beat every restart's initial draw and interpolate
+    Xs = np.linspace(0.02, 0.98, 101)[:, None]
+    mean, var = gp_posterior(res.params, data, jnp.asarray(Xs), cfg)
+    rmse = float(jnp.sqrt(jnp.mean((mean - jnp.sin(2 * jnp.pi * Xs[:, 0])) ** 2)))
+    assert rmse < 1e-3, rmse
+    assert np.all(np.asarray(var) >= 0)
+
+
+def test_fit_beats_random_params():
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=4, max_opt_steps=40)
+    X = np.linspace(0.0, 1.0, 25)[:, None]
+    y = np.sin(2 * np.pi * X[:, 0])
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    res = fit_gp(jax.random.key(2), data, cfg)
+    u0 = sample_restarts(jax.random.key(3), cfg, 8, dtype=jnp.float64)
+    lo, hi = _bounds_arrays(cfg, jnp.float64)
+    for i in range(8):
+        p0 = _u_to_params(jax.tree.map(lambda a: a[i], u0), lo, hi)
+        ll0 = float(log_marginal_likelihood(p0, data, cfg))
+        assert float(res.log_likelihood) >= ll0 - 1e-9
+
+
+def test_fit_4d_matern_multirestart():
+    """Config 2: 4D scalar emulation, Matérn-3/2, multi-restart LBFGS."""
+    rng = np.random.default_rng(7)
+    d, n = 4, 60
+    cfg = GPConfig(
+        nparams=d,
+        covariance=CovarianceFamily.MATERN32,
+        regression_order=1,
+        n_restarts=4,
+        max_opt_steps=50,
+    )
+    X = rng.uniform(size=(n, d))
+    y = (
+        np.sin(3 * X[:, 0])
+        + X[:, 1] ** 2
+        - 0.5 * X[:, 2] * X[:, 3]
+        + 0.01 * rng.standard_normal(n)
+    )
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    res = fit_gp(jax.random.key(4), data, cfg)
+    assert np.isfinite(float(res.log_likelihood))
+    assert res.restart_log_likelihoods.shape == (4,)
+    # held-out accuracy sanity
+    Xs = rng.uniform(size=(200, d))
+    ys = np.sin(3 * Xs[:, 0]) + Xs[:, 1] ** 2 - 0.5 * Xs[:, 2] * Xs[:, 3]
+    mean, _ = gp_posterior(res.params, data, jnp.asarray(Xs), cfg)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - ys) ** 2)))
+    assert rmse < 0.15, rmse
+
+
+def test_fit_is_deterministic():
+    cfg = GPConfig(nparams=1, n_restarts=2, max_opt_steps=20)
+    X = np.linspace(0, 1, 10)[:, None]
+    y = np.sin(4 * X[:, 0])
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    r1 = fit_gp(jax.random.key(5), data, cfg)
+    r2 = fit_gp(jax.random.key(5), data, cfg)
+    assert float(r1.log_likelihood) == float(r2.log_likelihood)
+    for a, b in zip(r1.params, r2.params):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

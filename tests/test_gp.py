@@ -1,0 +1,119 @@
+"""Scalar-GP core: likelihood vs direct numpy, exact autodiff gradients vs
+finite differences, GLS regression vs lstsq, posterior properties (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.models import gp
+from madaiemulator_tpu.models.gp import GPData
+from madaiemulator_tpu.ops import kernels
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import CovarianceFamily, GPConfig
+
+
+def setup_problem(rng, n=20, d=2, order=1):
+    cfg = GPConfig(nparams=d, regression_order=order)
+    X = rng.uniform(size=(n, d))
+    y = np.sin(3 * X[:, 0]) + 0.5 * X[:, 1] + 0.05 * rng.standard_normal(n)
+    p = GPParams(
+        log_amp=jnp.asarray(np.log(1.3)),
+        log_nugget=jnp.asarray(np.log(1e-3)),
+        log_ls=jnp.asarray(np.log(np.array([0.6, 0.9]))),
+    )
+    return cfg, GPData(X=jnp.asarray(X), y=jnp.asarray(y)), p
+
+
+def numpy_lml(X, y, p, cfg):
+    """Direct dense-numpy GLS log-marginal likelihood."""
+    C = np.asarray(kernels.gram_matrix(jnp.asarray(X), p, cfg))
+    H = np.asarray(gp.regression_basis(jnp.asarray(X), cfg.regression_order))
+    Ci = np.linalg.inv(C)
+    A = H.T @ Ci @ H
+    beta = np.linalg.solve(A, H.T @ Ci @ y)
+    r = y - H @ beta
+    _, logdet = np.linalg.slogdet(C)
+    ll = -0.5 * r @ Ci @ r - 0.5 * logdet - 0.5 * len(y) * np.log(2 * np.pi)
+    if cfg.reml:
+        ll -= 0.5 * np.linalg.slogdet(A)[1]
+    return ll
+
+
+@pytest.mark.parametrize("order", [0, 1, 2])
+@pytest.mark.parametrize("reml", [False, True])
+def test_lml_matches_numpy(rng, order, reml):
+    cfg, data, p = setup_problem(rng, order=order)
+    cfg = GPConfig(
+        nparams=cfg.nparams, regression_order=order, reml=reml
+    )
+    got = float(gp.log_marginal_likelihood(p, data, cfg))
+    want = numpy_lml(np.asarray(data.X), np.asarray(data.y), p, cfg)
+    assert np.isclose(got, want, rtol=1e-9), (got, want)
+
+
+def test_autodiff_gradient_matches_finite_differences(rng):
+    cfg, data, p = setup_problem(rng)
+    f = lambda pp: gp.log_marginal_likelihood(pp, data, cfg)
+    g = jax.grad(f)(p)
+    eps = 1e-6
+    flat, unravel = jax.flatten_util.ravel_pytree(p)
+    gflat, _ = jax.flatten_util.ravel_pytree(g)
+    for i in range(flat.shape[0]):
+        e = jnp.zeros_like(flat).at[i].set(eps)
+        fd = (f(unravel(flat + e)) - f(unravel(flat - e))) / (2 * eps)
+        assert np.isclose(float(gflat[i]), float(fd), rtol=1e-4, atol=1e-7), i
+
+
+def test_non_spd_gives_neg_inf(rng):
+    cfg, data, p = setup_problem(rng)
+    # an absurd negative-nugget-like setup can't happen (log space), so force
+    # non-SPD via a huge length scale + zero nugget at float32: instead check
+    # the gate directly with duplicated points and nugget -> 0.
+    X = jnp.concatenate([data.X, data.X], axis=0)  # exactly singular kernel
+    y = jnp.concatenate([data.y, data.y])
+    p0 = p._replace(log_nugget=jnp.asarray(np.log(1e-300)))
+    ll = gp.log_marginal_likelihood(p0, GPData(X=X, y=y), cfg)
+    assert not np.isfinite(float(ll)) or float(ll) < -1e10
+
+
+def test_posterior_interpolates_training_points(rng):
+    cfg, data, p = setup_problem(rng)
+    p = p._replace(log_nugget=jnp.asarray(np.log(1e-12)))
+    cfg = GPConfig(
+        nparams=cfg.nparams,
+        regression_order=1,
+        predict_variance_includes_nugget=False,
+    )
+    mean, var = gp.gp_posterior(p, data, data.X, cfg)
+    assert np.allclose(np.asarray(mean), np.asarray(data.y), atol=1e-6)
+    assert np.all(np.asarray(var) >= 0)
+    assert np.all(np.asarray(var) < 1e-5)
+
+
+def test_variance_grows_away_from_data(rng):
+    cfg, data, p = setup_problem(rng)
+    far = jnp.asarray(np.full((1, 2), 25.0))
+    near = data.X[:1]
+    _, v_far = gp.gp_posterior(p, data, far, cfg)
+    _, v_near = gp.gp_posterior(p, data, near, cfg)
+    assert float(v_far[0]) > float(v_near[0])
+    # far from data, variance approaches prior amp (+nugget) + regression term
+    assert float(v_far[0]) >= float(jnp.exp(p.log_amp))
+
+
+def test_gls_beta_reduces_to_ols_for_identity_cov(rng):
+    # with amp tiny and nugget 1, C ~= I so GLS beta ~= OLS beta
+    d = 2
+    cfg = GPConfig(nparams=d, regression_order=1)
+    X = rng.uniform(size=(30, d))
+    y = 2.0 + 3.0 * X[:, 0] - 1.0 * X[:, 1] + 0.01 * rng.standard_normal(30)
+    p = GPParams(
+        log_amp=jnp.asarray(np.log(1e-8)),
+        log_nugget=jnp.asarray(np.log(1.0)),
+        log_ls=jnp.asarray(np.log(np.ones(d))),
+    )
+    st = gp.precompute_predictor(p, GPData(X=jnp.asarray(X), y=jnp.asarray(y)), cfg)
+    H = np.concatenate([np.ones((30, 1)), X], axis=1)
+    beta_ols, *_ = np.linalg.lstsq(H, y, rcond=None)
+    assert np.allclose(np.asarray(st.beta), beta_ols, atol=1e-5)

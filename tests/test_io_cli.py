@@ -1,0 +1,145 @@
+"""Model-file / snapshot round-trips and the CLI pipe protocol
+(SURVEY.md §3.1/§3.2, §5 checkpoint/resume)."""
+
+import io
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.io.modelfile import read_model_file, write_model_file
+from madaiemulator_tpu.io.snapshot import read_snapshot, write_snapshot
+from madaiemulator_tpu.models.multivariate import fit_multivariate, predict_multivariate
+from madaiemulator_tpu.utils.config import GPConfig
+
+
+def test_model_file_round_trip(rng, tmp_path):
+    X = rng.uniform(size=(12, 3))
+    Y = rng.standard_normal((12, 2))
+    path = str(tmp_path / "model.txt")
+    write_model_file(path, X, Y, ["a", "b", "c"], ["o1", "o2"])
+    mf = read_model_file(path)
+    assert mf.param_names == ["a", "b", "c"]
+    assert mf.output_names == ["o1", "o2"]
+    assert np.array_equal(mf.X, X)
+    assert np.array_equal(mf.Y, Y)
+
+
+def test_model_file_comments_and_errors():
+    good = "1\nx\n1\ny\n2\n0.0\n1.0\n# comment\n3.0 4.0\n"
+    mf = read_model_file(io.StringIO(good))
+    assert mf.npoints == 2 and np.allclose(mf.Y[:, 0], [3.0, 4.0])
+    with pytest.raises(ValueError):
+        read_model_file(io.StringIO("1\nx\n1\ny\n3\n0 1 2\n"))  # truncated
+    with pytest.raises(ValueError):
+        read_model_file(io.StringIO("0\n"))  # bad nparams
+
+
+def fit_small(rng, seed=0):
+    X = rng.uniform(size=(20, 2))
+    Y = np.stack([np.sin(3 * X[:, 0]), X[:, 1] ** 2 + X[:, 0]], axis=1)
+    cfg = GPConfig(nparams=2, regression_order=1, n_restarts=2, max_opt_steps=30)
+    emu = fit_multivariate(
+        jax.random.key(seed), jnp.asarray(X), jnp.asarray(Y), cfg, pca_variance=0.999
+    )
+    return X, Y, emu
+
+
+def test_snapshot_round_trip(rng, tmp_path):
+    X, Y, emu = fit_small(rng)
+    path = str(tmp_path / "state.txt")
+    write_snapshot(path, emu, ["p0", "p1"], ["m0", "m1"])
+    emu2, pn, on = read_snapshot(path)
+    assert pn == ["p0", "p1"] and on == ["m0", "m1"]
+    Xq = rng.uniform(0.1, 0.9, size=(7, 2))
+    m1, v1 = predict_multivariate(emu, jnp.asarray(Xq))
+    m2, v2 = predict_multivariate(emu2, jnp.asarray(Xq))
+    # text format stores %.17g => exact f64 round-trip
+    assert np.allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12, atol=1e-14)
+    assert np.allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10, atol=1e-14)
+
+
+def test_snapshot_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("NOT_A_SNAPSHOT 1\n")
+    with pytest.raises(ValueError):
+        read_snapshot(str(p))
+
+
+CLI = [sys.executable, "-m", "madaiemulator_tpu.cli"]
+
+
+def _make_model_file(path, rng):
+    X = np.linspace(0, 1, 25)[:, None]
+    Y = np.sin(2 * np.pi * X)
+    write_model_file(str(path), X, Y, ["x"], ["f"])
+    return X, Y
+
+
+def test_cli_end_to_end_pipe_protocol(rng, tmp_path):
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.txt"
+    X, Y = _make_model_file(model, rng)
+    r = subprocess.run(
+        CLI
+        + [
+            "estimate_thetas",
+            str(model),
+            str(state),
+            "--regression_order=1",
+            "--restarts=2",
+            "--steps=40",
+            "--quiet",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert state.exists()
+
+    # print_thetas
+    r = subprocess.run(
+        CLI + ["print_thetas", str(state)], capture_output=True, text=True, timeout=300
+    )
+    assert r.returncode == 0, r.stderr
+    rows = [l for l in r.stdout.splitlines() if l and not l.startswith("#")]
+    assert len(rows) == 1 and len(rows[0].split()) == 3  # amp nugget ls
+
+    # interactive_mode pipe: query 3 points
+    queries = "0.25\n0.5 0.75\n"
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state)],
+        input=queries,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    # header: d, names, 2t, labels
+    assert lines[0] == "1" and lines[1] == "x" and lines[2] == "2"
+    assert lines[3] == "mean_f" and lines[4] == "variance_f"
+    vals = [float(v) for v in lines[5:]]
+    assert len(vals) == 6  # 3 queries x (mean, var)
+    means = vals[0::2]
+    for q, m in zip([0.25, 0.5, 0.75], means):
+        assert abs(m - np.sin(2 * np.pi * q)) < 5e-3, (q, m)
+    assert all(v >= 0 for v in vals[1::2])
+
+
+def test_cli_unknown_covariance_errors(rng, tmp_path):
+    model = tmp_path / "model.txt"
+    _make_model_file(model, rng)
+    r = subprocess.run(
+        CLI
+        + ["estimate_thetas", str(model), str(tmp_path / "s.txt"), "--covariance_fn=bogus"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 2
+    assert "covariance_fn" in r.stderr

@@ -1,0 +1,95 @@
+"""Kernel/Gram builders vs closed-form scalar evaluation (SURVEY.md §4a)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.ops import kernels
+from madaiemulator_tpu.ops.kernels import GPParams, params_to_thetas, thetas_to_params
+from madaiemulator_tpu.utils.config import CovarianceFamily, GPConfig
+
+
+def make_params(amp, nugget, ls):
+    ls = np.atleast_1d(ls).astype(np.float64)
+    return GPParams(
+        log_amp=jnp.asarray(np.log(amp)),
+        log_nugget=jnp.asarray(np.log(nugget)),
+        log_ls=jnp.asarray(np.log(ls)),
+    )
+
+
+def scalar_powerexp(x, y, amp, ls, alpha):
+    return amp * np.exp(-0.5 * np.sum((np.abs(x - y) / ls) ** alpha))
+
+
+def scalar_matern(x, y, amp, ls, nu):
+    r = np.linalg.norm((x - y) / ls)
+    if nu == 1.5:
+        s = np.sqrt(3.0) * r
+        return amp * (1 + s) * np.exp(-s)
+    s = np.sqrt(5.0) * r
+    return amp * (1 + s + s * s / 3.0) * np.exp(-s)
+
+
+@pytest.mark.parametrize("alpha", [2.0, 1.9])
+def test_power_exponential_matches_scalar(rng, alpha):
+    d = 3
+    cfg = GPConfig(nparams=d, power_exp_alpha=alpha)
+    X = rng.uniform(size=(7, d))
+    Y = rng.uniform(size=(5, d))
+    ls = rng.uniform(0.3, 2.0, size=d)
+    p = make_params(1.7, 1e-3, ls)
+    K = np.asarray(kernels.cross_covariance(jnp.asarray(X), jnp.asarray(Y), p, cfg))
+    for i in range(7):
+        for j in range(5):
+            expect = scalar_powerexp(X[i], Y[j], 1.7, ls, alpha)
+            assert np.isclose(K[i, j], expect, rtol=1e-10), (i, j)
+
+
+@pytest.mark.parametrize(
+    "fam,nu",
+    [(CovarianceFamily.MATERN32, 1.5), (CovarianceFamily.MATERN52, 2.5)],
+)
+def test_matern_matches_scalar(rng, fam, nu):
+    d = 4
+    cfg = GPConfig(nparams=d, covariance=fam)
+    X = rng.uniform(size=(6, d))
+    Y = rng.uniform(size=(4, d))
+    p = make_params(2.3, 1e-4, 0.7)  # isotropic
+    K = np.asarray(kernels.cross_covariance(jnp.asarray(X), jnp.asarray(Y), p, cfg))
+    for i in range(6):
+        for j in range(4):
+            expect = scalar_matern(X[i], Y[j], 2.3, 0.7, nu)
+            assert np.isclose(K[i, j], expect, rtol=1e-8, atol=1e-12), (i, j)
+
+
+def test_gram_adds_nugget_and_is_symmetric(rng):
+    d = 2
+    cfg = GPConfig(nparams=d)
+    X = rng.uniform(size=(10, d))
+    p = make_params(1.0, 0.25, [0.5, 1.5])
+    C = np.asarray(kernels.gram_matrix(jnp.asarray(X), p, cfg))
+    assert np.allclose(C, C.T)
+    Kxx = np.asarray(
+        kernels.cross_covariance(jnp.asarray(X), jnp.asarray(X), p, cfg)
+    )
+    assert np.allclose(np.diag(C), np.diag(Kxx) + 0.25, rtol=1e-12)
+
+
+def test_theta_vector_round_trip():
+    p = make_params(3.0, 1e-2, [0.4, 0.9])
+    th = params_to_thetas(p)
+    assert np.allclose(np.asarray(th), [3.0, 1e-2, 0.4, 0.9])
+    p2 = thetas_to_params(th)
+    for a, b in zip(p, p2):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_kdiag_includes_nugget_policy(rng):
+    d = 2
+    X = rng.uniform(size=(3, d))
+    p = make_params(2.0, 0.1, [1.0, 1.0])
+    cfg_with = GPConfig(nparams=d, predict_variance_includes_nugget=True)
+    cfg_without = GPConfig(nparams=d, predict_variance_includes_nugget=False)
+    assert np.allclose(np.asarray(kernels.kdiag(jnp.asarray(X), p, cfg_with)), 2.1)
+    assert np.allclose(np.asarray(kernels.kdiag(jnp.asarray(X), p, cfg_without)), 2.0)

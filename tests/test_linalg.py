@@ -1,0 +1,62 @@
+"""SPD linear algebra vs numpy references on random SPD matrices (SURVEY.md §4a/4d)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.ops import linalg
+
+
+def random_spd(rng, n, dtype=np.float64):
+    A = rng.standard_normal((n, n)).astype(dtype)
+    return A @ A.T + n * np.eye(n, dtype=dtype)
+
+
+def test_unblocked_cholesky_matches_numpy(rng):
+    A = random_spd(rng, 24)
+    L = np.asarray(linalg._unblocked_cholesky(jnp.asarray(A)))
+    assert np.allclose(L, np.linalg.cholesky(A), rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("n,block", [(64, 16), (96, 32), (256, 64), (128, 128)])
+def test_blocked_cholesky_matches_numpy(rng, n, block):
+    A = random_spd(rng, n)
+    L = np.asarray(linalg.blocked_cholesky(jnp.asarray(A), block=block))
+    assert np.allclose(L, np.linalg.cholesky(A), rtol=1e-9, atol=1e-9)
+
+
+def test_logdet_and_cho_solve(rng):
+    A = random_spd(rng, 40)
+    b = rng.standard_normal(40)
+    L = linalg.xla_cholesky(jnp.asarray(A))
+    sign, logdet = np.linalg.slogdet(A)
+    assert sign > 0
+    assert np.isclose(float(linalg.logdet_from_chol(L)), logdet, rtol=1e-10)
+    x = np.asarray(linalg.cho_solve(L, jnp.asarray(b)))
+    assert np.allclose(x, np.linalg.solve(A, b), rtol=1e-8)
+    B = rng.standard_normal((40, 3))
+    Xs = np.asarray(linalg.cho_solve(L, jnp.asarray(B)))
+    assert np.allclose(Xs, np.linalg.solve(A, B), rtol=1e-8)
+
+
+def test_chol_ok_flags_non_spd(rng):
+    A = np.eye(8)
+    A[3, 3] = -1.0  # not SPD
+    L = linalg.xla_cholesky(jnp.asarray(A))
+    assert not bool(linalg.chol_ok(L))
+    L2 = linalg.xla_cholesky(jnp.asarray(random_spd(rng, 8)))
+    assert bool(linalg.chol_ok(L2))
+
+
+def test_pad_spd_identity_tail(rng):
+    A = random_spd(rng, 10)
+    Ap, n = linalg.pad_spd(jnp.asarray(A), 8)
+    assert Ap.shape == (16, 16) and n == 10
+    Lp = np.asarray(linalg.xla_cholesky(Ap))
+    assert np.allclose(Lp[:10, :10], np.linalg.cholesky(A), rtol=1e-10)
+    # identity tail contributes nothing to the logdet
+    assert np.isclose(
+        float(linalg.logdet_from_chol(jnp.asarray(Lp))),
+        np.linalg.slogdet(A)[1],
+        rtol=1e-10,
+    )

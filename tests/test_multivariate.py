@@ -1,0 +1,89 @@
+"""Multivariate PCA emulation: decomposition round-trip, vmapped fits,
+observable-space reconstruction (BASELINE config 3; SURVEY.md §2 L4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madaiemulator_tpu.models.multivariate import (
+    fit_multivariate,
+    pca_decompose,
+    predict_multivariate,
+)
+from madaiemulator_tpu.utils.config import GPConfig
+
+
+def make_heavy_ion_like(rng, n=40, d=3, t=8):
+    """Synthetic multivariate observables with low-rank structure."""
+    X = rng.uniform(size=(n, d))
+    latent = np.stack(
+        [
+            np.sin(2 * X[:, 0]) + X[:, 1],
+            np.cos(3 * X[:, 1]) * X[:, 2],
+        ],
+        axis=1,
+    )  # (n, 2) true rank-2
+    W = rng.standard_normal((2, t))
+    Y = latent @ W + 0.01 * rng.standard_normal((n, t))
+    offsets = rng.uniform(5, 10, size=t)
+    scales = rng.uniform(0.5, 3.0, size=t)
+    return X, Y * scales + offsets
+
+
+def test_pca_round_trip(rng):
+    X, Y = make_heavy_ion_like(rng)
+    state, Z = pca_decompose(jnp.asarray(Y), pca_variance=1.0 - 1e-12)
+    t = Y.shape[1]
+    r = Z.shape[1]
+    assert r <= t
+    # reconstruct: y = ymean + ystd * (U @ (sqrt(lam) * z))
+    rec = np.asarray(state.ymean) + np.asarray(state.ystd) * (
+        (np.asarray(Z) * np.sqrt(np.asarray(state.eigenvalues)))
+        @ np.asarray(state.U).T
+    )
+    assert np.allclose(rec, Y, atol=1e-8)
+
+
+def test_pca_variance_fraction_truncates(rng):
+    X, Y = make_heavy_ion_like(rng)
+    state, Z = pca_decompose(jnp.asarray(Y), pca_variance=0.95)
+    # true structure is rank 2 (+ tiny noise): 95% must be covered by <= 3 PCs
+    assert Z.shape[1] <= 3
+    lam = np.asarray(state.eigenvalues)
+    assert np.all(np.diff(lam) <= 1e-12)  # descending
+
+
+def test_pca_sign_convention(rng):
+    _, Y = make_heavy_ion_like(rng)
+    state, _ = pca_decompose(jnp.asarray(Y), pca_variance=0.99)
+    U = np.asarray(state.U)
+    for i in range(U.shape[1]):
+        j = np.argmax(np.abs(U[:, i]))
+        assert U[j, i] > 0
+
+
+def test_fit_and_predict_multivariate(rng):
+    X, Y = make_heavy_ion_like(rng)
+    cfg = GPConfig(nparams=3, regression_order=1, n_restarts=3, max_opt_steps=40)
+    emu = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg, pca_variance=0.99
+    )
+    mean, var = predict_multivariate(emu, jnp.asarray(X))
+    assert mean.shape == Y.shape and var.shape == Y.shape
+    assert np.all(np.asarray(var) >= 0)
+    # at training points the emulator must reproduce observables well
+    rel = np.abs(np.asarray(mean) - Y) / (np.abs(Y).mean(axis=0, keepdims=True))
+    assert float(np.median(rel)) < 0.02, float(np.median(rel))
+
+
+def test_predict_multivariate_off_design(rng):
+    X, Y = make_heavy_ion_like(rng, n=50)
+    cfg = GPConfig(nparams=3, regression_order=1, n_restarts=3, max_opt_steps=40)
+    emu = fit_multivariate(
+        jax.random.key(1), jnp.asarray(X), jnp.asarray(Y), cfg, pca_variance=0.999
+    )
+    Xs = rng.uniform(0.1, 0.9, size=(20, 3))
+    mean, var = predict_multivariate(emu, jnp.asarray(Xs))
+    assert mean.shape == (20, Y.shape[1])
+    assert np.all(np.isfinite(np.asarray(mean)))
+    assert np.all(np.asarray(var) >= 0)
