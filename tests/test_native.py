@@ -1,0 +1,114 @@
+"""Native C++ embedding API (EmuPlusPlus equivalent) vs the JAX path:
+cross-implementation parity on the same snapshot file (SURVEY.md §2 "C++
+predict API" row; §4b golden-parity strategy applied between our own two
+implementations until the reference appears)."""
+
+import shutil
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu import native
+from madaiemulator_tpu.io.snapshot import write_snapshot
+from madaiemulator_tpu.models.multivariate import fit_multivariate, predict_multivariate
+from madaiemulator_tpu.utils.config import CovarianceFamily, GPConfig
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="no C++ toolchain"
+)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    assert native.available()
+    return True
+
+
+def trained(rng, cov=CovarianceFamily.POWER_EXPONENTIAL, order=1):
+    X = rng.uniform(1.0, 3.0, size=(25, 2))  # deliberately unscaled
+    Y = np.stack(
+        [np.sin(2 * X[:, 0]) + X[:, 1], X[:, 0] * X[:, 1], X[:, 1] ** 2],
+        axis=1,
+    )
+    cfg = GPConfig(
+        nparams=2, covariance=cov, regression_order=order,
+        n_restarts=2, max_opt_steps=30,
+    )
+    emu = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg, pca_variance=0.999
+    )
+    return X, Y, emu
+
+
+@pytest.mark.parametrize(
+    "cov,order",
+    [
+        (CovarianceFamily.POWER_EXPONENTIAL, 1),
+        (CovarianceFamily.POWER_EXPONENTIAL, 0),
+        (CovarianceFamily.MATERN32, 2),
+        (CovarianceFamily.MATERN52, 1),
+    ],
+)
+def test_native_matches_jax_predictions(rng, tmp_path, lib, cov, order):
+    X, Y, emu = trained(rng, cov=cov, order=order)
+    state = str(tmp_path / "state.txt")
+    write_snapshot(state, emu)
+    ne = native.NativeEmulator(state)
+    assert ne.nparams == 2 and ne.noutputs == 3
+    Xq = rng.uniform(1.2, 2.8, size=(10, 2))
+    mj, vj = predict_multivariate(emu, jnp.asarray(Xq))
+    for i in range(10):
+        mc, vc = ne.query(Xq[i])
+        # two independent implementations, f64, different summation orders:
+        # agreement well inside the 1e-6 parity contract
+        np.testing.assert_allclose(mc, np.asarray(mj[i]), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(vc, np.asarray(vj[i]), rtol=1e-6, atol=1e-9)
+
+
+def test_native_rejects_wrong_dimension(rng, tmp_path, lib):
+    _, _, emu = trained(rng)
+    state = str(tmp_path / "state.txt")
+    write_snapshot(state, emu)
+    ne = native.NativeEmulator(state)
+    with pytest.raises(ValueError):
+        ne.query(np.zeros(5))
+
+
+def test_native_rejects_bad_file(tmp_path, lib):
+    p = tmp_path / "bad.txt"
+    p.write_text("garbage\n")
+    with pytest.raises(RuntimeError, match="native load failed"):
+        native.NativeEmulator(str(p))
+
+
+def test_native_pipe_binary_matches_python_cli(rng, tmp_path, lib):
+    """The C++ madai_query binary speaks the same pipe protocol as the
+    Python interactive_mode."""
+    X, Y, emu = trained(rng)
+    state = str(tmp_path / "state.txt")
+    write_snapshot(state, emu, ["a", "b"], ["o0", "o1", "o2"])
+    q = "1.5 2.0\n2.5 1.1\n"
+    native.build()
+    r_cpp = subprocess.run(
+        [str(native._NATIVE_DIR / "build" / "madai_query"), state],
+        input=q, capture_output=True, text=True, timeout=120,
+    )
+    assert r_cpp.returncode == 0, r_cpp.stderr
+    import sys
+
+    r_py = subprocess.run(
+        [sys.executable, "-m", "madaiemulator_tpu.cli", "interactive_mode", state],
+        input=q, capture_output=True, text=True, timeout=300,
+    )
+    assert r_py.returncode == 0, r_py.stderr
+    cpp_lines = r_cpp.stdout.splitlines()
+    py_lines = r_py.stdout.splitlines()
+    # identical headers
+    hdr = 1 + 2 + 1 + 6  # d, param names, 2t, labels
+    assert cpp_lines[:hdr] == py_lines[:hdr]
+    a = np.asarray([float(v) for v in cpp_lines[hdr:]])
+    b = np.asarray([float(v) for v in py_lines[hdr:]])
+    np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9)
