@@ -77,19 +77,31 @@ def main():
     t_xla = timeit(xla_chol, C)
     log(f"xla cholesky   N={n}: {t_xla*1e3:.1f} ms  {flops/t_xla/1e12:.2f} TFLOP/s")
 
+    # headline counts only accuracy-safe variants (f32-faithful updates);
+    # the bf16x3 "high" variant is reported as a diagnostic — it is ~37%
+    # faster but degrades on ill-conditioned operands (see linalg docstring)
     best_t, best_name = t_xla, "xla"
-    for block in (256, 512, 1024):
+    for block, prec, headline in (
+        (512, "highest", True),
+        (1024, "highest", True),
+        (1024, "high", False),
+    ):
         try:
-            f = jax.jit(lambda M, b=block: linalg.blocked_cholesky(M, block=b))
+            f = jax.jit(
+                lambda M, b=block, p=prec: linalg.blocked_cholesky_opt(
+                    M, block=b, update_precision=p
+                )
+            )
             t_b = timeit(f, C)
             log(
-                f"blocked({block}) cholesky N={n}: {t_b*1e3:.1f} ms  "
+                f"blocked_opt({block},{prec}) cholesky N={n}: {t_b*1e3:.1f} ms  "
                 f"{flops/t_b/1e12:.2f} TFLOP/s"
+                + ("" if headline else "  [diagnostic only]")
             )
-            if t_b < best_t:
-                best_t, best_name = t_b, f"blocked({block})"
+            if headline and t_b < best_t:
+                best_t, best_name = t_b, f"blocked_opt({block},{prec})"
         except Exception as e:  # keep the bench alive if one variant fails
-            log(f"blocked({block}) failed: {type(e).__name__}: {e}")
+            log(f"blocked_opt({block},{prec}) failed: {type(e).__name__}: {e}")
 
     tflops = flops / best_t / 1e12
     log(f"best: {best_name}  {tflops:.2f} TFLOP/s")

@@ -163,18 +163,27 @@ def fit_one_start(
     return _run_lbfgs(u0, objective, max_steps)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_restarts", "max_steps"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "n_restarts", "max_steps", "restart_chunk"),
+)
 def fit_gp(
     key: jax.Array,
     data: GPData,
     config: GPConfig,
     n_restarts: int | None = None,
     max_steps: int | None = None,
+    restart_chunk: int | None = None,
 ) -> FitResult:
     """Estimate hyperparameters: the `estimate_thetas` equivalent.
 
     jit-able end to end; restarts run as one vmapped batch (batched Gram
     builds and Choleskys on the MXU), replacing the reference's pthread pool.
+
+    restart_chunk bounds peak memory for large N: restarts run in sequential
+    groups of that size (lax.map over groups, vmap within). At N=16k one
+    restart's live set is ~2 N^2 f32 buffers (~2 GB), so restart_chunk=1..4
+    keeps a 16 GB chip comfortable (BASELINE config 4).
     """
     R = config.n_restarts if n_restarts is None else n_restarts
     steps = config.max_opt_steps if max_steps is None else max_steps
@@ -182,9 +191,60 @@ def fit_gp(
     lo, hi = _bounds_arrays(config, dtype)
 
     u0 = sample_restarts(key, config, R, dtype=dtype)
-    best_u, best_negll = jax.vmap(
-        lambda u: fit_one_start(u, data.X, data.y, config, steps)
-    )(u0)
+
+    def objective(u):
+        u = jax.tree.map(lambda a: a.astype(dtype), u)
+        return -log_marginal_likelihood(_u_to_params(u, lo, hi), data, config)
+
+    # Rescue dead draws: in f32 a smooth-kernel Gram is only factorable in
+    # part of theta space (long length scales -> cond > 1/eps -> -inf and a
+    # NaN gradient that kills the whole trajectory). One batched objective
+    # eval finds dead starts; they are remapped to stratified moment-matched
+    # fallbacks (amp = var(y), short length scales, real nuggets) that
+    # factor at working precision. The linesearch then keeps trajectories
+    # out of the -inf region on its own (an inf candidate step is rejected).
+    v0 = jax.vmap(objective)(u0)
+    amp_fb = jnp.clip(
+        jnp.var(data.y), config.amp_bounds[0] * 10, config.amp_bounds[1] / 10
+    )
+    frac = (jnp.arange(R, dtype=dtype) + 0.5) / R
+    ls_fb = jnp.exp(
+        jnp.log(0.05) + frac * (jnp.log(0.5) - jnp.log(0.05))
+    )  # (R,) log-spaced in [0.05, 0.5]
+    nug_fb = jnp.exp(jnp.log(1e-4) + frac * (jnp.log(1e-1) - jnp.log(1e-4)))
+    fb_params = GPParams(
+        log_amp=jnp.full((R,), jnp.log(amp_fb), dtype=dtype),
+        log_nugget=jnp.log(nug_fb * amp_fb).astype(dtype),
+        log_ls=jnp.tile(
+            jnp.log(ls_fb)[:, None], (1, config.num_length_scales)
+        ).astype(dtype),
+    )
+    u_fb = jax.vmap(lambda p: _params_to_u(p, lo, hi))(fb_params)
+    alive = jnp.isfinite(v0)
+    u0 = jax.tree.map(
+        lambda a, b: jnp.where(
+            alive.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+        ),
+        u0,
+        u_fb,
+    )
+
+    run = jax.vmap(lambda u: fit_one_start(u, data.X, data.y, config, steps))
+    if restart_chunk is None or restart_chunk >= R:
+        best_u, best_negll = run(u0)
+    else:
+        chunk = restart_chunk
+        if R % chunk != 0:
+            raise ValueError(f"n_restarts={R} not divisible by restart_chunk={chunk}")
+        groups = R // chunk
+        u0g = jax.tree.map(
+            lambda a: a.reshape((groups, chunk) + a.shape[1:]), u0
+        )
+        best_ug, best_negllg = jax.lax.map(run, u0g)
+        best_u = jax.tree.map(
+            lambda a: a.reshape((R,) + a.shape[2:]), best_ug
+        )
+        best_negll = best_negllg.reshape(R)
 
     best_params_all = jax.vmap(lambda u: _u_to_params(u, lo, hi))(best_u)
     lls = -best_negll  # (R,)

@@ -25,6 +25,7 @@ Math (standard GP with generalized-least-squares polynomial mean):
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import NamedTuple, Tuple
 
@@ -79,8 +80,19 @@ def regression_basis(X: jax.Array, order: int) -> jax.Array:
 def _factor(
     data: GPData, params: GPParams, config: GPConfig
 ) -> GPPosteriorState:
-    C = kernels.gram_matrix(data.X, params, config)
-    L = linalg.xla_cholesky(C)
+    with jax.named_scope("gram_build"):
+        C = kernels.gram_matrix(data.X, params, config)
+    with jax.named_scope("factorize"):
+        if config.cholesky_method == "blocked" and C.shape[0] > config.cholesky_block:
+            Cp, n0 = linalg.pad_spd(C, config.cholesky_block)
+            Lp = linalg.blocked_cholesky_opt(
+                Cp,
+                block=config.cholesky_block,
+                update_precision=config.cholesky_update_precision,
+            )
+            L = Lp[:n0, :n0]
+        else:
+            L = linalg.xla_cholesky(C)
     ok = linalg.chol_ok(L)
     # Guard the solves: replace a failed factor with I so downstream
     # triangular solves stay finite; `ok` gates the result.
@@ -131,8 +143,23 @@ def log_marginal_likelihood(
 def precompute_predictor(
     params: GPParams, data: GPData, config: GPConfig
 ) -> GPPosteriorState:
-    """Factor once for repeated fast predictions (serving path)."""
-    return _factor(data, params, config)
+    """Factor once for repeated fast predictions (serving path).
+
+    Unlike the fit hot loop (where a non-SPD theta is simply scored -inf and
+    skipped), serving a trained snapshot must not fail: if the factorization
+    is not SPD at working precision, retry with escalating jitter
+    (1e-4, 1e-2 of the amplitude) — the classic GP-library rescue ladder.
+    The extra factorizations run only in this one-time precompute.
+    """
+    st = _factor(data, params, config)
+    if config.jitter is None and data.y.dtype != jnp.float64:
+        for frac in (1e-4, 1e-2):
+            cfg2 = dataclasses.replace(config, jitter=frac)
+            st2 = _factor(data, params, cfg2)
+            st = jax.tree.map(
+                lambda a, b: jnp.where(st.ok, a, b), st, st2
+            )
+    return st
 
 
 def predict_from_precomputed(
@@ -147,10 +174,12 @@ def predict_from_precomputed(
     One batched cross-covariance matmul + two triangular solves for all
     queries (vs the reference's per-point k-vector loop, SURVEY.md §3.2).
     """
-    Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
+    with jax.named_scope("cross_kernel"):
+        Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
     Hs = regression_basis(Xs, config.regression_order)  # (m, p)
     mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
-    V = linalg.solve_lower(state.L, Ks)  # (N, m)
+    with jax.named_scope("solve"):
+        V = linalg.solve_lower(state.L, Ks)  # (N, m)
     kss = kernels.kdiag(Xs, params, config)  # (m,)
     var = kss - jnp.sum(V * V, axis=0)
     # GLS variance correction: g = h(x*) - H^T C^-1 k* = Hs^T - (L^-1 H)^T V

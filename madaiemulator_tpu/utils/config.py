@@ -68,7 +68,11 @@ class GPConfig:
     # src/libEmu/estimate_threaded.c / maxmultimin.c setup_optimization_ranges).
     amp_bounds: Tuple[float, float] = (1e-4, 1e4)
     nugget_bounds: Tuple[float, float] = (1e-9, 1.0)
-    length_scale_bounds: Tuple[float, float] = (1e-2, 1e2)
+    # Designs are scaled to [0,1]^d, so length scales far above the domain
+    # size make C an all-ones matrix (cond ~ N*amp/jitter — unfactorable in
+    # f32; restarts drawn there die with -inf). 10x the domain is already
+    # "effectively constant"; widen explicitly for f64 runs if needed.
+    length_scale_bounds: Tuple[float, float] = (1e-2, 1e1)
     # Stability floor added to the Gram diagonal on top of the nugget,
     # as a fraction of the kernel amplitude. None = auto: 0 in float64
     # (parity runs), 1e-6 in float32/bfloat16 where the nugget lower bound
@@ -84,6 +88,18 @@ class GPConfig:
     predict_variance_includes_nugget: bool = True
     # Use the GLS profile (REML-style) extra term -0.5 log|H^T C^-1 H|.
     reml: bool = False
+    # SPD factorization backend: "xla" (default; best for small/medium N and
+    # under heavy vmap) or "blocked" (blocked right-looking with
+    # triangle-restricted SYRK on the MXU — measured 20.5 vs 14.8 TFLOP/s
+    # over XLA at N=16k f32 on v5e; use for the large-N path).
+    cholesky_method: str = "xla"
+    cholesky_block: int = 512
+    # matmul precision of the blocked SYRK updates. "highest" (full f32) is
+    # the default: measured factor error 1.4e-4 vs XLA's 1.8e-4 at cond~1e5,
+    # while "high" (bf16x3) degrades to 2.3e-2 there and can NaN the
+    # factorization when the optimizer drives the nugget low. Use "high"
+    # only for well-conditioned speed-hungry paths.
+    cholesky_update_precision: str = "highest"
 
     def __post_init__(self):
         if self.regression_order not in (0, 1, 2, 3):

@@ -25,6 +25,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 
+# NOTE on jax_debug_nans (SURVEY.md §5 suggested enabling it here): the
+# framework's non-SPD failure semantics are *intentionally* NaN-mediated —
+# a failed Cholesky produces NaNs that chol_ok() detects and gates to -inf,
+# mirroring the reference's failed-factorization backoff. debug_nans would
+# turn those legitimate paths into false-positive crashes, so tests assert
+# the gating behavior explicitly instead (test_gp.py, test_linalg.py).
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -85,6 +85,27 @@ def test_fit_4d_matern_multirestart():
     assert rmse < 0.15, rmse
 
 
+def test_restart_chunking_matches_full_vmap():
+    cfg = GPConfig(nparams=1, n_restarts=4, max_opt_steps=15)
+    X = np.linspace(0, 1, 12)[:, None]
+    y = np.sin(4 * X[:, 0])
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    full = fit_gp(jax.random.key(6), data, cfg)
+    chunked = fit_gp(jax.random.key(6), data, cfg, restart_chunk=2)
+    # identical starts; trajectories may diverge slightly when batch fusion
+    # changes reduction order, but the optima must agree
+    np.testing.assert_allclose(
+        np.asarray(full.restart_log_likelihoods),
+        np.asarray(chunked.restart_log_likelihoods),
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        float(full.log_likelihood), float(chunked.log_likelihood), rtol=1e-6
+    )
+    with pytest.raises(ValueError):
+        fit_gp(jax.random.key(6), data, cfg, restart_chunk=3)
+
+
 def test_fit_is_deterministic():
     cfg = GPConfig(nparams=1, n_restarts=2, max_opt_steps=20)
     X = np.linspace(0, 1, 10)[:, None]

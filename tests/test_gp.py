@@ -102,6 +102,23 @@ def test_variance_grows_away_from_data(rng):
     assert float(v_far[0]) >= float(jnp.exp(p.log_amp))
 
 
+def test_blocked_cholesky_backend_matches_xla(rng):
+    cfg, data, p = setup_problem(rng, n=100)
+    ll_xla = float(gp.log_marginal_likelihood(p, data, cfg))
+    cfg_blocked = GPConfig(
+        nparams=cfg.nparams,
+        regression_order=cfg.regression_order,
+        cholesky_method="blocked",
+        cholesky_block=32,
+    )
+    ll_blk = float(gp.log_marginal_likelihood(p, data, cfg_blocked))
+    assert np.isclose(ll_xla, ll_blk, rtol=1e-10), (ll_xla, ll_blk)
+    mean1, var1 = gp.gp_posterior(p, data, data.X[:5], cfg)
+    mean2, var2 = gp.gp_posterior(p, data, data.X[:5], cfg_blocked)
+    assert np.allclose(np.asarray(mean1), np.asarray(mean2), rtol=1e-10)
+    assert np.allclose(np.asarray(var1), np.asarray(var2), rtol=1e-8, atol=1e-12)
+
+
 def test_gls_beta_reduces_to_ols_for_identity_cov(rng):
     # with amp tiny and nugget 1, C ~= I so GLS beta ~= OLS beta
     d = 2

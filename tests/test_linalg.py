@@ -25,6 +25,29 @@ def test_blocked_cholesky_matches_numpy(rng, n, block):
     assert np.allclose(L, np.linalg.cholesky(A), rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.parametrize("block", [32, 64])
+@pytest.mark.parametrize("prec", ["high", "highest"])
+def test_blocked_cholesky_opt_matches_numpy(rng, block, prec):
+    A = random_spd(rng, 128)
+    L = np.asarray(
+        linalg.blocked_cholesky_opt(
+            jnp.asarray(A), block=block, update_precision=prec
+        )
+    )
+    assert np.allclose(L, np.linalg.cholesky(A), rtol=1e-9, atol=1e-9)
+
+
+def test_blocked_cholesky_opt_f32_accuracy(rng):
+    """f32 + HIGH-precision updates must stay at f32-level error vs f64."""
+    A = random_spd(rng, 256)
+    L64 = np.linalg.cholesky(A)
+    L32 = np.asarray(
+        linalg.blocked_cholesky_opt(jnp.asarray(A, dtype=jnp.float32), block=64)
+    )
+    rel = np.abs(L32 - L64) / (np.abs(L64).max())
+    assert rel.max() < 1e-5, rel.max()
+
+
 def test_logdet_and_cho_solve(rng):
     A = random_spd(rng, 40)
     b = rng.standard_normal(40)
