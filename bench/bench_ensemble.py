@@ -1,0 +1,82 @@
+"""BASELINE config 5: vmapped GP ensemble — thousands of independent
+emulators fit in parallel for MCMC calibration.
+
+The reference fits one emulator per process invocation; here E emulators x R
+restarts are one device program (sharded over a mesh when more chips exist).
+
+Run: python bench/bench_ensemble.py [E] [N] [steps] [restarts]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    E = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    restarts = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+
+    import jax
+    import jax.numpy as jnp
+
+    from madaiemulator_tpu.parallel.ensemble import fit_ensemble, predict_ensemble
+    from madaiemulator_tpu.utils.config import GPConfig
+    from madaiemulator_tpu.utils.profiling import sync
+
+    d = 4
+    rng = np.random.default_rng(0)
+    Xb = jnp.asarray(rng.uniform(size=(E, n, d)), jnp.float32)
+    freqs = rng.uniform(1.0, 4.0, size=(E, 1)).astype(np.float32)
+    yb = jnp.asarray(
+        np.sin(freqs * np.asarray(Xb)[..., 0]) + np.asarray(Xb)[..., 1] ** 2,
+        jnp.float32,
+    )
+    cfg = GPConfig(nparams=d, regression_order=1, n_restarts=restarts, max_opt_steps=steps)
+
+    t0 = time.perf_counter()
+    res = fit_ensemble(jax.random.key(0), Xb, yb, cfg)
+    sync(res.log_likelihood)
+    t_fit = time.perf_counter() - t0
+    lls = np.asarray(res.log_likelihood)
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble_fit_rate",
+                "value": round(E / t_fit, 1),
+                "unit": "emulators/s",
+                "E": E,
+                "N": n,
+                "restarts": restarts,
+                "steps": steps,
+                "wallclock_s": round(t_fit, 2),
+                "finite_fraction": float(np.isfinite(lls).mean()),
+            }
+        ),
+        flush=True,
+    )
+
+    m = 256
+    Xsb = jnp.asarray(rng.uniform(size=(E, m, d)), jnp.float32)
+    t0 = time.perf_counter()
+    means, variances = predict_ensemble(res.params, Xb, yb, Xsb, cfg)
+    sync(means)
+    t_pred = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble_predict_rate",
+                "value": round(E * m / t_pred),
+                "unit": "pts/s",
+                "wallclock_s": round(t_pred, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

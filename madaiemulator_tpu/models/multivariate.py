@@ -24,7 +24,10 @@ device work below is shape-static and jit/vmap-friendly.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple, Optional, Tuple
+
+logger = logging.getLogger("madaiemulator_tpu")
 
 import jax
 import jax.numpy as jnp
@@ -152,8 +155,23 @@ def fit_multivariate(
     X = apply_scaling(jnp.asarray(X_raw), scaling)
     pca, Z = pca_decompose(Y, pca_variance, standardize=standardize)
     Z = Z.astype(X.dtype)
+    logger.info(
+        "fit_multivariate: N=%d d=%d t=%d -> r=%d components (pca_variance=%g)",
+        X.shape[0], X.shape[1], Y.shape[1], Z.shape[1], pca_variance,
+    )
     fit = _vmapped_fit(key, X, Z, config)
     states = _vmapped_states(fit.params, X, Z, config)
+    if logger.isEnabledFor(logging.INFO):
+        import numpy as _np
+
+        lls = _np.asarray(fit.restart_log_likelihoods)
+        for i in range(Z.shape[1]):
+            finite = _np.isfinite(lls[i])
+            best = lls[i][finite].max() if finite.any() else float("-inf")
+            logger.info(
+                "  component %d: best logL %.6g (%d/%d restarts finite)",
+                i, best, int(finite.sum()), lls.shape[1],
+            )
     return MultivariateEmulator(
         scaling=scaling,
         X=X,

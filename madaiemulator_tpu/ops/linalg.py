@@ -64,10 +64,54 @@ _PRECISIONS = {
 }
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _blocked_cholesky_vjp(A, block, update_precision, diag):
+    return _blocked_cholesky_impl(A, block, update_precision, diag)
+
+
+def _blocked_cholesky_fwd(A, block, update_precision, diag):
+    L = _blocked_cholesky_impl(A, block, update_precision, diag)
+    return L, L
+
+
+def _blocked_cholesky_bwd(block, update_precision, diag, L, Lbar):
+    """O(n^2)-memory Cholesky backward (Murray 2016): with
+    phi(X) = tril(X) with halved diagonal,
+        Abar = 0.5 * L^-T (phi(L^T Lbar) + phi(L^T Lbar)^T) L^-1.
+    Without this, autodiff through the unrolled panel loop rematerializes
+    every trailing-matrix version (nb * n^2 memory — OOMs at N=16k)."""
+    M = jnp.matmul(L.T, Lbar, precision=lax.Precision.HIGHEST)
+    phi = jnp.tril(M) - 0.5 * jnp.diag(jnp.diagonal(M))
+    S = 0.5 * (phi + phi.T)
+    # X = L^-T S:  solve L^T X = S
+    X = lax.linalg.triangular_solve(
+        L, S, left_side=True, lower=True, transpose_a=True
+    )
+    # Abar = X L^-1: solve Abar L = X  (right-side)
+    Abar = lax.linalg.triangular_solve(
+        L, X, left_side=False, lower=True, transpose_a=False
+    )
+    return (Abar,)
+
+
+_blocked_cholesky_vjp.defvjp(_blocked_cholesky_fwd, _blocked_cholesky_bwd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block", "update_precision", "diag")
 )
 def blocked_cholesky_opt(
+    A: jax.Array,
+    block: int = 512,
+    update_precision: str = "highest",
+    diag: str = "xla",
+) -> jax.Array:
+    """Public entry: custom-VJP blocked Cholesky (see _blocked_cholesky_impl
+    for the algorithm and _blocked_cholesky_bwd for the O(n^2) gradient)."""
+    return _blocked_cholesky_vjp(A, block, update_precision, diag)
+
+
+def _blocked_cholesky_impl(
     A: jax.Array,
     block: int = 512,
     update_precision: str = "highest",

@@ -37,6 +37,26 @@ def test_blocked_cholesky_opt_matches_numpy(rng, block, prec):
     assert np.allclose(L, np.linalg.cholesky(A), rtol=1e-9, atol=1e-9)
 
 
+def test_blocked_cholesky_opt_gradient_matches_xla(rng):
+    """The custom VJP must reproduce XLA's cholesky gradient exactly
+    (O(n^2) memory is the point; correctness checked here)."""
+    import jax
+
+    A = jnp.asarray(random_spd(rng, 96))
+
+    def f_xla(M):
+        L = linalg.xla_cholesky(M)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L * jnp.cos(L))
+
+    def f_blk(M):
+        L = linalg.blocked_cholesky_opt(M, block=32)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L * jnp.cos(L))
+
+    g1 = np.asarray(jax.grad(f_xla)(A))
+    g2 = np.asarray(jax.grad(f_blk)(A))
+    np.testing.assert_allclose(g1, g2, rtol=1e-8, atol=1e-10)
+
+
 def test_blocked_cholesky_opt_f32_accuracy(rng):
     """f32 + HIGH-precision updates must stay at f32-level error vs f64."""
     A = random_spd(rng, 256)
