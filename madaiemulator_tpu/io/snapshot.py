@@ -108,6 +108,93 @@ def write_snapshot(
     w(_fmt_mat(thetas) + "\n")
 
 
+def write_snapshot_npz(
+    dest: str,
+    emu: MultivariateEmulator,
+    param_names: List[str] | None = None,
+    output_names: List[str] | None = None,
+    pca_standardize: bool = True,
+) -> None:
+    """Binary snapshot (numpy .npz): same payload as the text format, ~10-50x
+    faster to parse at large N (SURVEY.md §5: 'native format for speed').
+    The text format stays the compatibility surface; this is the fast path.
+    """
+    d = emu.X.shape[1]
+    t = emu.n_outputs
+    cfg = emu.config
+    np.savez_compressed(
+        dest,
+        magic=np.array([MAGIC]),
+        version=np.array([VERSION]),
+        covariance=np.array([cfg.covariance.value]),
+        power_exp_alpha=np.array([cfg.power_exp_alpha]),
+        regression_order=np.array([cfg.regression_order]),
+        predict_variance_includes_nugget=np.array(
+            [int(cfg.predict_variance_includes_nugget)]
+        ),
+        pca_standardize=np.array([int(pca_standardize)]),
+        param_names=np.array(
+            list(param_names or [f"param_{i}" for i in range(d)])
+        ),
+        output_names=np.array(
+            list(output_names or [f"output_{i}" for i in range(t)])
+        ),
+        mins=np.asarray(emu.scaling.mins),
+        ranges=np.asarray(emu.scaling.ranges),
+        ymean=np.asarray(emu.pca.ymean),
+        ystd=np.asarray(emu.pca.ystd),
+        eigenvalues=np.asarray(emu.pca.eigenvalues),
+        U=np.asarray(emu.pca.U),
+        X=np.asarray(emu.X),
+        Z=np.asarray(emu.Z),
+        log_amp=np.asarray(emu.params.log_amp),
+        log_nugget=np.asarray(emu.params.log_nugget),
+        log_ls=np.asarray(emu.params.log_ls),
+    )
+
+
+def read_snapshot_npz(
+    source: str, dtype=jnp.float64
+) -> Tuple[MultivariateEmulator, List[str], List[str]]:
+    z = np.load(source, allow_pickle=False)
+    if str(z["magic"][0]) != MAGIC or int(z["version"][0]) != VERSION:
+        raise ValueError("not a compatible npz snapshot")
+    cfg = GPConfig(
+        nparams=int(z["X"].shape[1]),
+        covariance=COVARIANCE_CLI_NAMES[str(z["covariance"][0])],
+        regression_order=int(z["regression_order"][0]),
+        power_exp_alpha=float(z["power_exp_alpha"][0]),
+        predict_variance_includes_nugget=bool(
+            int(z["predict_variance_includes_nugget"][0])
+        ),
+    )
+    params = GPParams(
+        log_amp=jnp.asarray(z["log_amp"], dtype=dtype),
+        log_nugget=jnp.asarray(z["log_nugget"], dtype=dtype),
+        log_ls=jnp.asarray(z["log_ls"], dtype=dtype),
+    )
+    Xj = jnp.asarray(z["X"], dtype=dtype)
+    Zj = jnp.asarray(z["Z"], dtype=dtype)
+    emu = MultivariateEmulator(
+        scaling=DesignScaling(
+            mins=jnp.asarray(z["mins"], dtype=dtype),
+            ranges=jnp.asarray(z["ranges"], dtype=dtype),
+        ),
+        X=Xj,
+        Z=Zj,
+        pca=PCAState(
+            ymean=jnp.asarray(z["ymean"], dtype=dtype),
+            ystd=jnp.asarray(z["ystd"], dtype=dtype),
+            eigenvalues=jnp.asarray(z["eigenvalues"], dtype=dtype),
+            U=jnp.asarray(z["U"], dtype=dtype),
+        ),
+        params=params,
+        states=_vmapped_states(params, Xj, Zj, cfg),
+        config=cfg,
+    )
+    return emu, list(map(str, z["param_names"])), list(map(str, z["output_names"]))
+
+
 def _tokens(stream: TextIO):
     for line in stream:
         body = line.split("#", 1)[0]

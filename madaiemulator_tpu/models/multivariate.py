@@ -117,12 +117,14 @@ def pca_decompose(
     return state, jnp.asarray(Z)
 
 
-def _vmapped_fit(key, X, Z, config: GPConfig) -> FitResult:
+def _vmapped_fit(
+    key, X, Z, config: GPConfig, restart_chunk: Optional[int] = None
+) -> FitResult:
     r = Z.shape[1]
     keys = jax.random.split(key, r)
 
     def one(k, z):
-        return fit_gp(k, GPData(X=X, y=z), config)
+        return fit_gp(k, GPData(X=X, y=z), config, restart_chunk=restart_chunk)
 
     return jax.vmap(one)(keys, Z.T)
 
@@ -143,6 +145,7 @@ def fit_multivariate(
     pca_variance: float = 0.95,
     standardize: bool = True,
     param_ranges: Optional[Tuple[jax.Array, jax.Array]] = None,
+    restart_chunk: Optional[int] = None,
 ) -> MultivariateEmulator:
     """Train a multivariate emulator (the `estimate_thetas` multivariate path).
 
@@ -159,7 +162,7 @@ def fit_multivariate(
         "fit_multivariate: N=%d d=%d t=%d -> r=%d components (pca_variance=%g)",
         X.shape[0], X.shape[1], Y.shape[1], Z.shape[1], pca_variance,
     )
-    fit = _vmapped_fit(key, X, Z, config)
+    fit = _vmapped_fit(key, X, Z, config, restart_chunk=restart_chunk)
     states = _vmapped_states(fit.params, X, Z, config)
     if logger.isEnabledFor(logging.INFO):
         import numpy as _np

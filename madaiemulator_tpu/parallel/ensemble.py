@@ -142,6 +142,38 @@ def _predict_ensemble_jit(params, Xb, yb, Xsb, config):
     return jax.vmap(one)(params, Xb, yb, Xsb)
 
 
+def predict_queries_sharded(
+    emu,
+    Xs_raw: jax.Array,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shard a huge query batch of ONE trained multivariate emulator over the
+    mesh's ensemble axis (serving-scale path: each device computes the
+    cross-kernel matmul + solves for its slice of the queries; the trained
+    state is replicated). Pads the batch to the axis size and slices back.
+    """
+    from madaiemulator_tpu.models.multivariate import predict_multivariate
+
+    if mesh is None:
+        return predict_multivariate(emu, Xs_raw)
+    axis = mesh.shape[ENSEMBLE_AXIS]
+    m = Xs_raw.shape[0]
+    pad = (-m) % axis
+    if pad:
+        Xs_raw = jnp.concatenate([Xs_raw, Xs_raw[:pad]], axis=0)
+    Xs_raw = jax.device_put(
+        Xs_raw, NamedSharding(mesh, P(ENSEMBLE_AXIS, None))
+    )
+    emu = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+        if hasattr(a, "ndim")
+        else a,
+        emu,
+    )
+    mean, var = predict_multivariate(emu, Xs_raw)
+    return mean[:m], var[:m]
+
+
 def predict_ensemble(
     params: GPParams,  # batched (E, ...)
     Xb: jax.Array,

@@ -40,3 +40,18 @@ def apply_scaling(X: jax.Array, s: DesignScaling) -> jax.Array:
 
 def unapply_scaling(Xs: jax.Array, s: DesignScaling) -> jax.Array:
     return Xs * s.ranges[None, :] + s.mins[None, :]
+
+
+def latin_hypercube(
+    key: jax.Array, n: int, d: int, dtype=jnp.float64
+) -> jax.Array:
+    """Latin hypercube sample on [0,1]^d: one point per axis-stratum,
+    independently permuted per dimension (the standard space-filling design
+    generator for emulator training runs)."""
+    k_perm, k_u = jax.random.split(key)
+    perms = jax.vmap(
+        lambda k: jax.random.permutation(k, n)
+    )(jax.random.split(k_perm, d))  # (d, n)
+    u = jax.random.uniform(k_u, (d, n), dtype=dtype)
+    pts = (perms.astype(dtype) + u) / n
+    return pts.T  # (n, d)

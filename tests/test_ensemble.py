@@ -132,6 +132,27 @@ def test_predict_ensemble_shapes_and_values():
     assert rmse < 0.1, rmse
 
 
+def test_predict_queries_sharded_matches_local(rng):
+    from madaiemulator_tpu.models.multivariate import (
+        fit_multivariate,
+        predict_multivariate,
+    )
+    from madaiemulator_tpu.parallel.ensemble import predict_queries_sharded
+
+    X = rng.uniform(size=(25, 2))
+    Y = np.stack([np.sin(3 * X[:, 0]), X[:, 1] ** 2], axis=1)
+    cfg = GPConfig(nparams=2, n_restarts=2, max_opt_steps=20)
+    emu = fit_multivariate(
+        jax.random.key(7), jnp.asarray(X), jnp.asarray(Y), cfg, pca_variance=0.999
+    )
+    Xq = rng.uniform(0.1, 0.9, size=(19, 2))  # deliberately not % 8
+    m_local, v_local = predict_multivariate(emu, jnp.asarray(Xq))
+    mesh = make_mesh(8)
+    m_sh, v_sh = predict_queries_sharded(emu, jnp.asarray(Xq), mesh=mesh)
+    np.testing.assert_allclose(np.asarray(m_local), np.asarray(m_sh), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(v_local), np.asarray(v_sh), rtol=1e-8)
+
+
 def test_graft_entry_contract():
     import importlib.util, pathlib
 

@@ -62,6 +62,35 @@ def test_snapshot_round_trip(rng, tmp_path):
     assert np.allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10, atol=1e-14)
 
 
+def test_npz_snapshot_round_trip(rng, tmp_path):
+    from madaiemulator_tpu.io.snapshot import read_snapshot_npz, write_snapshot_npz
+
+    X, Y, emu = fit_small(rng, seed=3)
+    path = str(tmp_path / "state.npz")
+    write_snapshot_npz(path, emu, ["p0", "p1"], ["m0", "m1"])
+    emu2, pn, on = read_snapshot_npz(path)
+    assert pn == ["p0", "p1"] and on == ["m0", "m1"]
+    Xq = rng.uniform(0.1, 0.9, size=(5, 2))
+    m1, v1 = predict_multivariate(emu, jnp.asarray(Xq))
+    m2, v2 = predict_multivariate(emu2, jnp.asarray(Xq))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10)
+
+
+def test_latin_hypercube_design():
+    import jax
+
+    from madaiemulator_tpu.utils.designs import latin_hypercube
+
+    X = np.asarray(latin_hypercube(jax.random.key(0), 50, 3))
+    assert X.shape == (50, 3)
+    assert X.min() >= 0 and X.max() <= 1
+    # one point per stratum in every dimension
+    for k in range(3):
+        strata = np.floor(X[:, k] * 50).astype(int)
+        assert len(np.unique(strata)) == 50
+
+
 def test_snapshot_rejects_garbage(tmp_path):
     p = tmp_path / "bad.txt"
     p.write_text("NOT_A_SNAPSHOT 1\n")
