@@ -20,6 +20,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     restarts = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    method = sys.argv[4] if len(sys.argv) > 4 else "xla"  # blocked OOMs the compiler inside the linesearch at 16k
 
     import jax
     import jax.numpy as jnp
@@ -44,7 +45,7 @@ def main():
         regression_order=1,
         n_restarts=restarts,
         max_opt_steps=steps,
-        cholesky_method="blocked",
+        cholesky_method=method,
         cholesky_block=512,
     )
     data = GPData(X=X, y=y)

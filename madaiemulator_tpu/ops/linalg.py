@@ -107,7 +107,17 @@ def blocked_cholesky_opt(
     diag: str = "xla",
 ) -> jax.Array:
     """Public entry: custom-VJP blocked Cholesky (see _blocked_cholesky_impl
-    for the algorithm and _blocked_cholesky_bwd for the O(n^2) gradient)."""
+    for the algorithm and _blocked_cholesky_bwd for the O(n^2) gradient).
+
+    Compile-size note: the panel loop is Python-unrolled (nb(nb+1)/2 GEMM
+    ops at N=16k/block=512 ≈ 560). That is fine for direct factorization
+    and serve-time precompute, but embedding it several times inside an
+    optimizer linesearch (fit hot loop) produced a ~580 KB MLIR module that
+    OOM-killed the TPU compiler. For the FIT at very large N prefer
+    cholesky_method="xla" (XLA's lowering is an internal while loop —
+    compiles small at equal f32 speed); use this kernel where its +37%
+    "high" mode or its better accuracy matters and the graph appears once.
+    """
     return _blocked_cholesky_vjp(A, block, update_precision, diag)
 
 

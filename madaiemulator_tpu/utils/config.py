@@ -88,10 +88,12 @@ class GPConfig:
     predict_variance_includes_nugget: bool = True
     # Use the GLS profile (REML-style) extra term -0.5 log|H^T C^-1 H|.
     reml: bool = False
-    # SPD factorization backend: "xla" (default; best for small/medium N and
-    # under heavy vmap) or "blocked" (blocked right-looking with
-    # triangle-restricted SYRK on the MXU — measured 20.5 vs 14.8 TFLOP/s
-    # over XLA at N=16k f32 on v5e; use for the large-N path).
+    # SPD factorization backend: "xla" (default; compiles small — use it for
+    # fits, especially large N: the blocked kernel's unrolled panel loop
+    # embedded in the optimizer linesearch can OOM the TPU compiler) or
+    # "blocked" (triangle-restricted SYRK on the MXU: 20.5 vs 14.8 TFLOP/s
+    # over XLA at N=16k f32 in "high" mode, better accuracy in "highest";
+    # best for serve-time precompute and direct factorizations).
     cholesky_method: str = "xla"
     cholesky_block: int = 512
     # matmul precision of the blocked SYRK updates. "highest" (full f32) is
