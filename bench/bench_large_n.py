@@ -21,14 +21,15 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     restarts = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     method = sys.argv[4] if len(sys.argv) > 4 else "xla"  # blocked OOMs the compiler inside the linesearch at 16k
+    linesearch = sys.argv[5] if len(sys.argv) > 5 else "backtracking"  # zoom's graph SIGSEGVs the remote compiler at 16k
 
     import jax
     import jax.numpy as jnp
 
-    from madaiemulator_tpu.models.fit import fit_gp
+    from madaiemulator_tpu.models.fit import fit_gp, fit_gp_host
     from madaiemulator_tpu.models.gp import (
         GPData,
-        precompute_predictor,
+        precompute_predictor_safe,
         predict_from_precomputed,
     )
     from madaiemulator_tpu.utils.config import GPConfig
@@ -47,11 +48,17 @@ def main():
         max_opt_steps=steps,
         cholesky_method=method,
         cholesky_block=512,
+        linesearch=linesearch,
     )
     data = GPData(X=X, y=y)
 
     t0 = time.perf_counter()
-    res = fit_gp(jax.random.key(0), data, cfg, restart_chunk=1)
+    if n > 8192:
+        # whole-loop fit graphs above ~8k crash this environment's TPU
+        # compile helper; the host-loop driver compiles only value+grad
+        res = fit_gp_host(jax.random.key(0), data, cfg)
+    else:
+        res = fit_gp(jax.random.key(0), data, cfg, restart_chunk=1)
     sync(res.log_likelihood)
     t_fit = time.perf_counter() - t0
     print(
@@ -68,7 +75,7 @@ def main():
         flush=True,
     )
 
-    st = jax.jit(lambda p: precompute_predictor(p, data, cfg))(res.params)
+    st = precompute_predictor_safe(res.params, data, cfg)
     sync(st)
     m = 8192
     Xs = jnp.asarray(rng.uniform(size=(m, d)), jnp.float32)

@@ -152,13 +152,46 @@ def precompute_predictor(
     The extra factorizations run only in this one-time precompute.
     """
     st = _factor(data, params, config)
-    if config.jitter is None and data.y.dtype != jnp.float64:
+    # In-graph ladder only at small N: each rung is a full extra
+    # factorization held live in the same program (3x peak memory — at
+    # N=16k that OOM'd the 16 GB chip). Large N uses the host-level retry
+    # in `precompute_predictor_safe`.
+    if (
+        config.jitter is None
+        and data.y.dtype != jnp.float64
+        and data.y.shape[0] <= 4096
+    ):
         for frac in (1e-4, 1e-2):
             cfg2 = dataclasses.replace(config, jitter=frac)
             st2 = _factor(data, params, cfg2)
             st = jax.tree.map(
                 lambda a, b: jnp.where(st.ok, a, b), st, st2
             )
+    return st
+
+
+def precompute_predictor_safe(
+    params: GPParams, data: GPData, config: GPConfig
+) -> GPPosteriorState:
+    """Host-level serving precompute with escalating-jitter retry.
+
+    Memory-flat at any N: factor once, fetch the tiny `ok` flag, and only
+    if the factorization failed re-run with a larger jitter. Host-callable
+    only (not jit/vmap-safe — use `precompute_predictor` there).
+    """
+    factor = jax.jit(
+        lambda p, d, frac: _factor(
+            d, p, dataclasses.replace(config, jitter=frac)
+        ),
+        static_argnames=("frac",),
+    )
+    st = jax.jit(lambda p, d: _factor(d, p, config))(params, data)
+    if bool(jax.device_get(st.ok)) or data.y.dtype == jnp.float64:
+        return st
+    for frac in (1e-4, 1e-2):
+        st = factor(params, data, frac)
+        if bool(jax.device_get(st.ok)):
+            return st
     return st
 
 

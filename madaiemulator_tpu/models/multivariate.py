@@ -130,11 +130,44 @@ def _vmapped_fit(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _vmapped_states(params: GPParams, X, Z, config: GPConfig) -> GPPosteriorState:
+def _vmapped_states_jit(params: GPParams, X, Z, config: GPConfig) -> GPPosteriorState:
     def one(p, z):
         return precompute_predictor(p, GPData(X=X, y=z), config)
 
     return jax.vmap(one)(params, Z.T)
+
+
+def _vmapped_states(params: GPParams, X, Z, config: GPConfig) -> GPPosteriorState:
+    """Per-component serving factorizations with a host-level jitter-rescue
+    (memory-flat: the in-graph ladder inside precompute_predictor only runs
+    at small N; here failed components are refactored with larger jitter,
+    merged per component)."""
+    import dataclasses as _dc
+
+    states = _vmapped_states_jit(params, X, Z, config)
+    if X.dtype == jnp.float64 or bool(jnp.all(states.ok)):
+        return states
+    for frac in (1e-4, 1e-2):
+        cfg2 = _dc.replace(config, jitter=frac)
+        states2 = _vmapped_states_jit(params, X, Z, cfg2)
+        ok = states.ok  # (r,)
+        states = jax.tree.map(
+            lambda a, b: jnp.where(
+                ok.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            states,
+            states2,
+        )
+        if bool(jnp.all(states.ok)):
+            break
+    if not bool(jnp.all(states.ok)):
+        logger.warning(
+            "serving precompute: %d/%d components remain non-SPD after "
+            "jitter rescue; their predictions fall back to the regression "
+            "mean surface",
+            int((~np.asarray(states.ok)).sum()), states.ok.shape[0],
+        )
+    return states
 
 
 def fit_multivariate(

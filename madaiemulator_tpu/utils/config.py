@@ -102,6 +102,10 @@ class GPConfig:
     # factorization when the optimizer drives the nugget low. Use "high"
     # only for well-conditioned speed-hungry paths.
     cholesky_update_precision: str = "highest"
+    # LBFGS linesearch: "zoom" (strong-Wolfe, default) or "backtracking"
+    # (Armijo; ~half the compiled objective instances — use for very large N
+    # where compile size/time dominates).
+    linesearch: str = "zoom"
 
     def __post_init__(self):
         if self.regression_order not in (0, 1, 2, 3):

@@ -106,6 +106,42 @@ def test_restart_chunking_matches_full_vmap():
         fit_gp(jax.random.key(6), data, cfg, restart_chunk=3)
 
 
+def test_backtracking_linesearch_fits():
+    cfg = GPConfig(
+        nparams=1, regression_order=1, n_restarts=3, max_opt_steps=60,
+        linesearch="backtracking",
+    )
+    X = np.linspace(0.0, 1.0, 25)[:, None]
+    y = np.sin(2 * np.pi * X[:, 0])
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    res = fit_gp(jax.random.key(8), data, cfg)
+    assert np.isfinite(float(res.log_likelihood))
+    Xs = np.linspace(0.02, 0.98, 50)[:, None]
+    mean, _ = gp_posterior(res.params, data, jnp.asarray(Xs), cfg)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - np.sin(2 * np.pi * Xs[:, 0])) ** 2)))
+    assert rmse < 5e-3, rmse
+
+
+def test_fit_gp_host_matches_jitted_quality():
+    """The host-loop LBFGS (large-N driver) must reach the same optimum
+    quality as the fully-jitted fit on a small problem."""
+    from madaiemulator_tpu.models.fit import fit_gp_host
+
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=3, max_opt_steps=60)
+    X = np.linspace(0.0, 1.0, 25)[:, None]
+    y = np.sin(2 * np.pi * X[:, 0])
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    res_j = fit_gp(jax.random.key(9), data, cfg)
+    res_h = fit_gp_host(jax.random.key(9), data, cfg)
+    assert np.isfinite(float(res_h.log_likelihood))
+    # same starts, different linesearch details: optima agree to ~1%
+    assert float(res_h.log_likelihood) > float(res_j.log_likelihood) * 0.98 - 1.0
+    Xs = np.linspace(0.02, 0.98, 50)[:, None]
+    mean, _ = gp_posterior(res_h.params, data, jnp.asarray(Xs), cfg)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - np.sin(2 * np.pi * Xs[:, 0])) ** 2)))
+    assert rmse < 5e-3, rmse
+
+
 def test_fit_is_deterministic():
     cfg = GPConfig(nparams=1, n_restarts=2, max_opt_steps=20)
     X = np.linspace(0, 1, 10)[:, None]
