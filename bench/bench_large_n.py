@@ -49,6 +49,7 @@ def main():
         cholesky_method=method,
         cholesky_block=512,
         linesearch=linesearch,
+        predict_query_chunk=1024 if n > 8192 else None,
     )
     data = GPData(X=X, y=y)
 

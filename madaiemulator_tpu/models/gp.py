@@ -206,7 +206,29 @@ def predict_from_precomputed(
 
     One batched cross-covariance matmul + two triangular solves for all
     queries (vs the reference's per-point k-vector loop, SURVEY.md §3.2).
+    With config.predict_query_chunk set, queries run in sequential chunks
+    (lax.map) to bound solver temporaries at large N.
     """
+    chunk = config.predict_query_chunk
+    m = Xs.shape[0]
+    if chunk is not None and m > chunk:
+        pad = (-m) % chunk
+        Xsp = jnp.concatenate([Xs, Xs[:pad]], axis=0) if pad else Xs
+        groups = Xsp.reshape(-1, chunk, Xs.shape[1])
+        means, variances = jax.lax.map(
+            lambda q: _predict_core(state, params, data, q, config), groups
+        )
+        return means.reshape(-1)[:m], variances.reshape(-1)[:m]
+    return _predict_core(state, params, data, Xs, config)
+
+
+def _predict_core(
+    state: GPPosteriorState,
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+) -> Tuple[jax.Array, jax.Array]:
     with jax.named_scope("cross_kernel"):
         Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
     Hs = regression_basis(Xs, config.regression_order)  # (m, p)
@@ -229,6 +251,12 @@ def gp_posterior(
     Xs: jax.Array,
     config: GPConfig,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fit-free posterior predict: factor + predict in one call."""
-    st = precompute_predictor(params, data, config)
+    """Factor + predict in one call.
+
+    Uses the single base factorization (no jitter ladder): params here
+    normally come from a successful fit, i.e. they are SPD at the base
+    jitter by construction. Snapshot-serving paths, where that guarantee is
+    absent, go through precompute_predictor / precompute_predictor_safe.
+    """
+    st = _factor(data, params, config)
     return predict_from_precomputed(st, params, data, Xs, config)

@@ -102,6 +102,11 @@ class GPConfig:
     # factorization when the optimizer drives the nugget low. Use "high"
     # only for well-conditioned speed-hungry paths.
     cholesky_update_precision: str = "highest"
+    # Batched predictions process queries in sequential chunks of this size
+    # (None = all at once). At N=16k, an 8k-query predict holds ~24 GB of
+    # XLA TriangularSolve temporaries — chunking to ~1k keeps temps ~100x
+    # smaller while each chunk still fills the MXU.
+    predict_query_chunk: int | None = None
     # LBFGS linesearch: "zoom" (strong-Wolfe, default) or "backtracking"
     # (Armijo; ~half the compiled objective instances — use for very large N
     # where compile size/time dominates).

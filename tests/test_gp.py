@@ -119,6 +119,19 @@ def test_blocked_cholesky_backend_matches_xla(rng):
     assert np.allclose(np.asarray(var1), np.asarray(var2), rtol=1e-8, atol=1e-12)
 
 
+def test_chunked_predict_matches_unchunked(rng):
+    cfg, data, p = setup_problem(rng, n=30)
+    Xs = jnp.asarray(rng.uniform(size=(23, 2)))  # deliberately not % chunk
+    m1, v1 = gp.gp_posterior(p, data, Xs, cfg)
+    cfg_c = GPConfig(
+        nparams=cfg.nparams, regression_order=cfg.regression_order,
+        predict_query_chunk=8,
+    )
+    m2, v2 = gp.gp_posterior(p, data, Xs, cfg_c)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10)
+
+
 def test_gls_beta_reduces_to_ols_for_identity_cov(rng):
     # with amp tiny and nugget 1, C ~= I so GLS beta ~= OLS beta
     d = 2
