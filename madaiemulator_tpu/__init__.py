@@ -34,7 +34,7 @@ from madaiemulator_tpu.models.gp import (
     precompute_predictor,
     predict_from_precomputed,
 )
-from madaiemulator_tpu.models.fit import fit_gp, FitResult
+from madaiemulator_tpu.models.fit import fit_gp, fit_gp_host, FitResult
 from madaiemulator_tpu.models.multivariate import (
     MultivariateEmulator,
     fit_multivariate,
@@ -52,6 +52,7 @@ __all__ = [
     "precompute_predictor",
     "predict_from_precomputed",
     "fit_gp",
+    "fit_gp_host",
     "FitResult",
     "MultivariateEmulator",
     "fit_multivariate",

@@ -85,6 +85,8 @@ def cmd_estimate_thetas(args) -> int:
     from madaiemulator_tpu.models.multivariate import fit_multivariate
     from madaiemulator_tpu.utils.config import COVARIANCE_CLI_NAMES, GPConfig
 
+    from madaiemulator_tpu.io.snapshot import write_snapshot_npz
+
     mf = read_model_file(args.model_file)
     try:
         cov = COVARIANCE_CLI_NAMES[args.covariance_fn]
@@ -118,7 +120,8 @@ def cmd_estimate_thetas(args) -> int:
                 f"({np.isfinite(lls[i]).sum()}/{lls.shape[1]} restarts finite)",
                 file=sys.stderr,
             )
-    write_snapshot(
+    writer = write_snapshot_npz if args.state_file.endswith(".npz") else write_snapshot
+    writer(
         args.state_file, emu, param_names=mf.param_names, output_names=mf.output_names
     )
     if not args.quiet:
@@ -134,10 +137,11 @@ def cmd_interactive_mode(args) -> int:
     dtype = _setup_jax(args.dtype)
     import jax.numpy as jnp
 
-    from madaiemulator_tpu.io.snapshot import read_snapshot
+    from madaiemulator_tpu.io.snapshot import read_snapshot, read_snapshot_npz
     from madaiemulator_tpu.models.multivariate import predict_multivariate
 
-    emu, param_names, output_names = read_snapshot(args.state_file, dtype=dtype)
+    reader = read_snapshot_npz if args.state_file.endswith(".npz") else read_snapshot
+    emu, param_names, output_names = reader(args.state_file, dtype=dtype)
     d = len(param_names)
     t = len(output_names)
     out = sys.stdout
@@ -176,9 +180,10 @@ def cmd_interactive_mode(args) -> int:
 
 def cmd_print_thetas(args) -> int:
     _setup_jax("float64")
-    from madaiemulator_tpu.io.snapshot import read_snapshot
+    from madaiemulator_tpu.io.snapshot import read_snapshot, read_snapshot_npz
 
-    emu, param_names, _ = read_snapshot(args.state_file)
+    reader = read_snapshot_npz if args.state_file.endswith(".npz") else read_snapshot
+    emu, param_names, _ = reader(args.state_file)
     amp = np.exp(np.asarray(emu.params.log_amp))
     nug = np.exp(np.asarray(emu.params.log_nugget))
     ls = np.exp(np.asarray(emu.params.log_ls))

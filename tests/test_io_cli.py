@@ -160,6 +160,29 @@ def test_cli_end_to_end_pipe_protocol(rng, tmp_path):
     assert all(v >= 0 for v in vals[1::2])
 
 
+def test_cli_npz_state_file(rng, tmp_path):
+    """state files ending in .npz use the binary format end to end."""
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.npz"
+    _make_model_file(model, rng)
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(state), "--restarts=2",
+               "--steps=30", "--quiet"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    import numpy as _np
+
+    _np.load(state)  # actually npz
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state)],
+        input="0.5\n", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    vals = [float(v) for v in r.stdout.splitlines()[5:]]
+    assert abs(vals[0] - np.sin(np.pi)) < 5e-3
+
+
 def test_cli_unknown_covariance_errors(rng, tmp_path):
     model = tmp_path / "model.txt"
     _make_model_file(model, rng)

@@ -79,6 +79,23 @@ def test_variance_shrinks_with_more_data(rng):
     assert float(v_full[0]) <= float(v_half[0]) + 1e-12
 
 
+def test_profiler_trace_and_timed(rng, tmp_path):
+    """utils.profiling smoke: trace context writes events; timed syncs."""
+    from madaiemulator_tpu.utils.profiling import timed, trace
+
+    cfg, data, p = mk(rng)
+    f = jax.jit(lambda pp: gp.log_marginal_likelihood(pp, data, cfg))
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        f(p)
+    import pathlib
+
+    files = list(pathlib.Path(logdir).rglob("*"))
+    assert any(x.is_file() for x in files), "no trace files written"
+    t, out = timed(f, p)
+    assert t > 0 and np.isfinite(float(out))
+
+
 def test_mean_exact_for_polynomial_data(rng):
     """With y exactly in the regression span, the GLS mean reproduces it
     everywhere (GP correction vanishes at the residual level)."""
