@@ -81,11 +81,9 @@ def cmd_estimate_thetas(args) -> int:
     import jax.numpy as jnp
 
     from madaiemulator_tpu.io.modelfile import read_model_file
-    from madaiemulator_tpu.io.snapshot import write_snapshot
+    from madaiemulator_tpu.io.snapshot import write_snapshot_auto
     from madaiemulator_tpu.models.multivariate import fit_multivariate
     from madaiemulator_tpu.utils.config import COVARIANCE_CLI_NAMES, GPConfig
-
-    from madaiemulator_tpu.io.snapshot import write_snapshot_npz
 
     mf = read_model_file(args.model_file)
     try:
@@ -120,8 +118,7 @@ def cmd_estimate_thetas(args) -> int:
                 f"({np.isfinite(lls[i]).sum()}/{lls.shape[1]} restarts finite)",
                 file=sys.stderr,
             )
-    writer = write_snapshot_npz if args.state_file.endswith(".npz") else write_snapshot
-    writer(
+    write_snapshot_auto(
         args.state_file, emu, param_names=mf.param_names, output_names=mf.output_names
     )
     if not args.quiet:
@@ -137,11 +134,10 @@ def cmd_interactive_mode(args) -> int:
     dtype = _setup_jax(args.dtype)
     import jax.numpy as jnp
 
-    from madaiemulator_tpu.io.snapshot import read_snapshot, read_snapshot_npz
+    from madaiemulator_tpu.io.snapshot import read_snapshot_auto
     from madaiemulator_tpu.models.multivariate import predict_multivariate
 
-    reader = read_snapshot_npz if args.state_file.endswith(".npz") else read_snapshot
-    emu, param_names, output_names = reader(args.state_file, dtype=dtype)
+    emu, param_names, output_names = read_snapshot_auto(args.state_file, dtype=dtype)
     d = len(param_names)
     t = len(output_names)
     out = sys.stdout
@@ -180,10 +176,9 @@ def cmd_interactive_mode(args) -> int:
 
 def cmd_print_thetas(args) -> int:
     _setup_jax("float64")
-    from madaiemulator_tpu.io.snapshot import read_snapshot, read_snapshot_npz
+    from madaiemulator_tpu.io.snapshot import read_snapshot_auto
 
-    reader = read_snapshot_npz if args.state_file.endswith(".npz") else read_snapshot
-    emu, param_names, _ = reader(args.state_file)
+    emu, param_names, _ = read_snapshot_auto(args.state_file)
     amp = np.exp(np.asarray(emu.params.log_amp))
     nug = np.exp(np.asarray(emu.params.log_nugget))
     ls = np.exp(np.asarray(emu.params.log_ls))

@@ -195,6 +195,18 @@ def read_snapshot_npz(
     return emu, list(map(str, z["param_names"])), list(map(str, z["output_names"]))
 
 
+def write_snapshot_auto(dest: str, *args, **kwargs) -> None:
+    """Dispatch on extension: '.npz' -> binary, else text."""
+    writer = write_snapshot_npz if dest.endswith(".npz") else write_snapshot
+    writer(dest, *args, **kwargs)
+
+
+def read_snapshot_auto(source: str, dtype=jnp.float64):
+    """Dispatch on extension: '.npz' -> binary, else text."""
+    reader = read_snapshot_npz if source.endswith(".npz") else read_snapshot
+    return reader(source, dtype=dtype)
+
+
 def _tokens(stream: TextIO):
     for line in stream:
         body = line.split("#", 1)[0]
