@@ -74,12 +74,13 @@ def _blocked_cholesky_fwd(A, block, update_precision, diag):
     return L, L
 
 
-def _blocked_cholesky_bwd(block, update_precision, diag, L, Lbar):
+def cholesky_backward(L: jax.Array, Lbar: jax.Array) -> jax.Array:
     """O(n^2)-memory Cholesky backward (Murray 2016): with
     phi(X) = tril(X) with halved diagonal,
         Abar = 0.5 * L^-T (phi(L^T Lbar) + phi(L^T Lbar)^T) L^-1.
-    Without this, autodiff through the unrolled panel loop rematerializes
-    every trailing-matrix version (nb * n^2 memory — OOMs at N=16k)."""
+    Shared by every non-XLA factorization implementation — without it,
+    autodiff through an unrolled panel loop rematerializes every
+    trailing-matrix version (nb * n^2 memory — OOMs at N=16k)."""
     M = jnp.matmul(L.T, Lbar, precision=lax.Precision.HIGHEST)
     phi = jnp.tril(M) - 0.5 * jnp.diag(jnp.diagonal(M))
     S = 0.5 * (phi + phi.T)
@@ -88,13 +89,43 @@ def _blocked_cholesky_bwd(block, update_precision, diag, L, Lbar):
         L, S, left_side=True, lower=True, transpose_a=True
     )
     # Abar = X L^-1: solve Abar L = X  (right-side)
-    Abar = lax.linalg.triangular_solve(
+    return lax.linalg.triangular_solve(
         L, X, left_side=False, lower=True, transpose_a=False
     )
-    return (Abar,)
+
+
+def _blocked_cholesky_bwd(block, update_precision, diag, L, Lbar):
+    return (cholesky_backward(L, Lbar),)
 
 
 _blocked_cholesky_vjp.defvjp(_blocked_cholesky_fwd, _blocked_cholesky_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pallas_cholesky_diff(A, panel, interpret):
+    from madaiemulator_tpu.ops.pallas.cholesky import pallas_cholesky
+
+    return pallas_cholesky(A, panel=panel, interpret=interpret)
+
+
+def _pallas_chol_fwd(A, panel, interpret):
+    L = _pallas_cholesky_diff(A, panel, interpret)
+    return L, L
+
+
+def _pallas_chol_bwd(panel, interpret, L, Lbar):
+    return (cholesky_backward(L, Lbar),)
+
+
+_pallas_cholesky_diff.defvjp(_pallas_chol_fwd, _pallas_chol_bwd)
+
+
+def pallas_cholesky_diff(
+    A: jax.Array, panel: int = 128, interpret: bool = False
+) -> jax.Array:
+    """Differentiable VMEM-resident Pallas Cholesky (custom Murray VJP).
+    interpret=True runs the kernel in interpreter mode (CPU testing)."""
+    return _pallas_cholesky_diff(A, panel, interpret)
 
 
 @functools.partial(

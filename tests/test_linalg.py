@@ -57,6 +57,26 @@ def test_blocked_cholesky_opt_gradient_matches_xla(rng):
     np.testing.assert_allclose(g1, g2, rtol=1e-8, atol=1e-10)
 
 
+def test_pallas_cholesky_diff_gradient_matches_xla(rng):
+    """The Pallas kernel's custom VJP reproduces XLA's cholesky gradient
+    (interpret mode; the kernel itself is TPU-compiled in production)."""
+    import jax
+
+    A = jnp.asarray(random_spd(rng, 128, dtype=np.float32))
+
+    def f_xla(M):
+        L = linalg.xla_cholesky(M)
+        return jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    def f_pallas(M):
+        L = linalg.pallas_cholesky_diff(M, panel=64, interpret=True)
+        return jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    g1 = np.asarray(jax.grad(f_xla)(A))
+    g2 = np.asarray(jax.grad(f_pallas)(A))
+    np.testing.assert_allclose(g1, g2, rtol=1e-3, atol=1e-5)
+
+
 def test_blocked_cholesky_opt_f32_accuracy(rng):
     """f32 + HIGH-precision updates must stay at f32-level error vs f64."""
     A = random_spd(rng, 256)

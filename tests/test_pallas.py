@@ -74,6 +74,39 @@ def test_pairwise_gram_diag_add(rng):
     )
 
 
+def test_pallas_cholesky_matches_numpy(rng):
+    from madaiemulator_tpu.ops.pallas.cholesky import pallas_cholesky
+
+    n = 256
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = A @ A.T + n * np.eye(n, dtype=np.float32)
+    L = np.asarray(pallas_cholesky(jnp.asarray(A), panel=64, interpret=True))
+    L64 = np.linalg.cholesky(A.astype(np.float64))
+    assert np.abs(L - L64).max() < 1e-3 * np.abs(L64).max()
+
+
+def test_pallas_cholesky_vmaps(rng):
+    from madaiemulator_tpu.ops.pallas.cholesky import pallas_cholesky
+
+    n, B = 128, 3
+    As = []
+    for _ in range(B):
+        A = rng.standard_normal((n, n)).astype(np.float32)
+        As.append(A @ A.T + n * np.eye(n, dtype=np.float32))
+    Ab = jnp.asarray(np.stack(As))
+    Lb = jax.vmap(lambda a: pallas_cholesky(a, panel=64, interpret=True))(Ab)
+    for i in range(B):
+        L64 = np.linalg.cholesky(As[i].astype(np.float64))
+        assert np.abs(np.asarray(Lb[i]) - L64).max() < 1e-3 * np.abs(L64).max()
+
+
+def test_pallas_cholesky_rejects_bad_size(rng):
+    from madaiemulator_tpu.ops.pallas.cholesky import pallas_cholesky
+
+    with pytest.raises(ValueError):
+        pallas_cholesky(jnp.eye(100), panel=64, interpret=True)
+
+
 def test_pairwise_rejects_unknown_family(rng):
     X = jnp.zeros((8, 2), jnp.float32)
     with pytest.raises(ValueError):
