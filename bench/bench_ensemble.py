@@ -4,7 +4,7 @@ emulators fit in parallel for MCMC calibration.
 The reference fits one emulator per process invocation; here E emulators x R
 restarts are one device program (sharded over a mesh when more chips exist).
 
-Run: python bench/bench_ensemble.py [E] [N] [steps] [restarts]
+Run: python bench/bench_ensemble.py [E] [N] [steps] [restarts] [chunk]
 """
 
 import json
@@ -19,6 +19,15 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     restarts = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    # Cap concurrent optimizer cells at 4096: E x R >= 8192 zoom-linesearch
+    # cells reproducibly crashed the TPU worker (ROADMAP.md); chunking the
+    # ensemble axis is the documented workaround.
+    if len(sys.argv) > 5:
+        chunk = int(sys.argv[5]) or None
+    else:
+        chunk = max(1, 4096 // restarts) if E * restarts > 4096 else None
+        if chunk is not None and E % chunk != 0:
+            chunk = 1 << (chunk.bit_length() - 1)  # round down to power of 2
 
     import jax
     import jax.numpy as jnp
@@ -38,7 +47,7 @@ def main():
     cfg = GPConfig(nparams=d, regression_order=1, n_restarts=restarts, max_opt_steps=steps)
 
     t0 = time.perf_counter()
-    res = fit_ensemble(jax.random.key(0), Xb, yb, cfg)
+    res = fit_ensemble(jax.random.key(0), Xb, yb, cfg, ensemble_chunk=chunk)
     sync(res.log_likelihood)
     t_fit = time.perf_counter() - t0
     lls = np.asarray(res.log_likelihood)
@@ -52,6 +61,7 @@ def main():
                 "N": n,
                 "restarts": restarts,
                 "steps": steps,
+                "ensemble_chunk": chunk,
                 "wallclock_s": round(t_fit, 2),
                 "finite_fraction": float(np.isfinite(lls).mean()),
             }

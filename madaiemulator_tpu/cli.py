@@ -2,8 +2,11 @@
 
 TPU-native equivalent of the reference CLI (ref: src/interactive_emulator.c
 main + subcommand handlers — SURVEY.md §1 L6, §3.1, §3.2; mount empty this
-round, SURVEY.md §0). Subcommands and flag names follow the reference for
-drop-in parity:
+round, SURVEY.md §0). Subcommands and flag names follow the reference
+(reference-STYLE, not verified drop-in compatible: every wire format here —
+model file, snapshot, pipe header — is a versioned local definition in
+madaiemulator_tpu/io/, since the reference mount has been empty and the
+upstream grammars could not be pinned; see SURVEY.md §0.1):
 
     interactive_emulator estimate_thetas <model_file> <state_file>
         [--regression_order=N] [--covariance_fn=NAME] [--pca_variance=P]
@@ -152,20 +155,96 @@ def cmd_interactive_mode(args) -> int:
         out.write(f"variance_{s}\n")
     out.flush()
 
+    # Throughput path (SURVEY.md §3.2): drain every complete point already
+    # buffered on the pipe and predict them as ONE batched call (cross-kernel
+    # matmul + solves for the whole batch), instead of one device dispatch
+    # per point. Single-point latency is unchanged — when only one point is
+    # available the batch has size 1 and is answered immediately. Batch
+    # sizes are bucketed to powers of two so jit compiles O(log m) programs.
+    import os
+    import select
+
+    fd = sys.stdin.fileno()
+
+    def _drain_available(buf: bytes, eof: bool):
+        """Read whatever is already readable without blocking."""
+        while not eof:
+            r, _, _ = select.select([fd], [], [], 0)
+            if not r:
+                break
+            chunk = os.read(fd, 1 << 16)
+            if not chunk:
+                eof = True
+                break
+            buf += chunk
+        return buf, eof
+
+    max_bucket = 1024
+
+    def _predict_batch(pts: np.ndarray) -> np.ndarray:
+        """(m, d) -> (m, 2t) [means | variances], bucketed + chunked."""
+        m = pts.shape[0]
+        rows = []
+        i = 0
+        while i < m:
+            take = min(max_bucket, m - i)
+            bucket = 1
+            while bucket < take:
+                bucket *= 2
+            chunk = pts[i : i + take]
+            if take < bucket:
+                pad = np.repeat(chunk[-1:], bucket - take, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            mean, var = predict_multivariate(
+                emu, jnp.asarray(chunk, dtype=dtype)
+            )
+            rows.append(
+                np.concatenate(
+                    [np.asarray(mean)[:take], np.asarray(var)[:take]], axis=1
+                )
+            )
+            i += take
+        return np.concatenate(rows, axis=0)
+
     toks: List[str] = []
-    for line in sys.stdin:
-        toks.extend(line.split())
-        while len(toks) >= d:
-            point, toks = toks[:d], toks[d:]
+    buf = b""
+    eof = False
+    while True:
+        if not eof:
+            # block for at least one byte, then drain the rest
+            chunk = os.read(fd, 1 << 16)
+            if not chunk:
+                eof = True
+            else:
+                buf = buf + chunk
+                buf, eof = _drain_available(buf, eof)
+        # split tokens; a trailing partial token stays in the byte buffer
+        text = buf.decode()
+        if not eof and text and not text[-1].isspace():
+            cut = max(
+                (text.rfind(c) for c in (" ", "\t", "\n", "\r")), default=-1
+            )
+            text, buf = text[: cut + 1], text[cut + 1 :].encode()
+        else:
+            buf = b""
+        toks.extend(text.split())
+        n_pts = len(toks) // d
+        if n_pts:
+            flat, toks = toks[: n_pts * d], toks[n_pts * d :]
             try:
-                x = np.asarray([float(v) for v in point], dtype=np.float64)
+                pts = np.asarray(
+                    [float(v) for v in flat], dtype=np.float64
+                ).reshape(n_pts, d)
             except ValueError as e:
                 print(f"error: bad query token: {e}", file=sys.stderr)
                 return 1
-            mean, var = predict_multivariate(emu, jnp.asarray(x[None, :], dtype=dtype))
-            vals = np.concatenate([np.asarray(mean[0]), np.asarray(var[0])])
-            out.write("\n".join(f"{v:.17g}" for v in vals) + "\n")
+            vals = _predict_batch(pts)  # (n_pts, 2t)
+            out.write(
+                "\n".join(f"{v:.17g}" for v in vals.ravel()) + "\n"
+            )
             out.flush()
+        if eof and not buf:
+            break
     if toks:
         print(
             f"warning: {len(toks)} trailing token(s) ignored (partial point)",

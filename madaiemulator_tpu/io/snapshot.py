@@ -54,17 +54,29 @@ def _fmt_mat(M) -> str:
     )
 
 
+def _derived_standardize(emu: MultivariateEmulator) -> bool:
+    """The pca_standardize flag, derived from the trained state itself.
+
+    fit_multivariate(standardize=False) stores ystd = ones, so the flag is
+    recoverable exactly; deriving it (instead of trusting a caller-supplied
+    argument) keeps the snapshot honest. Readers apply ystd directly and
+    only carry the flag as metadata.
+    """
+    ystd = np.asarray(emu.pca.ystd)
+    return bool(np.any(ystd != 1.0))
+
+
 def write_snapshot(
     dest: Union[str, TextIO],
     emu: MultivariateEmulator,
     param_names: List[str] | None = None,
     output_names: List[str] | None = None,
-    pca_standardize: bool = True,
 ) -> None:
     if isinstance(dest, str):
         with open(dest, "w") as f:
-            write_snapshot(f, emu, param_names, output_names, pca_standardize)
+            write_snapshot(f, emu, param_names, output_names)
             return
+    pca_standardize = _derived_standardize(emu)
     d = emu.X.shape[1]
     t = emu.n_outputs
     n = emu.X.shape[0]
@@ -113,7 +125,6 @@ def write_snapshot_npz(
     emu: MultivariateEmulator,
     param_names: List[str] | None = None,
     output_names: List[str] | None = None,
-    pca_standardize: bool = True,
 ) -> None:
     """Binary snapshot (numpy .npz): same payload as the text format, ~10-50x
     faster to parse at large N (SURVEY.md §5: 'native format for speed').
@@ -122,6 +133,7 @@ def write_snapshot_npz(
     d = emu.X.shape[1]
     t = emu.n_outputs
     cfg = emu.config
+    pca_standardize = _derived_standardize(emu)
     np.savez_compressed(
         dest,
         magic=np.array([MAGIC]),

@@ -83,7 +83,24 @@ def _factor(
     with jax.named_scope("gram_build"):
         C = kernels.gram_matrix(data.X, params, config)
     with jax.named_scope("factorize"):
-        if config.cholesky_method == "blocked" and C.shape[0] > config.cholesky_block:
+        n = C.shape[0]
+        method = config.cholesky_method
+        if (
+            method == "pallas"
+            and n > config.pallas_cholesky_max_n
+        ):
+            # VMEM-resident kernel caps at ~1024 f32; larger operands take
+            # the HBM-blocked MXU path (same interface, same VJP family).
+            method = "blocked"
+        if method == "pallas" and C.dtype != jnp.float64:
+            # pad to the 128 hardware tile (identity tail factors exactly)
+            panel = 128
+            Cp, n0 = linalg.pad_spd(C, panel)
+            Lp = linalg.pallas_cholesky_diff(
+                Cp, panel=panel, interpret=config.pallas_interpret
+            )
+            L = Lp[:n0, :n0].astype(C.dtype)
+        elif method == "blocked" and n > config.cholesky_block:
             Cp, n0 = linalg.pad_spd(C, config.cholesky_block)
             Lp = linalg.blocked_cholesky_opt(
                 Cp,

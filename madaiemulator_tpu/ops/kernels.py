@@ -24,6 +24,7 @@ jax_enable_x64 for parity runs, f32 on TPU perf runs).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -115,17 +116,10 @@ def _apply_family(
     raise ValueError(f"unknown covariance family {fam}")
 
 
-def cross_covariance(
-    X1: jax.Array, X2: jax.Array, params: GPParams, config: GPConfig
+def _cross_xla(
+    U: jax.Array, V: jax.Array, amp: jax.Array, config: GPConfig
 ) -> jax.Array:
-    """k(X1, X2): (n1, n2) cross-covariance, NO nugget (distinct points).
-
-    Replaces the reference's makeKVector loop (one k-vector per query point)
-    with a single batched build for all query points at once.
-    """
-    U = _scaled(X1, params, config)
-    V = _scaled(X2, params, config)
-    amp = jnp.exp(params.log_amp)
+    """XLA-path cross covariance from pre-scaled points (no nugget)."""
     if (
         config.covariance is CovarianceFamily.POWER_EXPONENTIAL
         and config.power_exp_alpha != 2.0
@@ -136,22 +130,148 @@ def cross_covariance(
     return _apply_family(d, amp, config)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_cross_vjp(U, V, amp, config: GPConfig):
+    """Fused-Pallas cross covariance with exact XLA-math gradients.
+
+    Forward: one fused kernel per output tile (ops/pallas/pairwise.py) —
+    the pairwise distance, kernel transform and amplitude never round-trip
+    HBM. Backward: jax.vjp of the identical XLA-level math `_cross_xla`
+    (same function to f32 rounding), so fits that route the hot Gram build
+    through Pallas keep exact autodiff gradients [BASELINE north_star:
+    covariance as a Pallas pairwise-kernel op in the product path].
+    """
+    from madaiemulator_tpu.ops.pallas.pairwise import pairwise_covariance
+
+    return pairwise_covariance(
+        U,
+        V,
+        amp,
+        jnp.zeros((), U.dtype),
+        family=config.covariance.value,
+        add_diag=False,
+        interpret=config.pallas_interpret,
+    )
+
+
+def _pallas_cross_fwd(U, V, amp, config):
+    return _pallas_cross_vjp(U, V, amp, config), (U, V, amp)
+
+
+def _pallas_cross_bwd(config, res, Kbar):
+    U, V, amp = res
+    _, vjp = jax.vjp(lambda u, v, a: _cross_xla(u, v, a, config), U, V, amp)
+    return vjp(Kbar)
+
+
+_pallas_cross_vjp.defvjp(_pallas_cross_fwd, _pallas_cross_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_gram_vjp(U, amp, diag_add, config: GPConfig):
+    """Fused-Pallas Gram build: k(U, U) + diag_add * I in ONE kernel.
+
+    The nugget lands on the diagonal inside the tile epilogue, so the Gram
+    matrix hits HBM exactly once. Backward differentiates the identical
+    XLA-level math (see _pallas_cross_vjp docstring for the design).
+    """
+    from madaiemulator_tpu.ops.pallas.pairwise import pairwise_covariance
+
+    return pairwise_covariance(
+        U,
+        U,
+        amp,
+        diag_add,
+        family=config.covariance.value,
+        add_diag=True,
+        interpret=config.pallas_interpret,
+    )
+
+
+def _pallas_gram_fwd(U, amp, diag_add, config):
+    return _pallas_gram_vjp(U, amp, diag_add, config), (U, amp, diag_add)
+
+
+def _pallas_gram_bwd(config, res, Kbar):
+    U, amp, diag_add = res
+
+    def gram_xla(u, a, d):
+        K = _cross_xla(u, u, a, config)
+        K = 0.5 * (K + K.T)
+        return K + d * jnp.eye(u.shape[0], dtype=u.dtype)
+
+    _, vjp = jax.vjp(gram_xla, U, amp, diag_add)
+    return vjp(Kbar)
+
+
+_pallas_gram_vjp.defvjp(_pallas_gram_fwd, _pallas_gram_bwd)
+
+
+def _pallas_eligible(config: GPConfig, dtype) -> bool:
+    """The fused Pallas builder covers f32 alpha=2 / Matérn operands."""
+    if config.gram_method != "pallas" or dtype == jnp.float64:
+        return False
+    if (
+        config.covariance is CovarianceFamily.POWER_EXPONENTIAL
+        and config.power_exp_alpha != 2.0
+    ):
+        return False
+    return True
+
+
+def cross_covariance(
+    X1: jax.Array, X2: jax.Array, params: GPParams, config: GPConfig
+) -> jax.Array:
+    """k(X1, X2): (n1, n2) cross-covariance, NO nugget (distinct points).
+
+    Replaces the reference's makeKVector loop (one k-vector per query point)
+    with a single batched build for all query points at once. With
+    config.gram_method="pallas" (and an eligible operand) the build runs as
+    one fused Pallas kernel; gradients stay exact via _pallas_cross_vjp.
+    """
+    U = _scaled(X1, params, config)
+    V = _scaled(X2, params, config)
+    amp = jnp.exp(params.log_amp)
+    if _pallas_eligible(config, X1.dtype):
+        return _pallas_cross_vjp(U, V, amp, config)
+    return _cross_xla(U, V, amp, config)
+
+
 def gram_matrix(X: jax.Array, params: GPParams, config: GPConfig) -> jax.Array:
     """C(theta) = k(X, X) + (nugget + jitter) * I, symmetrized.
 
     Replaces makeCovMatrix. The nugget enters on the diagonal only, matching
     the reference's same-point branch of covariance_fn_* [U-hi].
+
+    On the Pallas path no explicit symmetrization is needed: tile (i, j)
+    and tile (j, i) contract the same vectors in the same reduction order,
+    so K is bitwise symmetric by construction; the XLA matmul-trick path
+    keeps its 0.5 * (K + K^T) guard.
     """
-    K = cross_covariance(X, X, params, config)
-    K = 0.5 * (K + K.T)  # kill matmul-order asymmetry before Cholesky
     n = X.shape[0]
     if config.jitter is None:
-        # auto: none for f64 parity runs; eps-scale relative floor otherwise
-        jitter_frac = 0.0 if K.dtype == jnp.float64 else 1e-6
+        # Auto floor: none for f64 parity runs. At f32 the floor must beat
+        # the Gram BUILD's own rounding noise, whose spectral norm grows
+        # like sqrt(N)*eps*amp — with only a flat 1e-6, matrices that are
+        # borderline-SPD (smooth-kernel thetas, the common optimum for
+        # smooth simulators) come out truly indefinite and the fit sees
+        # -inf walls exactly at the good basins. Measured on TPU v5e
+        # (round 2): N=30 smooth operand needs >= 5e-6; with this floor the
+        # end-to-end multivariate fit error dropped from ~20% to ~0.3%.
+        if X.dtype == jnp.float64:
+            jitter_frac = 0.0
+        else:
+            eps = float(jnp.finfo(jnp.float32).eps)
+            jitter_frac = max(1e-6, 12.0 * (n ** 0.5) * eps)
     else:
         jitter_frac = config.jitter
     amp = jnp.exp(params.log_amp)
     diag_add = jnp.exp(params.log_nugget) + jitter_frac * amp
+    if _pallas_eligible(config, X.dtype):
+        U = _scaled(X, params, config)
+        return _pallas_gram_vjp(U, amp, diag_add, config)
+    K = cross_covariance(X, X, params, config)
+    K = 0.5 * (K + K.T)  # kill matmul-order asymmetry before Cholesky
     return K + diag_add * jnp.eye(n, dtype=K.dtype)
 
 

@@ -55,6 +55,11 @@ def make_mesh(
     """
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
+    if restart_shards < 1 or n % restart_shards != 0:
+        raise ValueError(
+            f"make_mesh: n_devices={n} is not divisible by "
+            f"restart_shards={restart_shards}"
+        )
     devs = np.asarray(devs[:n]).reshape(n // restart_shards, restart_shards)
     return Mesh(devs, (ENSEMBLE_AXIS, RESTART_AXIS))
 
@@ -98,16 +103,47 @@ def fit_ensemble_from_starts(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "n_restarts", "max_steps")
+    jax.jit,
+    static_argnames=("config", "n_restarts", "max_steps", "ensemble_chunk"),
 )
-def _fit_ensemble_jit(key, Xb, yb, config, n_restarts, max_steps):
+def _fit_ensemble_jit(
+    key, Xb, yb, config, n_restarts, max_steps, ensemble_chunk=None
+):
     E = Xb.shape[0]
     dtype = yb.dtype
     keys = jax.random.split(key, E)
     u0 = jax.vmap(
         lambda k: sample_restarts(k, config, n_restarts, dtype=dtype)
     )(keys)  # (E, R, ...)
-    return _fit_batched(u0, Xb, yb, config, max_steps)
+    if ensemble_chunk is None or ensemble_chunk >= E:
+        return _fit_batched(u0, Xb, yb, config, max_steps)
+    # Chunk the ensemble axis (same pattern as fit.fit_gp's restart_chunk):
+    # lax.map over sequential groups, vmap within. Bounds the number of
+    # concurrently-live LBFGS linesearch cells — an E=2048 x R=4 (8192-cell)
+    # vmapped zoom-linesearch program reproducibly crashed the TPU worker
+    # (ROADMAP.md); chunks of <= 4096 cells are stable and lose nothing on
+    # throughput because each chunk already saturates the chip.
+    chunk = ensemble_chunk
+    if E % chunk != 0:
+        raise ValueError(
+            f"ensemble size E={E} not divisible by ensemble_chunk={chunk}"
+        )
+    groups = E // chunk
+
+    def regroup(a):
+        return a.reshape((groups, chunk) + a.shape[1:])
+
+    u0g = jax.tree.map(regroup, u0)
+    Xg, yg = regroup(Xb), regroup(yb)
+
+    def run_group(args):
+        ug, Xc, yc = args
+        return _fit_batched(ug, Xc, yc, config, max_steps)
+
+    res_g = jax.lax.map(run_group, (u0g, Xg, yg))
+    return jax.tree.map(
+        lambda a: a.reshape((E,) + a.shape[2:]), res_g
+    )
 
 
 def fit_ensemble(
@@ -118,12 +154,18 @@ def fit_ensemble(
     mesh: Optional[Mesh] = None,
     n_restarts: Optional[int] = None,
     max_steps: Optional[int] = None,
+    ensemble_chunk: Optional[int] = None,
 ) -> FitResult:
     """Fit E independent scalar GPs as one sharded program (config 5 [B]).
 
     With a mesh, training data and every batched intermediate (restart
     states, Gram matrices, Cholesky factors) are sharded over the
     `ensemble` mesh axis; without one, everything runs on one device.
+
+    ensemble_chunk runs the ensemble axis in sequential groups of that size
+    (lax.map over groups, vmap within): use it to cap the number of live
+    optimizer cells when E*R is very large — the workaround for the
+    documented E=2048 x R=4 TPU worker crash (ROADMAP.md).
     """
     R = config.n_restarts if n_restarts is None else n_restarts
     steps = config.max_opt_steps if max_steps is None else max_steps
@@ -131,7 +173,7 @@ def fit_ensemble(
         sh = NamedSharding(mesh, P(ENSEMBLE_AXIS))
         Xb = jax.device_put(Xb, sh)
         yb = jax.device_put(yb, sh)
-    return _fit_ensemble_jit(key, Xb, yb, config, R, steps)
+    return _fit_ensemble_jit(key, Xb, yb, config, R, steps, ensemble_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -160,7 +202,10 @@ def predict_queries_sharded(
     m = Xs_raw.shape[0]
     pad = (-m) % axis
     if pad:
-        Xs_raw = jnp.concatenate([Xs_raw, Xs_raw[:pad]], axis=0)
+        # pad may exceed m (e.g. 2 queries on an 8-wide axis): wrap indices
+        # so the padded batch is always an exact axis multiple
+        idx = jnp.arange(pad) % m
+        Xs_raw = jnp.concatenate([Xs_raw, Xs_raw[idx]], axis=0)
     Xs_raw = jax.device_put(
         Xs_raw, NamedSharding(mesh, P(ENSEMBLE_AXIS, None))
     )

@@ -75,9 +75,12 @@ class GPConfig:
     length_scale_bounds: Tuple[float, float] = (1e-2, 1e1)
     # Stability floor added to the Gram diagonal on top of the nugget,
     # as a fraction of the kernel amplitude. None = auto: 0 in float64
-    # (parity runs), 1e-6 in float32/bfloat16 where the nugget lower bound
-    # sits below machine eps and Cholesky needs help (SURVEY.md §7 hard
-    # part 2: precision policy).
+    # (parity runs); at float32 max(1e-6, 12*sqrt(N)*eps) — the floor must
+    # dominate the Gram build's own rounding noise (spectral norm ~
+    # sqrt(N)*eps*amp) or borderline matrices at smooth-kernel thetas come
+    # out truly indefinite and the fit objective walls off its best basins
+    # with -inf (measured on TPU v5e: the flat 1e-6 floor cost ~100x fit
+    # quality on smooth data; SURVEY.md §7 hard part 2: precision policy).
     jitter: float | None = None
     # Number of random restarts for hyperparameter fitting (pthreads fan-out
     # in the reference; a vmapped batch axis here).
@@ -88,14 +91,33 @@ class GPConfig:
     predict_variance_includes_nugget: bool = True
     # Use the GLS profile (REML-style) extra term -0.5 log|H^T C^-1 H|.
     reml: bool = False
+    # Gram/cross covariance builder: "xla" (matmul trick + fused epilogue;
+    # works on every backend and dtype) or "pallas" (ops/pallas/pairwise.py:
+    # one fused kernel per output tile — distance, kernel transform and
+    # nugget never round-trip HBM). The Pallas path is f32, TPU-first
+    # (interpretable on CPU via pallas_interpret), covers alpha=2
+    # power-exponential and both Matérn families, and falls back to "xla"
+    # for anything it does not cover (f64 parity runs, alpha != 2).
+    # Gradients on the Pallas path are exact: a custom VJP differentiates
+    # the identical XLA-level math (ops/kernels.py _pallas_cross_vjp).
+    gram_method: str = "xla"
     # SPD factorization backend: "xla" (default; compiles small — use it for
     # fits, especially large N: the blocked kernel's unrolled panel loop
-    # embedded in the optimizer linesearch can OOM the TPU compiler) or
+    # embedded in the optimizer linesearch can OOM the TPU compiler),
     # "blocked" (triangle-restricted SYRK on the MXU: 20.5 vs 14.8 TFLOP/s
     # over XLA at N=16k f32 in "high" mode, better accuracy in "highest";
-    # best for serve-time precompute and direct factorizations).
+    # best for serve-time precompute and direct factorizations), or
+    # "pallas" (ops/pallas/cholesky.py: whole factorization VMEM-resident in
+    # ONE kernel — the fit-hot-path size class N <= pallas_cholesky_max_n;
+    # larger operands fall back to "blocked").
     cholesky_method: str = "xla"
     cholesky_block: int = 512
+    # Largest N routed to the VMEM-resident Pallas Cholesky (matrix +
+    # scratch must fit ~16 MB VMEM: 1024^2 f32 = 4 MB, comfortable).
+    pallas_cholesky_max_n: int = 1024
+    # Run Pallas kernels in interpreter mode (CPU testing of the Pallas
+    # product routing; never set on real TPU runs).
+    pallas_interpret: bool = False
     # matmul precision of the blocked SYRK updates. "highest" (full f32) is
     # the default: measured factor error 1.4e-4 vs XLA's 1.8e-4 at cond~1e5,
     # while "high" (bf16x3) degrades to 2.3e-2 there and can NaN the
@@ -119,6 +141,12 @@ class GPConfig:
             )
         if self.nparams < 1:
             raise ValueError(f"nparams must be >= 1, got {self.nparams}")
+        if self.gram_method not in ("xla", "pallas"):
+            raise ValueError(f"unknown gram_method {self.gram_method!r}")
+        if self.cholesky_method not in ("xla", "blocked", "pallas"):
+            raise ValueError(
+                f"unknown cholesky_method {self.cholesky_method!r}"
+            )
 
     @property
     def num_thetas(self) -> int:

@@ -1,0 +1,149 @@
+# EmuRbind.R — R bindings for madaiemulator_tpu.
+#
+# TPU-native replacement for the reference's R layer (ref: src/libRbind/
+# rbind.c callEstimate / callEmulateAtList + EmuRbind.R; reference mount
+# empty this round — see SURVEY.md §0). Upstream exposes .C()-callable
+# wrappers into its C library; the equivalents here are:
+#
+#   1. callEstimate / callEmulateAtList  — same names and array contracts as
+#      upstream, routed through the Python package via {reticulate}
+#      (madaiemulator_tpu.compat keeps the flat-arrays-in/out convention so
+#      the marshalling is plain numeric vectors/matrices).
+#
+#   2. madaiOpenEmulator / madaiQuery / madaiCloseEmulator — a ZERO-
+#      dependency client (base R only, no reticulate, no compilation) for
+#      trained emulators, speaking the interactive pipe protocol to either
+#      the native C++ server (`madai_query <state_file>`) or the Python CLI
+#      (`interactive_emulator interactive_mode <state_file>`). This mirrors
+#      how the MADAI MCMC framework consumes emulators (SURVEY.md §3.2).
+#
+# Example (CI-less; run from the repo root after `pip install .`):
+#
+#   source("r/EmuRbind.R")
+#   ## --- reticulate route: fit + predict from R arrays ---
+#   design <- matrix(seq(0, 1, length.out = 25), ncol = 1)
+#   y <- sin(2 * pi * design[, 1])
+#   thetas <- callEstimate(design, y, n_restarts = 4, max_steps = 60)
+#   out <- callEmulateAtList(design, y, thetas,
+#                            matrix(seq(0.02, 0.98, length.out = 50), ncol = 1))
+#   plot(design, y); lines(seq(0.02, 0.98, length.out = 50), out$means)
+#   ## --- pipe route: serve a trained state file with zero R deps ---
+#   emu <- madaiOpenEmulator("state.txt")        # or cmd = "madai_query"
+#   res <- madaiQuery(emu, matrix(c(0.25, 0.5, 0.75), ncol = 1))
+#   res$means; res$variances
+#   madaiCloseEmulator(emu)
+
+# ---------------------------------------------------------------------------
+# Layer 1: reticulate wrappers (upstream callEstimate / callEmulateAtList)
+# ---------------------------------------------------------------------------
+
+.madai_py <- local({
+  mod <- NULL
+  function() {
+    if (is.null(mod)) {
+      if (!requireNamespace("reticulate", quietly = TRUE)) {
+        stop("callEstimate/callEmulateAtList need {reticulate}; ",
+             "the pipe client below works without it")
+      }
+      mod <<- reticulate::import("madaiemulator_tpu.compat")
+    }
+    mod
+  }
+})
+
+#' Estimate GP hyperparameters for one scalar output.
+#' Returns the natural theta vector [amp, nugget, length_scales...],
+#' matching the reference layout (rbind.c callEstimate).
+callEstimate <- function(design, y,
+                         covariance = "power_exponential",
+                         regression_order = 1L,
+                         n_restarts = 8L,
+                         max_steps = 100L,
+                         seed = 0L) {
+  compat <- .madai_py()
+  as.numeric(compat$call_estimate(
+    design = as.matrix(design),
+    y = as.numeric(y),
+    covariance = covariance,
+    regression_order = as.integer(regression_order),
+    n_restarts = as.integer(n_restarts),
+    max_steps = as.integer(max_steps),
+    seed = as.integer(seed)
+  ))
+}
+
+#' Posterior mean and variance at a list of points, given fitted thetas
+#' (rbind.c callEmulateAtList). Returns list(means=, variances=).
+callEmulateAtList <- function(design, y, thetas, points,
+                              covariance = "power_exponential",
+                              regression_order = 1L) {
+  compat <- .madai_py()
+  out <- compat$call_emulate_at_list(
+    design = as.matrix(design),
+    y = as.numeric(y),
+    thetas = as.numeric(thetas),
+    points = as.matrix(points),
+    covariance = covariance,
+    regression_order = as.integer(regression_order)
+  )
+  list(means = as.numeric(out[[1]]), variances = as.numeric(out[[2]]))
+}
+
+# ---------------------------------------------------------------------------
+# Layer 2: zero-dependency pipe client for trained emulators
+# ---------------------------------------------------------------------------
+# Protocol (identical for the C++ `madai_query` server and the Python CLI's
+# `interactive_mode`; cross-checked in tests/test_native.py and
+# tests/test_rbind_contract.py):
+#   header:  nparams, then nparams parameter names (one per line),
+#            2*noutputs, then mean_*/variance_* labels (one per line)
+#   query:   nparams whitespace-separated numbers on stdin
+#   reply:   noutputs means then noutputs variances, one number per line
+
+#' Open a trained emulator state file behind a pipe server.
+#' cmd: "python" (default; uses the installed CLI) or "madai_query"
+#' (the native C++ server binary, if built/on PATH).
+madaiOpenEmulator <- function(state_file,
+                              cmd = c("python", "madai_query")) {
+  cmd <- match.arg(cmd)
+  line <- if (cmd == "python") {
+    sprintf("python -m madaiemulator_tpu.cli interactive_mode %s",
+            shQuote(state_file))
+  } else {
+    sprintf("madai_query %s", shQuote(state_file))
+  }
+  con <- pipe(line, open = "r+")
+  nparams <- as.integer(readLines(con, n = 1))
+  param_names <- readLines(con, n = nparams)
+  nvals <- as.integer(readLines(con, n = 1))
+  labels <- readLines(con, n = nvals)
+  noutputs <- nvals %/% 2L
+  structure(
+    list(con = con, nparams = nparams, noutputs = noutputs,
+         param_names = param_names,
+         output_names = sub("^mean_", "", labels[seq_len(noutputs)])),
+    class = "madai_emulator"
+  )
+}
+
+#' Query the emulator at a matrix of points (one row per point).
+#' Returns list(means, variances): each (npoints x noutputs) matrices.
+madaiQuery <- function(emu, points) {
+  points <- as.matrix(points)
+  stopifnot(ncol(points) == emu$nparams)
+  m <- nrow(points)
+  t <- emu$noutputs
+  # one write for the whole batch: the server drains every buffered point
+  # and predicts them as one device call (VERDICT r1: throughput path)
+  writeLines(apply(points, 1L, paste, collapse = " "), emu$con)
+  flush(emu$con)
+  vals <- as.numeric(readLines(emu$con, n = m * 2L * t))
+  per <- matrix(vals, nrow = m, ncol = 2L * t, byrow = TRUE)
+  list(means = per[, seq_len(t), drop = FALSE],
+       variances = per[, t + seq_len(t), drop = FALSE])
+}
+
+madaiCloseEmulator <- function(emu) {
+  close(emu$con)
+  invisible(NULL)
+}

@@ -65,18 +65,64 @@ def test_sharded_lml_eval_matches_unsharded():
 
 
 def test_fit_ensemble_sharded_matches_unsharded():
+    """In f64, per-member math is reduction-order stable, so sharding must
+    not move the optima (in f32 this comparison is chaotic: a ~1-ulp fusion
+    difference can flip a zoom-linesearch branch and diverge one member's
+    trajectory — observed as a 10% LML outlier in round 2)."""
     cfg = GPConfig(nparams=2, n_restarts=2, max_opt_steps=10)
-    Xb, yb = make_batch(E=8)
+    Xb, yb = make_batch(E=8, dtype=jnp.float64)
     mesh = make_mesh(8)
     res_sharded = fit_ensemble(jax.random.key(1), Xb, yb, cfg, mesh=mesh)
     res_local = fit_ensemble(jax.random.key(1), Xb, yb, cfg)
-    # f32 reduction-order noise diverges optimizer trajectories through
-    # linesearch branches; fitted optima must still agree loosely
     np.testing.assert_allclose(
         np.asarray(res_sharded.log_likelihood),
         np.asarray(res_local.log_likelihood),
-        rtol=5e-2,
+        rtol=1e-6,
     )
+
+
+def test_fit_ensemble_chunked_matches_unchunked():
+    """ensemble_chunk must change only scheduling, not results: groups are
+    whole ensemble members, each fit from the same per-member PRNG starts."""
+    cfg = GPConfig(nparams=2, n_restarts=2, max_opt_steps=10)
+    Xb, yb = make_batch(E=8, dtype=jnp.float64)
+    res_full = fit_ensemble(jax.random.key(5), Xb, yb, cfg)
+    res_chunk = fit_ensemble(jax.random.key(5), Xb, yb, cfg, ensemble_chunk=2)
+    np.testing.assert_allclose(
+        np.asarray(res_full.log_likelihood),
+        np.asarray(res_chunk.log_likelihood),
+        rtol=1e-8,
+    )
+    assert res_chunk.restart_log_likelihoods.shape == (8, 2)
+    with pytest.raises(ValueError, match="not divisible"):
+        fit_ensemble(jax.random.key(5), Xb, yb, cfg, ensemble_chunk=3)
+
+
+def test_make_mesh_validates_restart_shards():
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(8, restart_shards=3)
+
+
+def test_predict_queries_sharded_fewer_queries_than_axis(rng):
+    """Regression (ADVICE r1): m < mesh axis used to pad with only m rows."""
+    from madaiemulator_tpu.models.multivariate import (
+        fit_multivariate,
+        predict_multivariate,
+    )
+    from madaiemulator_tpu.parallel.ensemble import predict_queries_sharded
+
+    X = rng.uniform(size=(20, 2))
+    Y = np.stack([np.sin(3 * X[:, 0]), X[:, 1] ** 2], axis=1)
+    cfg = GPConfig(nparams=2, n_restarts=2, max_opt_steps=15)
+    emu = fit_multivariate(
+        jax.random.key(8), jnp.asarray(X), jnp.asarray(Y), cfg, pca_variance=0.999
+    )
+    Xq = rng.uniform(0.1, 0.9, size=(2, 2))  # 2 queries on an 8-wide axis
+    m_local, v_local = predict_multivariate(emu, jnp.asarray(Xq))
+    m_sh, v_sh = predict_queries_sharded(emu, jnp.asarray(Xq), mesh=make_mesh(8))
+    assert m_sh.shape == m_local.shape
+    np.testing.assert_allclose(np.asarray(m_local), np.asarray(m_sh), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(v_local), np.asarray(v_sh), rtol=1e-8)
 
 
 def test_fit_ensemble_2d_sharding_runs():

@@ -142,6 +142,24 @@ def test_fit_gp_host_matches_jitted_quality():
     assert rmse < 5e-3, rmse
 
 
+def test_fit_gp_host_vg_batch_chunking_matches():
+    """Chunking the batched value+grad (vg_batch) must not change results:
+    the lock-step host LBFGS sees identical numbers either way."""
+    from madaiemulator_tpu.models.fit import fit_gp_host
+
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=3, max_opt_steps=25)
+    X = np.linspace(0.0, 1.0, 20)[:, None]
+    y = np.sin(2 * np.pi * X[:, 0])
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    res_full = fit_gp_host(jax.random.key(11), data, cfg)
+    res_chunk = fit_gp_host(jax.random.key(11), data, cfg, vg_batch=2)
+    np.testing.assert_allclose(
+        np.asarray(res_full.restart_log_likelihoods),
+        np.asarray(res_chunk.restart_log_likelihoods),
+        rtol=1e-10,
+    )
+
+
 def test_fit_is_deterministic():
     cfg = GPConfig(nparams=1, n_restarts=2, max_opt_steps=20)
     X = np.linspace(0, 1, 10)[:, None]

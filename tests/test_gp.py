@@ -147,3 +147,29 @@ def test_gls_beta_reduces_to_ols_for_identity_cov(rng):
     H = np.concatenate([np.ones((30, 1)), X], axis=1)
     beta_ols, *_ = np.linalg.lstsq(H, y, rcond=None)
     assert np.allclose(np.asarray(st.beta), beta_ols, atol=1e-5)
+
+
+def test_f32_auto_jitter_keeps_smooth_optimum_reachable(rng):
+    """Regression (round 2, TPU v5e): at the flat 1e-6 jitter floor, the
+    Gram matrix at smooth-kernel thetas (long length scales, tiny nugget —
+    the LML optimum for smooth data) came out TRULY indefinite from f32
+    build noise, so the fit objective was -inf exactly at its best basins
+    and TPU fits landed 100x worse optima. The auto floor now scales as
+    12*sqrt(N)*eps; this operand must produce a finite LML at f32."""
+    X = jnp.asarray(rng.uniform(size=(30, 2)), jnp.float32)
+    y = jnp.asarray(np.sin(3 * np.asarray(X)[:, 0]), jnp.float32)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    p = GPParams(
+        log_amp=jnp.asarray(np.log(5.449), jnp.float32),
+        log_nugget=jnp.asarray(np.log(1.046e-9), jnp.float32),
+        log_ls=jnp.asarray(np.log([0.7728, 1.605]), jnp.float32),
+    )
+    ll = gp.log_marginal_likelihood(p, GPData(X=X, y=y), cfg)
+    assert np.isfinite(float(ll)), float(ll)
+    # and the f64 parity path still uses NO jitter (exact reference math)
+    ll64 = gp.log_marginal_likelihood(
+        jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float64), p),
+        GPData(X=X.astype(jnp.float64), y=y.astype(jnp.float64)),
+        cfg,
+    )
+    assert np.isfinite(float(ll64))
