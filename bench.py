@@ -5,13 +5,25 @@ TPU — the north-star hot kernel (BASELINE.md: the reference's GSL/LAPACK
 factorization is single-core GFLOP/s class; BASELINE.json asks for "near MXU
 roofline" via a blocked implementation).
 
+The operand is the same SPD class as round 1 (I*4 + A A^T, condition
+number <= ||C||_inf / 4 rigorously, ~2 in practice) so headline numbers are
+comparable across rounds. The headline variant is whatever the library's
+own mixed-precision auto tier (ops/linalg.choose_update_precision, driven
+by the rigorous condition bound) selects for this operand — i.e. the bench
+runs the library's default decision, not a hand-picked mode. On stiff
+operands the same rule selects the full-f32 "highest" tier instead
+(measured: a correlated GP Gram at kappa~7e4 routes to "highest", where the
+"high" tier's residual genuinely fails the 1e-5 gate — see
+tests/test_linalg.py accuracy notes). Every variant must pass a
+LINPACK-style residual check to count.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 baseline is the analytic serial-CPU estimate for the C code's factorization:
 10 GFLOP/s (optimistic single-core LAPACK dpotrf on a modern x86;
 GSL's own unblocked Cholesky is slower). vs_baseline = achieved / 0.01 TFLOP/s.
 
-Secondary diagnostics (fit wall-clock, predict throughput, both Cholesky
-implementations) go to stderr so stdout stays a single machine-readable line.
+Secondary diagnostics (predict throughput, all Cholesky variants) go to
+stderr so stdout stays a single machine-readable line.
 """
 
 import json
@@ -56,14 +68,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from madaiemulator_tpu.models.gp import GPData
     from madaiemulator_tpu.ops import linalg
+    from madaiemulator_tpu.ops.kernels import GPParams
+    from madaiemulator_tpu.utils.config import GPConfig
 
     dev = jax.devices()[0]
     log(f"bench device: {dev.platform} {dev.device_kind}")
 
     n = 16384
+    d = 8
     dtype = jnp.float32
-    # SPD operand built on-device: C = I*n + A A^T from a fixed PRNG
+    cfg = GPConfig(nparams=d, regression_order=1)
     key = jax.random.key(0)
 
     @jax.jit
@@ -74,6 +90,16 @@ def main():
         )
 
     C = jax.block_until_ready(make_spd(key))
+    # library mixed-precision tier from a RIGOROUS condition bound:
+    # lambda_min(C) >= 4 by construction (I*4 + PSD), lambda_max <= ||C||_inf
+    inf_norm = float(jax.device_get(jnp.max(jnp.sum(jnp.abs(C), axis=1))))
+    kappa = inf_norm / 4.0
+    tier = linalg.choose_update_precision(kappa)
+    log(
+        f"operand: N={n}  ||C||_inf={inf_norm:.1f}  kappa_bound={kappa:.3g}"
+        f"  auto tier -> {tier!r}"
+    )
+
     flops = n**3 / 3.0
 
     @jax.jit
@@ -97,23 +123,29 @@ def main():
         return t, ok
 
     # every variant must pass the residual check to count; the headline is
-    # the fastest verified factorization (bf16x3 "high" passes on
-    # well-conditioned operands like this one; see linalg docstring for the
-    # conditioning limits that make "highest" the library default)
-    t_xla, ok = verified("xla", jax.jit(linalg.xla_cholesky))
-    best_t, best_name = (t_xla, "xla") if ok else (float("inf"), "none")
-    for block, prec in ((512, "highest"), (1024, "highest"), (1024, "high"), (512, "high")):
+    # the fastest verified factorization. The first entry is the library's
+    # own default large-N serve path (left-looking + auto tier).
+    variants = [
+        (f"left(1024,{tier})[auto]",
+         lambda M: linalg.left_cholesky(M, block=1024, update_precision=tier)),
+        ("xla", jax.jit(linalg.xla_cholesky)),
+        ("left(1024,highest)",
+         lambda M: linalg.left_cholesky(M, block=1024, update_precision="highest")),
+        ("blocked_opt(1024,high)",
+         lambda M: linalg.blocked_cholesky_opt(M, block=1024, update_precision="high")),
+    ]
+    best_t, best_name = float("inf"), "none"
+    seen = set()
+    for name, f in variants:
+        if name in seen:
+            continue
+        seen.add(name)
         try:
-            f = jax.jit(
-                lambda M, b=block, p=prec: linalg.blocked_cholesky_opt(
-                    M, block=b, update_precision=p
-                )
-            )
-            t_b, ok = verified(f"blocked_opt({block},{prec})", f)
-            if ok and t_b < best_t:
-                best_t, best_name = t_b, f"blocked_opt({block},{prec})"
+            t_v, ok = verified(name, jax.jit(f))
+            if ok and t_v < best_t:
+                best_t, best_name = t_v, name
         except Exception as e:  # keep the bench alive if one variant fails
-            log(f"blocked_opt({block},{prec}) failed: {type(e).__name__}: {e}")
+            log(f"{name} failed: {type(e).__name__}: {e}")
 
     if best_name == "none":
         # no variant produced a verifiable factorization: emit an explicit
@@ -135,30 +167,26 @@ def main():
 
     # secondary: predict throughput at N=4096 (batched posterior)
     try:
-        from madaiemulator_tpu.models.gp import GPData, precompute_predictor, \
+        from madaiemulator_tpu.models.gp import precompute_predictor, \
             predict_from_precomputed
-        from madaiemulator_tpu.ops.kernels import GPParams
-        from madaiemulator_tpu.utils.config import GPConfig
 
-        d, m = 8, 4096
-        cfg = GPConfig(nparams=d, regression_order=1)
-        rng = np.random.default_rng(0)
-        X = jnp.asarray(rng.uniform(size=(4096, d)), dtype)
-        y = jnp.asarray(rng.standard_normal(4096), dtype)
-        p = GPParams(
+        m = 4096
+        rng2 = np.random.default_rng(1)
+        X4 = jnp.asarray(rng2.uniform(size=(4096, d)), dtype)
+        y4 = jnp.asarray(rng2.standard_normal(4096), dtype)
+        p4 = GPParams(
             log_amp=jnp.asarray(0.0, dtype),
             log_nugget=jnp.asarray(np.log(1e-4), dtype),
             log_ls=jnp.full((d,), np.log(0.4), dtype),
         )
-        st = jax.jit(
-            lambda pp: precompute_predictor(pp, GPData(X, y), cfg)
-        )(p)
+        data4 = GPData(X4, y4)
+        st = jax.jit(lambda pp: precompute_predictor(pp, data4, cfg))(p4)
         jax.block_until_ready(st)
-        Xs = jnp.asarray(rng.uniform(size=(m, d)), dtype)
+        Xs = jnp.asarray(rng2.uniform(size=(m, d)), dtype)
         pred = jax.jit(
-            lambda s, pp, q: predict_from_precomputed(s, pp, GPData(X, y), q, cfg)
+            lambda s, pp, q: predict_from_precomputed(s, pp, data4, q, cfg)
         )
-        t_pred, _ = timeit(pred, st, p, Xs)
+        t_pred, _ = timeit(pred, st, p4, Xs)
         log(f"predict N=4096 m={m}: {t_pred*1e3:.2f} ms  {m/t_pred:,.0f} pts/s")
     except Exception as e:
         log(f"predict bench failed: {type(e).__name__}: {e}")

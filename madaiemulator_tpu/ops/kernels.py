@@ -237,6 +237,26 @@ def cross_covariance(
     return _cross_xla(U, V, amp, config)
 
 
+def effective_jitter_frac(n: int, dtype, config: GPConfig) -> float:
+    """Stability-floor fraction added to the Gram diagonal (times amp).
+
+    Auto policy (config.jitter is None): none for f64 parity runs. At f32
+    the floor must beat the Gram BUILD's own rounding noise, whose spectral
+    norm grows like sqrt(N)*eps*amp — with only a flat 1e-6, matrices that
+    are borderline-SPD (smooth-kernel thetas, the common optimum for smooth
+    simulators) come out truly indefinite and the fit sees -inf walls
+    exactly at the good basins. Measured on TPU v5e (round 2): N=30 smooth
+    operand needs >= 5e-6; with this floor the end-to-end multivariate fit
+    error dropped from ~20% to ~0.3%.
+    """
+    if config.jitter is not None:
+        return config.jitter
+    if dtype == jnp.float64:
+        return 0.0
+    eps = float(jnp.finfo(jnp.float32).eps)
+    return max(1e-6, 12.0 * (n ** 0.5) * eps)
+
+
 def gram_matrix(X: jax.Array, params: GPParams, config: GPConfig) -> jax.Array:
     """C(theta) = k(X, X) + (nugget + jitter) * I, symmetrized.
 
@@ -249,22 +269,7 @@ def gram_matrix(X: jax.Array, params: GPParams, config: GPConfig) -> jax.Array:
     keeps its 0.5 * (K + K^T) guard.
     """
     n = X.shape[0]
-    if config.jitter is None:
-        # Auto floor: none for f64 parity runs. At f32 the floor must beat
-        # the Gram BUILD's own rounding noise, whose spectral norm grows
-        # like sqrt(N)*eps*amp — with only a flat 1e-6, matrices that are
-        # borderline-SPD (smooth-kernel thetas, the common optimum for
-        # smooth simulators) come out truly indefinite and the fit sees
-        # -inf walls exactly at the good basins. Measured on TPU v5e
-        # (round 2): N=30 smooth operand needs >= 5e-6; with this floor the
-        # end-to-end multivariate fit error dropped from ~20% to ~0.3%.
-        if X.dtype == jnp.float64:
-            jitter_frac = 0.0
-        else:
-            eps = float(jnp.finfo(jnp.float32).eps)
-            jitter_frac = max(1e-6, 12.0 * (n ** 0.5) * eps)
-    else:
-        jitter_frac = config.jitter
+    jitter_frac = effective_jitter_frac(n, X.dtype, config)
     amp = jnp.exp(params.log_amp)
     diag_add = jnp.exp(params.log_nugget) + jitter_frac * amp
     if _pallas_eligible(config, X.dtype):

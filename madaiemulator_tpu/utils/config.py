@@ -104,12 +104,14 @@ class GPConfig:
     # SPD factorization backend: "xla" (default; compiles small — use it for
     # fits, especially large N: the blocked kernel's unrolled panel loop
     # embedded in the optimizer linesearch can OOM the TPU compiler),
-    # "blocked" (triangle-restricted SYRK on the MXU: 20.5 vs 14.8 TFLOP/s
-    # over XLA at N=16k f32 in "high" mode, better accuracy in "highest";
-    # best for serve-time precompute and direct factorizations), or
-    # "pallas" (ops/pallas/cholesky.py: whole factorization VMEM-resident in
-    # ONE kernel — the fit-hot-path size class N <= pallas_cholesky_max_n;
-    # larger operands fall back to "blocked").
+    # "left" (left-looking blocked, ops/linalg.left_cholesky — the fastest
+    # large-N path: 22.4 TFLOP/s "high" / 15.9 "highest" at N=16k v5e, one
+    # wide history GEMM per panel; best for serve-time precompute, direct
+    # factorizations and the bench), "blocked" (right-looking
+    # triangle-restricted SYRK; kept for comparison/compat), or "pallas"
+    # (ops/pallas/cholesky.py: whole factorization VMEM-resident in ONE
+    # kernel — the fit-hot-path size class N <= pallas_cholesky_max_n;
+    # larger operands fall back to "left").
     cholesky_method: str = "xla"
     cholesky_block: int = 512
     # Largest N routed to the VMEM-resident Pallas Cholesky (matrix +
@@ -118,11 +120,14 @@ class GPConfig:
     # Run Pallas kernels in interpreter mode (CPU testing of the Pallas
     # product routing; never set on real TPU runs).
     pallas_interpret: bool = False
-    # matmul precision of the blocked SYRK updates. "highest" (full f32) is
-    # the default: measured factor error 1.4e-4 vs XLA's 1.8e-4 at cond~1e5,
-    # while "high" (bf16x3) degrades to 2.3e-2 there and can NaN the
-    # factorization when the optimizer drives the nugget low. Use "high"
-    # only for well-conditioned speed-hungry paths.
+    # matmul precision of the blocked SYRK/history updates. "highest" (full
+    # f32) is the safe tier: left-looking factor error 1.9e-5 at cond 1e5
+    # (N=4096 f32 vs f64). "high" (bf16x3) is ~40% faster but degrades to
+    # 4.6e-4 at cond 1e5 and NaNs near cond 1e7 — safe only when the operand
+    # conditioning is bounded. "auto" picks the tier per factorization from
+    # the analytic GP bound kappa <= 1 + N*amp/nugget_eff
+    # (ops/linalg.choose_update_precision); host-level callers resolve it
+    # from concrete hyperparameters, traced callers fall back to "highest".
     cholesky_update_precision: str = "highest"
     # Batched predictions process queries in sequential chunks of this size
     # (None = all at once). At N=16k, an 8k-query predict holds ~24 GB of
@@ -143,9 +148,16 @@ class GPConfig:
             raise ValueError(f"nparams must be >= 1, got {self.nparams}")
         if self.gram_method not in ("xla", "pallas"):
             raise ValueError(f"unknown gram_method {self.gram_method!r}")
-        if self.cholesky_method not in ("xla", "blocked", "pallas"):
+        if self.cholesky_method not in ("xla", "left", "blocked", "pallas"):
             raise ValueError(
                 f"unknown cholesky_method {self.cholesky_method!r}"
+            )
+        if self.cholesky_update_precision not in (
+            "auto", "default", "high", "highest",
+        ):
+            raise ValueError(
+                "unknown cholesky_update_precision "
+                f"{self.cholesky_update_precision!r}"
             )
 
     @property

@@ -119,6 +119,47 @@ def test_blocked_cholesky_backend_matches_xla(rng):
     assert np.allclose(np.asarray(var1), np.asarray(var2), rtol=1e-8, atol=1e-12)
 
 
+def test_left_cholesky_backend_matches_xla(rng):
+    cfg, data, p = setup_problem(rng, n=100)
+    ll_xla = float(gp.log_marginal_likelihood(p, data, cfg))
+    cfg_left = GPConfig(
+        nparams=cfg.nparams,
+        regression_order=cfg.regression_order,
+        cholesky_method="left",
+        cholesky_block=32,
+        cholesky_update_precision="auto",  # traced fallback -> highest
+    )
+    ll_left = float(gp.log_marginal_likelihood(p, data, cfg_left))
+    assert np.isclose(ll_xla, ll_left, rtol=1e-10), (ll_xla, ll_left)
+    mean1, var1 = gp.gp_posterior(p, data, data.X[:5], cfg)
+    mean2, var2 = gp.gp_posterior(p, data, data.X[:5], cfg_left)
+    assert np.allclose(np.asarray(mean1), np.asarray(mean2), rtol=1e-10)
+    assert np.allclose(np.asarray(var1), np.asarray(var2), rtol=1e-8, atol=1e-12)
+
+
+def test_resolve_update_precision_auto(rng):
+    cfg, data, p = setup_problem(rng, n=20)
+    cfg_auto = GPConfig(
+        nparams=cfg.nparams,
+        cholesky_method="left",
+        cholesky_update_precision="auto",
+    )
+    # n=20, amp=1.3, nugget=1e-3 (f64: no jitter floor):
+    # kappa bound = 1 + 20*1.3/1e-3 = 26001 -> "highest"
+    r1 = gp.resolve_update_precision(p, 20, cfg_auto)
+    assert r1.cholesky_update_precision == "highest"
+    # large nugget -> tiny bound -> "high"
+    p2 = p._replace(log_nugget=jnp.asarray(np.log(0.5)))
+    r2 = gp.resolve_update_precision(p2, 20, cfg_auto)
+    assert r2.cholesky_update_precision == "high"
+    # non-auto configs pass through untouched
+    r3 = gp.resolve_update_precision(p, 20, cfg)
+    assert r3 is cfg
+    # the safe precompute path accepts "auto" end-to-end
+    st = gp.precompute_predictor_safe(p, data, cfg_auto)
+    assert bool(st.ok)
+
+
 def test_chunked_predict_matches_unchunked(rng):
     cfg, data, p = setup_problem(rng, n=30)
     Xs = jnp.asarray(rng.uniform(size=(23, 2)))  # deliberately not % chunk

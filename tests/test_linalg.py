@@ -88,6 +88,56 @@ def test_blocked_cholesky_opt_f32_accuracy(rng):
     assert rel.max() < 1e-5, rel.max()
 
 
+@pytest.mark.parametrize("n,block", [(96, 32), (256, 64), (128, 128)])
+def test_left_cholesky_matches_numpy_f64(rng, n, block):
+    A = random_spd(rng, n)
+    L = np.asarray(linalg.left_cholesky(jnp.asarray(A), block=block))
+    assert np.allclose(L, np.linalg.cholesky(A), rtol=1e-9, atol=1e-9)
+    assert np.allclose(np.triu(L, 1), 0.0)
+
+
+@pytest.mark.parametrize("prec", ["high", "highest"])
+def test_left_cholesky_f32(rng, prec):
+    A = random_spd(rng, 192)
+    L64 = np.linalg.cholesky(A)
+    L32 = np.asarray(
+        linalg.left_cholesky(
+            jnp.asarray(A, dtype=jnp.float32), block=64, update_precision=prec
+        )
+    )
+    rel = np.abs(L32 - L64) / np.abs(L64).max()
+    assert rel.max() < (1e-5 if prec == "highest" else 1e-3), rel.max()
+
+
+def test_left_cholesky_gradient_matches_xla(rng):
+    """Murray custom VJP through the left-looking factorization."""
+    import jax
+
+    A = jnp.asarray(random_spd(rng, 96))
+
+    def f_xla(M):
+        L = linalg.xla_cholesky(M)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L * jnp.cos(L))
+
+    def f_left(M):
+        L = linalg.left_cholesky(M, block=32)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L * jnp.cos(L))
+
+    g1 = np.asarray(jax.grad(f_xla)(A))
+    g2 = np.asarray(jax.grad(f_left)(A))
+    np.testing.assert_allclose(g1, g2, rtol=1e-8, atol=1e-10)
+
+
+def test_choose_update_precision_thresholds():
+    assert linalg.choose_update_precision(1e2) == "high"
+    assert linalg.choose_update_precision(1e4) == "high"
+    assert linalg.choose_update_precision(1e5) == "highest"
+    assert linalg.choose_update_precision(1e7) == "highest"
+    # GP bound: amp is the variance amplitude, nugget_eff the diagonal add
+    k = linalg.gp_kappa_bound(16384, 1.0, 1e-2)
+    assert k == pytest.approx(1.0 + 16384 / 1e-2)
+
+
 def test_logdet_and_cho_solve(rng):
     A = random_spd(rng, 40)
     b = rng.standard_normal(40)
