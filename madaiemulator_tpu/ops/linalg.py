@@ -198,12 +198,17 @@ def _left_cholesky_impl(
     nb = n // block
     prec = _PRECISIONS[update_precision]
     tprec = _PRECISIONS[trsm_precision or update_precision]
-    if diag == "pallas" and A.dtype != jnp.float64:
-        from madaiemulator_tpu.ops.pallas.cholesky import pallas_cholesky
+    use_pallas_panel = (
+        diag in ("pallas", "pallas_interpret") and A.dtype != jnp.float64
+    )
+    if use_pallas_panel:
+        from madaiemulator_tpu.ops.pallas.cholesky import pallas_panel_factor
 
-        diag_chol = lambda M: pallas_cholesky(M, panel=128).astype(A.dtype)
-    else:
-        diag_chol = lax.linalg.cholesky
+        def panel_factor(M):
+            Lkk, invK = pallas_panel_factor(
+                M, panel=128, interpret=(diag == "pallas_interpret")
+            )
+            return Lkk.astype(A.dtype), invK.astype(A.dtype)
 
     L = jnp.zeros_like(A)
     for j in range(nb):
@@ -217,14 +222,21 @@ def _left_cholesky_impl(
                 preferred_element_type=A.dtype,
                 precision=prec,
             )
-        Lkk = diag_chol(Pa[:block])
-        if cj + block < n:
+        last = cj + block >= n
+        if use_pallas_panel:
+            # fused Pallas kernel: factor + triangular inverse, one launch
+            Lkk, invK = panel_factor(Pa[:block])
+        else:
+            Lkk = lax.linalg.cholesky(Pa[:block])
+            invK = None
+        if not last:
             if A.dtype == jnp.float64:
                 L21 = lax.linalg.triangular_solve(
                     Lkk, Pa[block:], left_side=False, lower=True, transpose_a=True
                 )
             else:
-                invK = tri_inv_block(Lkk, precision=tprec)
+                if invK is None:
+                    invK = tri_inv_block(Lkk, precision=tprec)
                 L21 = jnp.dot(
                     Pa[block:], invK.T, preferred_element_type=A.dtype, precision=tprec
                 )

@@ -117,6 +117,95 @@ def _chol_kernel(a_ref, out_ref, *, n: int, panel: int):
     out_ref[:] = jnp.tril(out_ref[:])
 
 
+def _panel_factor_kernel(a_ref, l_ref, inv_ref, *, b: int, panel: int):
+    """Fused panel factorization: L = chol(A) AND inv(L), one VMEM kernel.
+
+    Stage 1 is the blocked factorization of `_chol_kernel`; stage 2 inverts
+    the factor blockwise (per-128-block substitution inverse + MXU dots for
+    the off-diagonal blocks), so the left-looking large-N driver gets both
+    the diagonal factor and the TRSM operand from ONE kernel launch with no
+    HBM round-trip between them.
+    """
+    HI = jax.lax.Precision.HIGHEST
+    l_ref[:] = a_ref[:]
+    nb = b // panel
+    for k in range(nb):
+        kb = k * panel
+        Lkk = _unblocked_chol_block(l_ref[kb : kb + panel, kb : kb + panel], panel)
+        l_ref[kb : kb + panel, kb : kb + panel] = Lkk
+        if kb + panel < b:
+            A21 = l_ref[kb + panel :, kb : kb + panel]
+            invK = _tri_inv_block(Lkk, panel)
+            L21 = jnp.dot(
+                A21, invK.T, preferred_element_type=jnp.float32, precision=HI
+            )
+            l_ref[kb + panel :, kb : kb + panel] = L21
+            U = jnp.dot(
+                L21, L21.T, preferred_element_type=jnp.float32, precision=HI
+            )
+            l_ref[kb + panel :, kb + panel :] = (
+                l_ref[kb + panel :, kb + panel :] - U
+            )
+    l_ref[:] = jnp.tril(l_ref[:])
+
+    # stage 2: inv(L) blockwise. inv_ref starts as zeros (upper stays zero).
+    inv_ref[:] = jnp.zeros_like(inv_ref)
+    diag_invs = []
+    for i in range(nb):
+        ib = i * panel
+        di = _tri_inv_block(l_ref[ib : ib + panel, ib : ib + panel], panel)
+        diag_invs.append(di)
+        inv_ref[ib : ib + panel, ib : ib + panel] = di
+    for j in range(nb):
+        jb = j * panel
+        for i in range(j + 1, nb):
+            ib = i * panel
+            acc = jnp.zeros((panel, panel), dtype=jnp.float32)
+            for k in range(j, i):
+                kb = k * panel
+                acc = acc + jnp.dot(
+                    l_ref[ib : ib + panel, kb : kb + panel],
+                    inv_ref[kb : kb + panel, jb : jb + panel],
+                    preferred_element_type=jnp.float32,
+                    precision=HI,
+                )
+            inv_ref[ib : ib + panel, jb : jb + panel] = -jnp.dot(
+                diag_invs[i], acc, preferred_element_type=jnp.float32,
+                precision=HI,
+            )
+
+
+@functools.partial(jax.jit, static_argnames=("panel", "interpret"))
+def pallas_panel_factor(
+    A: jax.Array, panel: int = 128, interpret: bool = False
+):
+    """(chol(A), inv(chol(A))) of a VMEM-sized SPD block in ONE Pallas kernel.
+
+    The building block that keeps Pallas in the production N=16k path: the
+    left-looking blocked Cholesky (ops/linalg.left_cholesky, diag="pallas")
+    factors every diagonal panel AND obtains its triangular inverse (the
+    TRSM operand) from this single launch. b must be a multiple of `panel`
+    and small enough for three (b, b) f32 buffers to fit VMEM (b <= 1024).
+    """
+    b = A.shape[0]
+    if b % panel != 0:
+        raise ValueError(f"pallas_panel_factor: b={b} not a multiple of {panel}")
+    kernel = functools.partial(_panel_factor_kernel, b=b, panel=panel)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, b), jnp.float32),
+            jax.ShapeDtypeStruct((b, b), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(A.astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("panel", "interpret"))
 def pallas_cholesky(
     A: jax.Array, panel: int = 128, interpret: bool = False

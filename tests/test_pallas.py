@@ -100,6 +100,39 @@ def test_pallas_cholesky_vmaps(rng):
         assert np.abs(np.asarray(Lb[i]) - L64).max() < 1e-3 * np.abs(L64).max()
 
 
+def test_pallas_panel_factor_matches_numpy(rng):
+    from madaiemulator_tpu.ops.pallas.cholesky import pallas_panel_factor
+
+    n = 256
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = A @ A.T + n * np.eye(n, dtype=np.float32)
+    L, invL = pallas_panel_factor(jnp.asarray(A), panel=64, interpret=True)
+    L = np.asarray(L); invL = np.asarray(invL)
+    L64 = np.linalg.cholesky(A.astype(np.float64))
+    assert np.abs(L - L64).max() < 1e-3 * np.abs(L64).max()
+    # inverse check: invL @ L == I, and invL is lower-triangular
+    assert np.allclose(np.triu(invL, 1), 0.0)
+    I = invL.astype(np.float64) @ L.astype(np.float64)
+    assert np.abs(I - np.eye(n)).max() < 1e-4, np.abs(I - np.eye(n)).max()
+
+
+def test_left_cholesky_pallas_panel_path(rng):
+    """left_cholesky(diag='pallas') — the fused Pallas panel kernel inside
+    the large-N path — matches numpy (interpret mode on CPU)."""
+    from madaiemulator_tpu.ops import linalg
+
+    n = 256
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = A @ A.T + n * np.eye(n, dtype=np.float32)
+    L = np.asarray(
+        linalg.left_cholesky(
+            jnp.asarray(A), block=128, diag="pallas_interpret"
+        )
+    )
+    L64 = np.linalg.cholesky(A.astype(np.float64))
+    assert np.abs(L - L64).max() < 1e-3 * np.abs(L64).max()
+
+
 def test_pallas_cholesky_rejects_bad_size(rng):
     from madaiemulator_tpu.ops.pallas.cholesky import pallas_cholesky
 
