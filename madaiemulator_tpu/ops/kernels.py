@@ -91,10 +91,35 @@ def _sqdist(U: jax.Array, V: jax.Array) -> jax.Array:
     return jnp.maximum(uu[:, None] + vv[None, :] - 2.0 * uv, 0.0)
 
 
+# Cap on the (chunk, n2, d) difference-tensor footprint of the alpha != 2
+# power distance: 2^25 f32 elements = 128 MB. Above it the rows of U are
+# processed in sequential lax.map chunks, so the path scales to N=16k
+# (where the unchunked tensor would be ~8 TB) instead of OOMing.
+_POWER_DIST_MAX_ELEMS = 1 << 25
+
+
 def _abs_power_dist(U: jax.Array, V: jax.Array, alpha: float) -> jax.Array:
-    """sum_d |u_d - v_d|^alpha for alpha != 2 (no matmul form; VPU-bound)."""
-    diff = jnp.abs(U[:, None, :] - V[None, :, :])
-    return jnp.sum(diff**alpha, axis=-1)
+    """sum_d |u_d - v_d|^alpha for alpha != 2 (no matmul form; VPU-bound).
+
+    Memory-bounded: the (n1, n2, d) difference tensor is materialized at
+    most _POWER_DIST_MAX_ELEMS elements at a time (lax.map over row chunks
+    of U), keeping the exotic-alpha path usable at large N. Differentiates
+    through lax.map, so fits with alpha != 2 stay exact-gradient.
+    """
+    n1, d = U.shape
+    n2 = V.shape[0]
+
+    def block(ug):
+        diff = jnp.abs(ug[:, None, :] - V[None, :, :])
+        return jnp.sum(diff**alpha, axis=-1)
+
+    if n1 * n2 * d <= _POWER_DIST_MAX_ELEMS:
+        return block(U)
+    chunk = max(1, _POWER_DIST_MAX_ELEMS // (n2 * d))
+    pad = (-n1) % chunk
+    Up = jnp.pad(U, ((0, pad), (0, 0)), mode="edge") if pad else U
+    out = jax.lax.map(block, Up.reshape(-1, chunk, d))
+    return out.reshape(-1, n2)[:n1]
 
 
 def _apply_family(

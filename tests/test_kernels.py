@@ -46,6 +46,47 @@ def test_power_exponential_matches_scalar(rng, alpha):
             assert np.isclose(K[i, j], expect, rtol=1e-10), (i, j)
 
 
+def test_power_dist_chunked_matches_unchunked(rng, monkeypatch):
+    """The alpha != 2 path must give identical results (and exact gradients)
+    when the memory cap forces lax.map row chunking."""
+    import jax
+
+    d = 3
+    cfg = GPConfig(nparams=d, power_exp_alpha=1.7)
+    X = rng.uniform(size=(13, d))
+    Y = rng.uniform(size=(5, d))
+    ls = rng.uniform(0.3, 2.0, size=d)
+    p = make_params(1.1, 1e-3, ls)
+    K_full = np.asarray(
+        kernels.cross_covariance(jnp.asarray(X), jnp.asarray(Y), p, cfg)
+    )
+    g_full = np.asarray(
+        jax.grad(
+            lambda ll: jnp.sum(
+                kernels.cross_covariance(
+                    jnp.asarray(X), jnp.asarray(Y), p._replace(log_ls=ll), cfg
+                )
+            )
+        )(p.log_ls)
+    )
+    # force chunking: cap fits only 4 rows of (n2=5, d=3) at a time
+    monkeypatch.setattr(kernels, "_POWER_DIST_MAX_ELEMS", 4 * 5 * 3)
+    K_chunk = np.asarray(
+        kernels.cross_covariance(jnp.asarray(X), jnp.asarray(Y), p, cfg)
+    )
+    g_chunk = np.asarray(
+        jax.grad(
+            lambda ll: jnp.sum(
+                kernels.cross_covariance(
+                    jnp.asarray(X), jnp.asarray(Y), p._replace(log_ls=ll), cfg
+                )
+            )
+        )(p.log_ls)
+    )
+    np.testing.assert_allclose(K_chunk, K_full, rtol=1e-12)
+    np.testing.assert_allclose(g_chunk, g_full, rtol=1e-12)
+
+
 @pytest.mark.parametrize(
     "fam,nu",
     [(CovarianceFamily.MATERN32, 1.5), (CovarianceFamily.MATERN52, 2.5)],
