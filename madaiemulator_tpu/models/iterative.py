@@ -1,0 +1,517 @@
+"""Matrix-free (iterative) GP inference for N beyond dense-HBM scale.
+
+The reference's only large-N story is "don't" (serial GSL dense Cholesky,
+SURVEY.md §2/§6); the dense TPU path in this package (left-looking blocked
+Cholesky) carries N=16k on one chip. This module is the growth path past
+that: O(N^2) memory never materializes — the Gram matrix exists only as a
+row-chunked matvec — so N is bounded by O(N * (d + rank + probes)) buffers
+instead of N^2. The design follows the GPyTorch/BBMM line of work
+(PAPERS.md: "Blackbox Matrix-Matrix Gaussian Process Inference",
+"Preconditioning for Scalable Gaussian Process Hyperparameter
+Optimization"), recomposed for TPU:
+
+  * `gram_matvec`   — C @ V without C: lax.map over row blocks, each block
+                      one cross-covariance build (MXU matmul trick) + one
+                      GEMM. Batch the RHS: TPUs want matmuls, not matvecs.
+  * `pivoted_cholesky` — rank-k partial pivoted Cholesky of C built from
+                      kernel COLUMNS (O(N d + N k) per step), the classic
+                      preconditioner for kernel systems.
+  * `pcg_solve`     — preconditioned conjugate gradients, all RHS columns
+                      advanced together under one lax.while_loop.
+  * `slq_logdet`    — stochastic Lanczos quadrature for log|C| with
+                      Rademacher probes (exact when lanczos_iters == N).
+  * `lml_iterative` — the GLS log-marginal likelihood on these primitives,
+                      differentiable via a custom VJP that uses the
+                      Hutchinson identity d log|C| = E[(C^-1 z)^T dC z] and
+                      adjoint PCG solves (never an N x N intermediate).
+
+Everything is jit-able with static iteration caps; convergence is handled
+by masking (converged columns stop updating), not dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from madaiemulator_tpu.models.gp import GPData, regression_basis
+from madaiemulator_tpu.ops import kernels
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import GPConfig
+
+
+def _diag_add(n: int, params: GPParams, config: GPConfig, dtype) -> jax.Array:
+    jf = kernels.effective_jitter_frac(n, dtype, config)
+    return jnp.exp(params.log_nugget) + jf * jnp.exp(params.log_amp)
+
+
+def gram_matvec(
+    X: jax.Array,
+    params: GPParams,
+    config: GPConfig,
+    V: jax.Array,
+    row_chunk: int = 2048,
+) -> jax.Array:
+    """C(theta) @ V without materializing C. V is (n, m) (m RHS columns).
+
+    Peak extra memory is one (row_chunk, n) kernel tile + (row_chunk, m)
+    output block. Cost per call O(n^2 d / chip); batch RHS to amortize the
+    tile build over many columns.
+    """
+    n, d = X.shape
+    vec = V.ndim == 1
+    V2 = V[:, None] if vec else V
+    da = _diag_add(n, params, config, X.dtype)
+
+    chunk = min(row_chunk, n)
+    pad = (-n) % chunk
+    Xp = jnp.pad(X, ((0, pad), (0, 0)), mode="edge") if pad else X
+
+    def block(xc):
+        Kc = kernels.cross_covariance(xc, X, params, config)  # (chunk, n)
+        return jnp.dot(
+            Kc, V2, preferred_element_type=V2.dtype,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    out = lax.map(block, Xp.reshape(-1, chunk, d)).reshape(-1, V2.shape[1])[:n]
+    out = out + da * V2
+    return out[:, 0] if vec else out
+
+
+def pivoted_cholesky(
+    X: jax.Array,
+    params: GPParams,
+    config: GPConfig,
+    rank: int,
+) -> jax.Array:
+    """Rank-`rank` partial pivoted Cholesky L_k of the NOISELESS kernel
+    K(X, X) (no nugget): K ~= L_k L_k^T, pivots chosen greedily by residual
+    diagonal. Returns (n, rank).
+
+    Each step builds ONE kernel column (O(n d)) and one (n, k) GEMM row —
+    O(n k^2 + n k d) total, no N^2 anywhere. Standard preconditioner
+    construction for kernel systems (PAPERS.md "Preconditioning for
+    Scalable GP Hyperparameter Optimization").
+    """
+    n = X.shape[0]
+    amp = jnp.exp(params.log_amp)
+    dtype = X.dtype
+
+    def column(i):
+        xi = lax.dynamic_slice_in_dim(X, i, 1, axis=0)  # (1, d)
+        return kernels.cross_covariance(X, xi, params, config)[:, 0]  # (n,)
+
+    def body(k, carry):
+        L, diag = carry
+        i = jnp.argmax(diag)
+        ci = column(i)
+        lk_prev = lax.dynamic_slice_in_dim(L, 0, rank, axis=1)  # (n, rank)
+        li_row = L[i]  # (rank,)
+        c_res = ci - jnp.dot(
+            lk_prev, li_row, precision=lax.Precision.HIGHEST
+        )
+        pivot = jnp.maximum(diag[i], jnp.asarray(1e-30, dtype))
+        lk = c_res / jnp.sqrt(pivot)
+        # numerical guard: residual column of an exhausted pivot -> 0
+        lk = jnp.where(diag[i] > 0, lk, 0.0)
+        L = L.at[:, k].set(lk)
+        diag = jnp.maximum(diag - lk * lk, 0.0)
+        diag = diag.at[i].set(0.0)  # pivot fully consumed, never re-picked
+        return (L, diag)
+
+    L0 = jnp.zeros((n, rank), dtype=dtype)
+    diag0 = jnp.full((n,), 1.0, dtype=dtype) * amp  # stationary: k(x,x)=amp
+    L, _ = lax.fori_loop(0, rank, body, (L0, diag0))
+    return L
+
+
+class Preconditioner(NamedTuple):
+    """P = L_k L_k^T + sigma2 I applied via Woodbury:
+    P^-1 v = (v - L_k M^-1 L_k^T v) / sigma2,  M = sigma2 I_k + L_k^T L_k."""
+
+    Lk: jax.Array  # (n, k)
+    sigma2: jax.Array  # scalar
+    M_chol: jax.Array  # (k, k) lower Cholesky of M
+
+    def solve(self, V: jax.Array) -> jax.Array:
+        W = jnp.dot(
+            self.Lk.T, V, precision=lax.Precision.HIGHEST
+        )  # (k, m)
+        W = lax.linalg.triangular_solve(
+            self.M_chol, W, left_side=True, lower=True
+        )
+        W = lax.linalg.triangular_solve(
+            self.M_chol, W, left_side=True, lower=True, transpose_a=True
+        )
+        return (V - jnp.dot(self.Lk, W, precision=lax.Precision.HIGHEST)) / self.sigma2
+
+    def logdet(self) -> jax.Array:
+        """log|P| = (n - k) log sigma2 + log|M| (Sylvester)."""
+        n, k = self.Lk.shape
+        return (n - k) * jnp.log(self.sigma2) + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(self.M_chol))
+        )
+
+
+def make_preconditioner(
+    Lk: jax.Array, sigma2: jax.Array
+) -> Preconditioner:
+    k = Lk.shape[1]
+    M = sigma2 * jnp.eye(k, dtype=Lk.dtype) + jnp.dot(
+        Lk.T, Lk, precision=lax.Precision.HIGHEST
+    )
+    return Preconditioner(Lk=Lk, sigma2=sigma2, M_chol=lax.linalg.cholesky(M))
+
+
+def pcg_solve(
+    matvec: Callable[[jax.Array], jax.Array],
+    B: jax.Array,
+    precond: Optional[Preconditioner] = None,
+    tol: float = 1e-6,
+    max_iters: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched preconditioned CG: solve A x = b for every column of B.
+
+    Returns (X, rel_residual (m,), iters_used). Converged columns freeze
+    (masked updates) so one while_loop serves the whole batch; the loop
+    exits when every column converges or at max_iters.
+    """
+    vec = B.ndim == 1
+    B2 = B[:, None] if vec else B
+    m = B2.shape[1]
+    bnorm = jnp.maximum(jnp.linalg.norm(B2, axis=0), 1e-30)
+
+    def psolve(V):
+        return precond.solve(V) if precond is not None else V
+
+    X0 = jnp.zeros_like(B2)
+    R0 = B2
+    Z0 = psolve(R0)
+    P0 = Z0
+    rz0 = jnp.sum(R0 * Z0, axis=0)
+
+    def cond(state):
+        i, _, R, *_ = state
+        rel = jnp.linalg.norm(R, axis=0) / bnorm
+        return jnp.logical_and(i < max_iters, jnp.any(rel > tol))
+
+    def body(state):
+        i, Xc, R, Z, P, rz = state
+        active = (jnp.linalg.norm(R, axis=0) / bnorm) > tol  # (m,)
+        AP = matvec(P)
+        pap = jnp.sum(P * AP, axis=0)
+        alpha = jnp.where(active, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+        Xc = Xc + alpha[None, :] * P
+        R = R - alpha[None, :] * AP
+        Z = psolve(R)
+        rz_new = jnp.sum(R * Z, axis=0)
+        beta = jnp.where(active, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        P = Z + beta[None, :] * P
+        return (i + 1, Xc, R, Z, P, rz_new)
+
+    i, Xs, R, *_ = lax.while_loop(cond, body, (0, X0, R0, Z0, P0, rz0))
+    rel = jnp.linalg.norm(R, axis=0) / bnorm
+    if vec:
+        return Xs[:, 0], rel[0], i
+    return Xs, rel, i
+
+
+def _lanczos_tridiag(
+    matvec: Callable[[jax.Array], jax.Array],
+    z: jax.Array,
+    iters: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Lanczos on one probe: returns (alphas (m,), betas (m-1,)) of the
+    tridiagonal T_m with full reorthogonalization against the stored basis
+    (O(n*iters) memory; iters is small, <= ~64)."""
+    n = z.shape[0]
+    q0 = z / jnp.linalg.norm(z)
+    Q = jnp.zeros((n, iters), dtype=z.dtype).at[:, 0].set(q0)
+
+    def body(j, carry):
+        Q, alphas, betas = carry
+        qj = Q[:, j]
+        w = matvec(qj)
+        aj = jnp.dot(qj, w, precision=lax.Precision.HIGHEST)
+        w = w - aj * qj
+        w = jnp.where(j > 0, w - betas[jnp.maximum(j - 1, 0)] * Q[:, jnp.maximum(j - 1, 0)], w)
+        # full reorthogonalization (columns > j are zero, harmless)
+        w = w - jnp.dot(Q, jnp.dot(Q.T, w, precision=lax.Precision.HIGHEST),
+                        precision=lax.Precision.HIGHEST)
+        bj = jnp.linalg.norm(w)
+        alphas = alphas.at[j].set(aj)
+        betas = lax.cond(
+            j + 1 < iters, lambda b: b.at[j].set(bj), lambda b: b, betas
+        )
+        qn = jnp.where(bj > 1e-12, w / jnp.maximum(bj, 1e-30), 0.0)
+        Q = lax.cond(
+            j + 1 < iters,
+            lambda q: q.at[:, j + 1].set(qn),
+            lambda q: q,
+            Q,
+        )
+        return (Q, alphas, betas)
+
+    alphas = jnp.zeros((iters,), dtype=z.dtype)
+    betas = jnp.zeros((max(iters - 1, 1),), dtype=z.dtype)
+    _, alphas, betas = lax.fori_loop(0, iters, body, (Q, alphas, betas))
+    return alphas, betas[: iters - 1] if iters > 1 else betas[:0]
+
+
+def slq_logdet(
+    matvec: Callable[[jax.Array], jax.Array],
+    n: int,
+    key: jax.Array,
+    probes: int = 16,
+    lanczos_iters: int = 32,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Stochastic Lanczos quadrature estimate of log|A| (A SPD via matvec).
+
+    E_z[z^T log(A) z] with Rademacher probes; each probe's quadratic form is
+    evaluated by eigendecomposing its m x m Lanczos tridiagonal (exact when
+    lanczos_iters == n). Unbiasedness caveat: SLQ is biased low for finite
+    m on ill-conditioned A — size lanczos_iters to the conditioning.
+    """
+    m = min(lanczos_iters, n)
+    exact = probes >= n
+    if exact:
+        # exact: canonical-basis probes (each yields one diagonal entry of
+        # log(A); their SUM is the trace) + full Krylov per probe
+        Z = jnp.eye(n, dtype=dtype)
+        m = n
+    else:
+        Z = jnp.where(
+            jax.random.bernoulli(key, 0.5, (n, probes)), 1.0, -1.0
+        ).astype(dtype)
+
+    def one(z):
+        alphas, betas = _lanczos_tridiag(matvec, z, m)
+        T = (
+            jnp.diag(alphas)
+            + jnp.diag(betas, 1)
+            + jnp.diag(betas, -1)
+        )
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, 1e-30)
+        w = evecs[0, :] ** 2
+        return jnp.dot(w, jnp.log(evals)) * jnp.dot(z, z)
+
+    ests = lax.map(one, Z.T)
+    return jnp.sum(ests) if exact else jnp.mean(ests)
+
+
+class IterativeInfo(NamedTuple):
+    solve_rel_residual: jax.Array  # worst relative residual of the solves
+    cg_iters: jax.Array
+
+
+def _solve_C(params, data, config, rank, cg, B):
+    """PCG solve C^-1 B with a fresh pivoted-Cholesky preconditioner."""
+    tol, iters = cg
+    n = data.X.shape[0]
+    da = _diag_add(n, params, config, data.X.dtype)
+    Lk = pivoted_cholesky(data.X, params, config, rank)
+    pre = make_preconditioner(Lk, da)
+    mv = lambda V: gram_matvec(data.X, params, config, V)
+    return pcg_solve(mv, B, pre, tol=tol, max_iters=iters)
+
+
+def _lml_iterative_impl(
+    params, seed, data, config, rank, probes, lanczos_iters, cg
+):
+    key = jax.random.key(seed)
+    n = data.X.shape[0]
+    H = regression_basis(data.X, config.regression_order)
+    B = jnp.concatenate([data.y[:, None], H], axis=1)  # (n, 1 + p)
+    S, rel, it = _solve_C(params, data, config, rank, cg, B)
+    Ciy, CiH = S[:, 0], S[:, 1:]
+    A = jnp.dot(H.T, CiH, precision=lax.Precision.HIGHEST)
+    LA = lax.linalg.cholesky(A)
+    rhs = jnp.dot(H.T, Ciy, precision=lax.Precision.HIGHEST)
+    w = lax.linalg.triangular_solve(LA, rhs[:, None], left_side=True, lower=True)
+    beta = lax.linalg.triangular_solve(
+        LA, w, left_side=True, lower=True, transpose_a=True
+    )[:, 0]
+    alpha = Ciy - jnp.dot(CiH, beta, precision=lax.Precision.HIGHEST)
+    r = data.y - jnp.dot(H, beta, precision=lax.Precision.HIGHEST)
+    quad = jnp.dot(r, alpha, precision=lax.Precision.HIGHEST)
+    mv = lambda V: gram_matvec(data.X, params, config, V)
+    logdet = slq_logdet(
+        mv, n, key, probes=probes, lanczos_iters=lanczos_iters,
+        dtype=data.X.dtype,
+    )
+    ll = -0.5 * quad - 0.5 * logdet - 0.5 * n * math.log(2.0 * math.pi)
+    if config.reml:
+        ll = ll - jnp.sum(jnp.log(jnp.diagonal(LA)))
+    return ll, alpha, IterativeInfo(jnp.max(rel), it)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7)
+)
+def _lml_iterative(
+    params: GPParams,
+    seed: int,
+    data: GPData,
+    config: GPConfig,
+    rank: int,
+    probes: int,
+    lanczos_iters: int,
+    cg: Tuple[float, int],
+):
+    ll, _, _ = _lml_iterative_impl(
+        params, seed, data, config, rank, probes, lanczos_iters, cg
+    )
+    return ll
+
+
+def _lml_iter_fwd(params, seed, data, config, rank, probes, lanczos_iters, cg):
+    ll, alpha, _ = _lml_iterative_impl(
+        params, seed, data, config, rank, probes, lanczos_iters, cg
+    )
+    return ll, (params, alpha)
+
+
+def _lml_iter_bwd(seed, data, config, rank, probes, lanczos_iters, cg, res, g):
+    """BBMM-style gradient, no N x N intermediates:
+
+      d lml = 0.5 alpha^T dC alpha - 0.5 tr(C^-1 dC)
+      tr(C^-1 dC) ~= (1/p) sum_i (C^-1 z_i)^T dC z_i   (Hutchinson; exact
+      when probes == N and Z spans the canonical basis — see
+      `probes="exact"` in tests)
+
+    Both contractions are u^T dC v terms, evaluated through jax.vjp of the
+    matrix-free quadratic form sum_j u_j^T (C v_j) — dC never exists.
+    (The REML term's gradient is dropped: its magnitude is O(p/N) of the
+    main terms; config.reml with iterative gradients is documented as
+    approximate.)
+    """
+    params, alpha = res
+    n = data.X.shape[0]
+    key = jax.random.fold_in(jax.random.key(seed), 1)
+    if probes >= n:
+        # exact trace: canonical-basis probes; their SUM is tr(C^-1 dC)
+        Z = jnp.eye(n, dtype=data.X.dtype)
+        scale = 1.0
+    else:
+        Z = jnp.where(
+            jax.random.bernoulli(key, 0.5, (n, probes)), 1.0, -1.0
+        ).astype(data.X.dtype)
+        scale = 1.0 / probes  # Hutchinson mean
+    CiZ, _, _ = _solve_C(params, data, config, rank, cg, Z)
+
+    def quad_form(prm, U, V):
+        # sum_j u_j^T C(prm) v_j
+        return jnp.sum(U * gram_matvec(data.X, prm, config, V))
+
+    # 0.5 * alpha^T dC alpha
+    _, vjp1 = jax.vjp(
+        lambda prm: quad_form(prm, alpha[:, None], alpha[:, None]), params
+    )
+    g1 = vjp1(jnp.asarray(0.5, alpha.dtype))[0]
+    # -0.5 * scale * sum_i (C^-1 z_i)^T dC z_i
+    _, vjp2 = jax.vjp(lambda prm: quad_form(prm, CiZ, Z), params)
+    g2 = vjp2(jnp.asarray(-0.5 * scale, alpha.dtype))[0]
+    grad = jax.tree.map(lambda a, b: (a + b) * g, g1, g2)
+    return (grad,)
+
+
+_lml_iterative.defvjp(_lml_iter_fwd, _lml_iter_bwd)
+
+
+def lml_iterative(
+    params: GPParams,
+    data: GPData,
+    config: GPConfig,
+    seed: int = 0,
+    rank: int = 64,
+    probes: int = 16,
+    lanczos_iters: int = 32,
+    cg_tol: float = 1e-6,
+    cg_max_iters: int = 256,
+) -> jax.Array:
+    """Matrix-free GLS log-marginal likelihood, differentiable wrt params
+    via the Hutchinson/adjoint-solve VJP. `seed` (static int) fixes the
+    probe vectors — keep it constant across an optimization run so the
+    objective is a deterministic sample-average approximation. Setting
+    probes >= N switches the estimators to exact canonical-basis traces
+    (O(N) solves; for validation and small N)."""
+    return _lml_iterative(
+        params, seed, data, config, rank, probes, lanczos_iters,
+        (cg_tol, cg_max_iters),
+    )
+
+
+def predict_iterative(
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+    rank: int = 64,
+    cg_tol: float = 1e-6,
+    cg_max_iters: int = 256,
+    query_chunk: int = 1024,
+    with_variance: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Posterior mean (and optionally variance) with no N x N buffer.
+
+    mean = h(x*)^T beta + k*^T alpha with alpha from PCG; variance uses one
+    PCG solve per query chunk (k*^T C^-1 k*) plus the GLS correction. The
+    memory high-water mark is O(N * (rank + query_chunk)).
+    """
+    n = data.X.shape[0]
+    H = regression_basis(data.X, config.regression_order)
+    B = jnp.concatenate([data.y[:, None], H], axis=1)
+    S, _, _ = _solve_C(params, data, config, rank, (cg_tol, cg_max_iters), B)
+    Ciy, CiH = S[:, 0], S[:, 1:]
+    A = jnp.dot(H.T, CiH, precision=lax.Precision.HIGHEST)
+    LA = lax.linalg.cholesky(A)
+    rhs = jnp.dot(H.T, Ciy, precision=lax.Precision.HIGHEST)
+    w = lax.linalg.triangular_solve(LA, rhs[:, None], left_side=True, lower=True)
+    beta = lax.linalg.triangular_solve(
+        LA, w, left_side=True, lower=True, transpose_a=True
+    )[:, 0]
+    alpha = Ciy - jnp.dot(CiH, beta, precision=lax.Precision.HIGHEST)
+
+    m = Xs.shape[0]
+    chunk = min(query_chunk, m)
+    pad = (-m) % chunk
+    Xsp = jnp.pad(Xs, ((0, pad), (0, 0)), mode="edge") if pad else Xs
+
+    amp = jnp.exp(params.log_amp)
+    kss = amp + (
+        jnp.exp(params.log_nugget)
+        if config.predict_variance_includes_nugget
+        else 0.0
+    )
+
+    def do_chunk(xq):
+        Ks = kernels.cross_covariance(data.X, xq, params, config)  # (n, c)
+        Hs = regression_basis(xq, config.regression_order)  # (c, p)
+        mean = jnp.dot(Hs, beta) + jnp.dot(
+            Ks.T, alpha, precision=lax.Precision.HIGHEST
+        )
+        if not with_variance:
+            return mean, jnp.zeros_like(mean)
+        CiKs, _, _ = _solve_C(
+            params, data, config, rank, (cg_tol, cg_max_iters), Ks
+        )
+        var = kss - jnp.sum(Ks * CiKs, axis=0)
+        G = Hs.T - jnp.dot(CiH.T, Ks, precision=lax.Precision.HIGHEST)
+        W = lax.linalg.triangular_solve(LA, G, left_side=True, lower=True)
+        var = var + jnp.sum(W * W, axis=0)
+        return mean, jnp.maximum(var, 0.0)
+
+    means, variances = lax.map(
+        do_chunk, Xsp.reshape(-1, chunk, Xs.shape[1])
+    )
+    means = means.reshape(-1)[:m]
+    variances = variances.reshape(-1)[:m]
+    return (means, variances if with_variance else None)

@@ -1,0 +1,157 @@
+"""Matrix-free (iterative) GP inference vs the dense path (SURVEY.md §5
+"long-context analog": the growth path past dense-HBM N; PAPERS.md BBMM)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.models import gp, iterative
+from madaiemulator_tpu.models.gp import GPData
+from madaiemulator_tpu.ops import kernels
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import GPConfig
+
+
+def setup_problem(rng, n=48, d=2, nugget=1e-2):
+    cfg = GPConfig(nparams=d, regression_order=1)
+    X = rng.uniform(size=(n, d))
+    y = np.sin(3 * X[:, 0]) + 0.5 * X[:, 1] + 0.05 * rng.standard_normal(n)
+    p = GPParams(
+        log_amp=jnp.asarray(np.log(1.3)),
+        log_nugget=jnp.asarray(np.log(nugget)),
+        log_ls=jnp.asarray(np.log(np.array([0.6, 0.9][:d]))),
+    )
+    return cfg, GPData(X=jnp.asarray(X), y=jnp.asarray(y)), p
+
+
+def test_gram_matvec_matches_dense(rng):
+    cfg, data, p = setup_problem(rng, n=37)
+    C = np.asarray(kernels.gram_matrix(data.X, p, cfg))
+    V = rng.standard_normal((37, 3))
+    got = np.asarray(iterative.gram_matvec(data.X, p, cfg, jnp.asarray(V), row_chunk=8))
+    np.testing.assert_allclose(got, C @ V, rtol=1e-9, atol=1e-12)
+    # vector form
+    got1 = np.asarray(iterative.gram_matvec(data.X, p, cfg, jnp.asarray(V[:, 0])))
+    np.testing.assert_allclose(got1, C @ V[:, 0], rtol=1e-9, atol=1e-12)
+
+
+def test_pivoted_cholesky_converges(rng):
+    cfg, data, p = setup_problem(rng, n=40)
+    K = np.asarray(kernels.cross_covariance(data.X, data.X, p, cfg))
+    K = 0.5 * (K + K.T)
+    for rank, tol in [(10, 0.5), (40, 1e-6)]:
+        Lk = np.asarray(iterative.pivoted_cholesky(data.X, p, cfg, rank))
+        err = np.abs(K - Lk @ Lk.T).max() / np.abs(K).max()
+        assert err < tol, (rank, err)
+
+
+def test_pcg_matches_direct_solve(rng):
+    cfg, data, p = setup_problem(rng, n=45)
+    C = np.asarray(kernels.gram_matrix(data.X, p, cfg))
+    B = rng.standard_normal((45, 4))
+    Lk = iterative.pivoted_cholesky(data.X, p, cfg, 20)
+    da = float(np.exp(np.asarray(p.log_nugget)))
+    pre = iterative.make_preconditioner(Lk, jnp.asarray(da))
+    mv = lambda V: iterative.gram_matvec(data.X, p, cfg, V)
+    X, rel, iters = iterative.pcg_solve(mv, jnp.asarray(B), pre, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(C, B), rtol=1e-6, atol=1e-8)
+    assert float(np.max(np.asarray(rel))) < 1e-9
+    # preconditioning must beat unpreconditioned iteration count
+    X2, rel2, iters2 = iterative.pcg_solve(mv, jnp.asarray(B), None, tol=1e-10)
+    assert int(iters) <= int(iters2)
+
+
+def test_preconditioner_solve_and_logdet(rng):
+    n, k = 30, 8
+    Lk = rng.standard_normal((n, k)) * 0.7
+    s2 = 0.3
+    P = Lk @ Lk.T + s2 * np.eye(n)
+    pre = iterative.make_preconditioner(jnp.asarray(Lk), jnp.asarray(s2))
+    V = rng.standard_normal((n, 2))
+    np.testing.assert_allclose(
+        np.asarray(pre.solve(jnp.asarray(V))), np.linalg.solve(P, V),
+        rtol=1e-8, atol=1e-10,
+    )
+    assert np.isclose(float(pre.logdet()), np.linalg.slogdet(P)[1], rtol=1e-10)
+
+
+def test_slq_logdet_exact_mode(rng):
+    cfg, data, p = setup_problem(rng, n=32)
+    C = np.asarray(kernels.gram_matrix(data.X, p, cfg))
+    mv = lambda V: iterative.gram_matvec(data.X, p, cfg, V)
+    est = float(
+        iterative.slq_logdet(
+            lambda v: mv(v), 32, jax.random.key(0), probes=32, lanczos_iters=32,
+            dtype=jnp.float64,
+        )
+    )
+    exact = np.linalg.slogdet(C)[1]
+    assert np.isclose(est, exact, rtol=1e-6), (est, exact)
+
+
+def test_slq_logdet_stochastic_reasonable(rng):
+    cfg, data, p = setup_problem(rng, n=60)
+    C = np.asarray(kernels.gram_matrix(data.X, p, cfg))
+    mv = lambda V: iterative.gram_matvec(data.X, p, cfg, V)
+    est = float(
+        iterative.slq_logdet(
+            mv, 60, jax.random.key(3), probes=32, lanczos_iters=40,
+            dtype=jnp.float64,
+        )
+    )
+    exact = np.linalg.slogdet(C)[1]
+    # stochastic: generous tolerance, but must be in the right ballpark
+    assert abs(est - exact) < 0.05 * max(abs(exact), 10.0), (est, exact)
+
+
+@pytest.mark.parametrize("reml", [False])
+def test_lml_iterative_matches_dense_exact_mode(rng, reml):
+    cfg, data, p = setup_problem(rng, n=36)
+    ll_dense = float(gp.log_marginal_likelihood(p, data, cfg))
+    ll_iter = float(
+        iterative.lml_iterative(
+            p, data, cfg, seed=0, rank=36, probes=36, lanczos_iters=36,
+            cg_tol=1e-12, cg_max_iters=400,
+        )
+    )
+    assert np.isclose(ll_iter, ll_dense, rtol=1e-5, atol=1e-4), (ll_iter, ll_dense)
+
+
+def test_lml_iterative_gradient_matches_dense_exact_mode(rng):
+    cfg, data, p = setup_problem(rng, n=30)
+    g_dense = jax.grad(lambda pp: gp.log_marginal_likelihood(pp, data, cfg))(p)
+    g_iter = jax.grad(
+        lambda pp: iterative.lml_iterative(
+            pp, data, cfg, seed=0, rank=30, probes=30, lanczos_iters=30,
+            cg_tol=1e-12, cg_max_iters=400,
+        )
+    )(p)
+    for a, b in zip(jax.tree.leaves(g_dense), jax.tree.leaves(g_iter)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_predict_iterative_matches_dense(rng):
+    cfg, data, p = setup_problem(rng, n=42)
+    Xs = jnp.asarray(rng.uniform(size=(11, 2)))
+    m_d, v_d = gp.gp_posterior(p, data, Xs, cfg)
+    m_i, v_i = iterative.predict_iterative(
+        p, data, Xs, cfg, rank=42, cg_tol=1e-12, cg_max_iters=400,
+        query_chunk=4,
+    )
+    np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), rtol=1e-4, atol=1e-8)
+
+
+def test_lml_iterative_jits(rng):
+    cfg, data, p = setup_problem(rng, n=24)
+    f = jax.jit(
+        lambda pp: iterative.lml_iterative(
+            pp, data, cfg, seed=1, rank=8, probes=4, lanczos_iters=12,
+        )
+    )
+    v1 = float(f(p))
+    v2 = float(f(p))
+    assert np.isfinite(v1) and v1 == v2
