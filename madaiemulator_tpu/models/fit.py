@@ -181,6 +181,7 @@ def fit_gp_host(
     m_history: int = 10,
     gtol: float = 1e-5,
     vg_batch: int | None = None,
+    lml_fn=None,
 ) -> FitResult:
     """Host-loop LBFGS for very large N (BASELINE config 4 driver).
 
@@ -197,6 +198,10 @@ def fit_gp_host(
     update on host. vg_batch caps how many restarts share one device call
     when R Gram matrices + Cholesky backward temps would not fit HBM
     (at N=16k each restart's live set is a few GB on a 16 GB chip).
+
+    lml_fn overrides the objective: any (params, data, config) -> scalar
+    log-likelihood with a JAX-differentiable value (e.g. the matrix-free
+    `models.iterative.lml_iterative`, see `fit_gp_iterative`).
     """
     import numpy as np
 
@@ -209,9 +214,11 @@ def fit_gp_host(
     import jax.flatten_util
 
     u0_all = sample_restarts(key, config, R, dtype=dtype)
+    if lml_fn is None:
+        lml_fn = log_marginal_likelihood
 
     def objective(u):
-        return -log_marginal_likelihood(_u_to_params(u, lo, hi), data, config)
+        return -lml_fn(_u_to_params(u, lo, hi), data, config)
 
     single = jax.tree.map(lambda a: a[0], u0_all)
     _, unravel = jax.flatten_util.ravel_pytree(single)

