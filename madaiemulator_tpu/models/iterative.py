@@ -222,44 +222,52 @@ def pcg_solve(
     return Xs, rel, i
 
 
-def _lanczos_tridiag(
+def _lanczos_tridiag_batched(
     matvec: Callable[[jax.Array], jax.Array],
-    z: jax.Array,
+    Z: jax.Array,
     iters: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Lanczos on one probe: returns (alphas (m,), betas (m-1,)) of the
-    tridiagonal T_m with full reorthogonalization against the stored basis
-    (O(n*iters) memory; iters is small, <= ~64)."""
-    n = z.shape[0]
-    q0 = z / jnp.linalg.norm(z)
-    Q = jnp.zeros((n, iters), dtype=z.dtype).at[:, 0].set(q0)
+    """Lanczos on ALL probes in lockstep: Z is (n, p); returns
+    (alphas (iters, p), betas (iters-1, p)) of each probe's tridiagonal,
+    with full reorthogonalization against the stored basis.
+
+    One (n, p) matvec per iteration — the kernel-tile build that dominates
+    a matrix-free matvec is amortized over every probe (p-fold fewer tile
+    builds than probe-at-a-time Lanczos). Memory O(n * p * iters).
+    """
+    n, p = Z.shape
+    q0 = Z / jnp.linalg.norm(Z, axis=0, keepdims=True)
+    Q = jnp.zeros((iters, n, p), dtype=Z.dtype).at[0].set(q0)
 
     def body(j, carry):
         Q, alphas, betas = carry
-        qj = Q[:, j]
-        w = matvec(qj)
-        aj = jnp.dot(qj, w, precision=lax.Precision.HIGHEST)
-        w = w - aj * qj
-        w = jnp.where(j > 0, w - betas[jnp.maximum(j - 1, 0)] * Q[:, jnp.maximum(j - 1, 0)], w)
-        # full reorthogonalization (columns > j are zero, harmless)
-        w = w - jnp.dot(Q, jnp.dot(Q.T, w, precision=lax.Precision.HIGHEST),
-                        precision=lax.Precision.HIGHEST)
-        bj = jnp.linalg.norm(w)
+        qj = Q[j]  # (n, p)
+        W = matvec(qj)  # ONE call for all probes
+        aj = jnp.sum(qj * W, axis=0)  # (p,)
+        W = W - aj[None, :] * qj
+        bprev = betas[jnp.maximum(j - 1, 0)]
+        qprev = Q[jnp.maximum(j - 1, 0)]
+        W = jnp.where(j > 0, W - bprev[None, :] * qprev, W)
+        # full reorthogonalization per probe (rows > j are zero, harmless)
+        coeff = jnp.einsum(
+            "knp,np->kp", Q, W, precision=lax.Precision.HIGHEST
+        )
+        W = W - jnp.einsum(
+            "knp,kp->np", Q, coeff, precision=lax.Precision.HIGHEST
+        )
+        bj = jnp.linalg.norm(W, axis=0)  # (p,)
         alphas = alphas.at[j].set(aj)
         betas = lax.cond(
             j + 1 < iters, lambda b: b.at[j].set(bj), lambda b: b, betas
         )
-        qn = jnp.where(bj > 1e-12, w / jnp.maximum(bj, 1e-30), 0.0)
+        qn = jnp.where(bj[None, :] > 1e-12, W / jnp.maximum(bj, 1e-30)[None, :], 0.0)
         Q = lax.cond(
-            j + 1 < iters,
-            lambda q: q.at[:, j + 1].set(qn),
-            lambda q: q,
-            Q,
+            j + 1 < iters, lambda q: q.at[j + 1].set(qn), lambda q: q, Q
         )
         return (Q, alphas, betas)
 
-    alphas = jnp.zeros((iters,), dtype=z.dtype)
-    betas = jnp.zeros((max(iters - 1, 1),), dtype=z.dtype)
+    alphas = jnp.zeros((iters, p), dtype=Z.dtype)
+    betas = jnp.zeros((max(iters - 1, 1), p), dtype=Z.dtype)
     _, alphas, betas = lax.fori_loop(0, iters, body, (Q, alphas, betas))
     return alphas, betas[: iters - 1] if iters > 1 else betas[:0]
 
@@ -291,19 +299,18 @@ def slq_logdet(
             jax.random.bernoulli(key, 0.5, (n, probes)), 1.0, -1.0
         ).astype(dtype)
 
-    def one(z):
-        alphas, betas = _lanczos_tridiag(matvec, z, m)
-        T = (
-            jnp.diag(alphas)
-            + jnp.diag(betas, 1)
-            + jnp.diag(betas, -1)
-        )
+    alphas, betas = _lanczos_tridiag_batched(matvec, Z, m)  # (m, p), (m-1, p)
+
+    def quad(a, b, znorm2):
+        T = jnp.diag(a) + jnp.diag(b, 1) + jnp.diag(b, -1)
         evals, evecs = jnp.linalg.eigh(T)
         evals = jnp.maximum(evals, 1e-30)
         w = evecs[0, :] ** 2
-        return jnp.dot(w, jnp.log(evals)) * jnp.dot(z, z)
+        return jnp.dot(w, jnp.log(evals)) * znorm2
 
-    ests = lax.map(one, Z.T)
+    ests = jax.vmap(quad, in_axes=(1, 1, 0))(
+        alphas, betas, jnp.sum(Z * Z, axis=0)
+    )
     return jnp.sum(ests) if exact else jnp.mean(ests)
 
 
