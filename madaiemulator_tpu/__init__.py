@@ -35,6 +35,11 @@ from madaiemulator_tpu.models.gp import (
     predict_from_precomputed,
 )
 from madaiemulator_tpu.models.fit import fit_gp, fit_gp_host, FitResult
+from madaiemulator_tpu.models.iterative import (
+    fit_gp_iterative,
+    lml_iterative,
+    predict_iterative,
+)
 from madaiemulator_tpu.models.multivariate import (
     MultivariateEmulator,
     fit_multivariate,
@@ -53,6 +58,9 @@ __all__ = [
     "predict_from_precomputed",
     "fit_gp",
     "fit_gp_host",
+    "fit_gp_iterative",
+    "lml_iterative",
+    "predict_iterative",
     "FitResult",
     "MultivariateEmulator",
     "fit_multivariate",

@@ -257,6 +257,45 @@ def fit_gp_host(
     )  # (R, P)
 
     F, G = vg(X)
+    # Dead-start rescue (same recipe as fit_gp's vmapped path): draws whose
+    # objective is non-finite — unfactorable Grams in the dense path,
+    # non-converging solves under the iterative lml_fn's feasibility gate —
+    # are remapped to stratified moment-matched fallbacks before LBFGS
+    # starts, so infeasible init regions cost a redraw, not a lane.
+    dead = ~np.isfinite(F)
+    if dead.any():
+        amp_fb = float(
+            np.clip(
+                np.var(np.asarray(data.y)),
+                config.amp_bounds[0] * 10,
+                config.amp_bounds[1] / 10,
+            )
+        )
+        frac = (np.arange(R) + 0.5) / R
+        ls_fb = np.exp(np.log(0.05) + frac * (np.log(0.5) - np.log(0.05)))
+        nug_fb = np.exp(np.log(1e-4) + frac * (np.log(1e-1) - np.log(1e-4)))
+        fb = GPParams(
+            log_amp=jnp.full((R,), np.log(amp_fb), dtype=dtype),
+            log_nugget=jnp.asarray(np.log(nug_fb * amp_fb), dtype=dtype),
+            log_ls=jnp.asarray(
+                np.tile(np.log(ls_fb)[:, None], (1, config.num_length_scales)),
+                dtype=dtype,
+            ),
+        )
+        u_fb = jax.vmap(lambda p: _params_to_u(p, lo, hi))(fb)
+        X_fb = np.stack(
+            [
+                np.asarray(
+                    jax.flatten_util.ravel_pytree(
+                        jax.tree.map(lambda a: a[i], u_fb)
+                    )[0],
+                    dtype=np.float64,
+                )
+                for i in range(R)
+            ]
+        )
+        X = np.where(dead[:, None], X_fb, X)
+        F, G = vg(X)
     best_X = X.copy()
     best_F = np.where(np.isfinite(F), F, np.inf)
     # per-restart LBFGS memory: (m, R, P) ring buffers + validity counts

@@ -180,7 +180,14 @@ def pcg_solve(
 
     Returns (X, rel_residual (m,), iters_used). Converged columns freeze
     (masked updates) so one while_loop serves the whole batch; the loop
-    exits when every column converges or at max_iters.
+    exits when every column converges (or breaks down) or at max_iters.
+
+    Breakdown hardening: a column whose update turns non-finite (possible
+    at f32 when the operand's conditioning reaches the matvec noise floor)
+    is frozen at its last finite iterate and keeps its last finite residual
+    — callers see rel > tol for that column and can gate on it (the
+    iterative LML maps non-convergence to -inf, mirroring the dense path's
+    non-SPD semantics).
     """
     vec = B.ndim == 1
     B2 = B[:, None] if vec else B
@@ -195,27 +202,48 @@ def pcg_solve(
     Z0 = psolve(R0)
     P0 = Z0
     rz0 = jnp.sum(R0 * Z0, axis=0)
+    frozen0 = jnp.zeros((m,), dtype=bool)
 
     def cond(state):
-        i, _, R, *_ = state
+        i, _, R, _, _, _, frozen = state
         rel = jnp.linalg.norm(R, axis=0) / bnorm
-        return jnp.logical_and(i < max_iters, jnp.any(rel > tol))
+        return jnp.logical_and(
+            i < max_iters, jnp.any(jnp.logical_and(rel > tol, ~frozen))
+        )
 
     def body(state):
-        i, Xc, R, Z, P, rz = state
-        active = (jnp.linalg.norm(R, axis=0) / bnorm) > tol  # (m,)
+        i, Xc, R, Z, P, rz, frozen = state
+        active = jnp.logical_and(
+            (jnp.linalg.norm(R, axis=0) / bnorm) > tol, ~frozen
+        )  # (m,)
         AP = matvec(P)
         pap = jnp.sum(P * AP, axis=0)
         alpha = jnp.where(active, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
-        Xc = Xc + alpha[None, :] * P
-        R = R - alpha[None, :] * AP
-        Z = psolve(R)
-        rz_new = jnp.sum(R * Z, axis=0)
+        Xn = Xc + alpha[None, :] * P
+        Rn = R - alpha[None, :] * AP
+        Zn = psolve(Rn)
+        rz_new = jnp.sum(Rn * Zn, axis=0)
         beta = jnp.where(active, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        P = Z + beta[None, :] * P
-        return (i + 1, Xc, R, Z, P, rz_new)
+        Pn = Zn + beta[None, :] * P
+        # breakdown detection per column: freeze at the last finite iterate
+        col_ok = (
+            jnp.all(jnp.isfinite(Xn), axis=0)
+            & jnp.all(jnp.isfinite(Rn), axis=0)
+            & jnp.all(jnp.isfinite(Pn), axis=0)
+            & jnp.isfinite(rz_new)
+        )
+        newly_frozen = jnp.logical_and(active, ~col_ok)
+        keep = (~newly_frozen)[None, :]
+        Xn = jnp.where(keep, Xn, Xc)
+        Rn = jnp.where(keep, Rn, R)
+        Zn = jnp.where(keep, Zn, Z)
+        Pn = jnp.where(keep, Pn, P)
+        rz_new = jnp.where(newly_frozen, rz, rz_new)
+        return (i + 1, Xn, Rn, Zn, Pn, rz_new, frozen | newly_frozen)
 
-    i, Xs, R, *_ = lax.while_loop(cond, body, (0, X0, R0, Z0, P0, rz0))
+    i, Xs, R, _, _, _, _ = lax.while_loop(
+        cond, body, (0, X0, R0, Z0, P0, rz0, frozen0)
+    )
     rel = jnp.linalg.norm(R, axis=0) / bnorm
     if vec:
         return Xs[:, 0], rel[0], i
@@ -357,6 +385,20 @@ def _lml_iterative_impl(
     ll = -0.5 * quad - 0.5 * logdet - 0.5 * n * math.log(2.0 * math.pi)
     if config.reml:
         ll = ll - jnp.sum(jnp.log(jnp.diagonal(LA)))
+    # Feasibility gate (mirrors the dense path's non-SPD -> -inf): if the
+    # solves did not converge to ~tol, the estimator is garbage — wall the
+    # region off instead of returning a plausible-looking number. The
+    # optimizer then avoids theta where the f32 matvec noise floor makes
+    # the system effectively unsolvable (same role as the dense path's
+    # "f32 feasibility is part of theta-space", docs/ARCHITECTURE.md §3).
+    tol = cg[0]
+    ok = (
+        jnp.isfinite(ll)
+        & jnp.all(jnp.isfinite(S))
+        & (jnp.max(rel) < jnp.asarray(max(tol * 100.0, 1e-3), ll.dtype))
+    )
+    neg_inf = jnp.asarray(-jnp.inf, ll.dtype)
+    ll = jnp.where(ok, ll, neg_inf)
     return ll, alpha, IterativeInfo(jnp.max(rel), it)
 
 
@@ -505,13 +547,21 @@ def predict_iterative(
     cg_max_iters: int = 256,
     query_chunk: int = 1024,
     with_variance: bool = True,
+    jitter: Optional[float] = None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Posterior mean (and optionally variance) with no N x N buffer.
 
     mean = h(x*)^T beta + k*^T alpha with alpha from PCG; variance uses one
     PCG solve per query chunk (k*^T C^-1 k*) plus the GLS correction. The
-    memory high-water mark is O(N * (rank + query_chunk)).
+    memory high-water mark is O(N * (rank + query_chunk)). `jitter`
+    overrides the config's diagonal stability floor (escalate it by hand if
+    a stiff snapshot's solves stall — the CG is breakdown-hardened, so
+    output stays finite either way).
     """
+    if jitter is not None:
+        import dataclasses
+
+        config = dataclasses.replace(config, jitter=jitter)
     n = data.X.shape[0]
     H = regression_basis(data.X, config.regression_order)
     B = jnp.concatenate([data.y[:, None], H], axis=1)
