@@ -188,6 +188,26 @@ def main():
         )
         t_pred, _ = timeit(pred, st, p4, Xs)
         log(f"predict N=4096 m={m}: {t_pred*1e3:.2f} ms  {m/t_pred:,.0f} pts/s")
+        # GEMM-only serving (explicit triangular inverses, predict_fast)
+        from madaiemulator_tpu.models.gp import (
+            precompute_fast_predictor, predict_fast,
+        )
+
+        fp = jax.jit(lambda pp: precompute_fast_predictor(pp, data4, cfg))(p4)
+        jax.block_until_ready(fp)
+        predf = jax.jit(
+            lambda s, pp, q: predict_fast(s, pp, data4, q, cfg)
+        )
+        t_fast, outf = timeit(predf, fp, p4, Xs)
+        # cross-check vs the TRSM path before reporting
+        mref, vref = pred(st, p4, Xs)
+        mf, vf = outf
+        dm = float(jax.device_get(jnp.max(jnp.abs(mf - mref))))
+        dv = float(jax.device_get(jnp.max(jnp.abs(vf - vref))))
+        log(
+            f"predict_fast N=4096 m={m}: {t_fast*1e3:.2f} ms  "
+            f"{m/t_fast:,.0f} pts/s  (|dmean|={dm:.1e} |dvar|={dv:.1e} vs TRSM)"
+        )
     except Exception as e:
         log(f"predict bench failed: {type(e).__name__}: {e}")
 

@@ -32,6 +32,8 @@ from madaiemulator_tpu.models.gp import (
     log_marginal_likelihood,
     gp_posterior,
     precompute_predictor,
+    precompute_fast_predictor,
+    predict_fast,
     predict_from_precomputed,
 )
 from madaiemulator_tpu.models.fit import fit_gp, fit_gp_host, FitResult
@@ -55,6 +57,8 @@ __all__ = [
     "log_marginal_likelihood",
     "gp_posterior",
     "precompute_predictor",
+    "precompute_fast_predictor",
+    "predict_fast",
     "predict_from_precomputed",
     "fit_gp",
     "fit_gp_host",

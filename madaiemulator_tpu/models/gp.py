@@ -255,6 +255,72 @@ def precompute_predictor_safe(
     return st
 
 
+class FastPredictorState(NamedTuple):
+    """Serve-time state with explicit triangular inverses: every per-query
+    solve becomes a GEMM (ROADMAP "cache block inverses" item).
+
+    The predict hot path with `GPPosteriorState` is two TRSMs per batch
+    (L^-1 K*, LA^-1 G) — triangular solves run far below matmul peak on
+    TPU. Here L^-1 and LA^-1 are formed once at precompute (log-depth
+    blocked inversion, full-f32), so serving is pure MXU work. Accuracy: an
+    explicit-inverse apply has error ~ kappa(L)·eps like substitution; the
+    parity test pins fast-vs-substitution agreement.
+    """
+
+    base: GPPosteriorState
+    Linv: jax.Array  # (N, N) lower-triangular L^-1
+    LAinv: jax.Array  # (p, p) lower-triangular LA^-1
+
+
+def precompute_fast_predictor(
+    params: GPParams, data: GPData, config: GPConfig
+) -> FastPredictorState:
+    """One-time O(N^3/3) inversion on top of `precompute_predictor` for
+    GEMM-only serving via `predict_fast`."""
+    st = precompute_predictor(params, data, config)
+    if data.y.dtype == jnp.float64:
+        eyeN = jnp.eye(st.L.shape[0], dtype=st.L.dtype)
+        Linv = jax.lax.linalg.triangular_solve(
+            st.L, eyeN, left_side=True, lower=True
+        )
+        eyeP = jnp.eye(st.LA.shape[0], dtype=st.LA.dtype)
+        LAinv = jax.lax.linalg.triangular_solve(
+            st.LA, eyeP, left_side=True, lower=True
+        )
+    else:
+        Linv = linalg.tri_inv_block(
+            st.L, precision=jax.lax.Precision.HIGHEST
+        )
+        LAinv = linalg.tri_inv_block(
+            st.LA, precision=jax.lax.Precision.HIGHEST
+        )
+    return FastPredictorState(base=st, Linv=Linv, LAinv=LAinv)
+
+
+def predict_fast(
+    fp: FastPredictorState,
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """GEMM-only posterior mean and variance (see FastPredictorState)."""
+    st = fp.base
+    with jax.named_scope("cross_kernel"):
+        Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
+    Hs = regression_basis(Xs, config.regression_order)  # (m, p)
+    mean = jnp.dot(Hs, st.beta) + jnp.dot(Ks.T, st.alpha)
+    hi = jax.lax.Precision.HIGHEST
+    with jax.named_scope("solve_gemm"):
+        V = jnp.dot(fp.Linv, Ks, preferred_element_type=Ks.dtype, precision=hi)
+    kss = kernels.kdiag(Xs, params, config)  # (m,)
+    var = kss - jnp.sum(V * V, axis=0)
+    G = Hs.T - jnp.dot(st.Linv_H.T, V, precision=hi)  # (p, m)
+    W = jnp.dot(fp.LAinv, G, preferred_element_type=G.dtype, precision=hi)
+    var = var + jnp.sum(W * W, axis=0)
+    return mean, jnp.maximum(var, 0.0)
+
+
 def predict_from_precomputed(
     state: GPPosteriorState,
     params: GPParams,

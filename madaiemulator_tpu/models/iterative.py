@@ -111,11 +111,9 @@ def pivoted_cholesky(
         L, diag = carry
         i = jnp.argmax(diag)
         ci = column(i)
-        lk_prev = lax.dynamic_slice_in_dim(L, 0, rank, axis=1)  # (n, rank)
-        li_row = L[i]  # (rank,)
-        c_res = ci - jnp.dot(
-            lk_prev, li_row, precision=lax.Precision.HIGHEST
-        )
+        # columns >= k are still zero, so contracting the full (n, rank)
+        # buffer against row i applies exactly the first k pivots
+        c_res = ci - jnp.dot(L, L[i], precision=lax.Precision.HIGHEST)
         pivot = jnp.maximum(diag[i], jnp.asarray(1e-30, dtype))
         lk = c_res / jnp.sqrt(pivot)
         # numerical guard: residual column of an exhausted pivot -> 0

@@ -137,6 +137,20 @@ def test_left_cholesky_backend_matches_xla(rng):
     assert np.allclose(np.asarray(var1), np.asarray(var2), rtol=1e-8, atol=1e-12)
 
 
+def test_predict_fast_matches_substitution(rng):
+    """GEMM-only serving (explicit triangular inverses) vs the TRSM path."""
+    cfg, data, p = setup_problem(rng, n=80)
+    Xs = jnp.asarray(rng.uniform(size=(17, 2)))
+    st = gp.precompute_predictor(p, data, cfg)
+    m1, v1 = gp.predict_from_precomputed(st, p, data, Xs, cfg)
+    fp = gp.precompute_fast_predictor(p, data, cfg)
+    m2, v2 = gp.predict_fast(fp, p, data, Xs, cfg)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(v2), np.asarray(v1), rtol=1e-7, atol=1e-12
+    )
+
+
 def test_resolve_update_precision_auto(rng):
     cfg, data, p = setup_problem(rng, n=20)
     cfg_auto = GPConfig(
