@@ -72,6 +72,13 @@ def gram_matvec(
     pad = (-n) % chunk
     Xp = jnp.pad(X, ((0, pad), (0, 0)), mode="edge") if pad else X
 
+    # jax.checkpoint: WITHOUT it, differentiating through this map (the
+    # Hutchinson-gradient quad forms in _lml_iter_bwd) saves every chunk's
+    # kernel tile as a residual — i.e. the full N x N matrix this module
+    # exists to avoid (observed: an 8 GB [chunks, R, chunk, N] buffer
+    # OOM'ing a 16 GB chip at N=32k, R=2). Rematerializing the tile in the
+    # backward keeps gradient memory at one chunk.
+    @jax.checkpoint
     def block(xc):
         Kc = kernels.cross_covariance(xc, X, params, config)  # (chunk, n)
         return jnp.dot(

@@ -235,6 +235,24 @@ def _predict_components(
     return jax.vmap(one)(states, params, Z.T)  # means, vars: (r, m)
 
 
+def reconstruct_observables(
+    m_pc: jax.Array, v_pc: jax.Array, pca: PCAState
+) -> Tuple[jax.Array, jax.Array]:
+    """Rotate per-PC (mean, variance), each (r, m), back to observable
+    space (m, t) [B]:
+        mean_j = ybar_j + s_j * sum_i sqrt(lam_i) U_ji m_i
+        var_j  = s_j^2  * sum_i lam_i  U_ji^2 v_i
+    """
+    lam = pca.eigenvalues.astype(m_pc.dtype)
+    U = pca.U.astype(m_pc.dtype)  # (t, r)
+    ymean = pca.ymean.astype(m_pc.dtype)
+    ystd = pca.ystd.astype(m_pc.dtype)
+    sqrt_lam = jnp.sqrt(lam)
+    mean = ymean[None, :] + (m_pc.T * sqrt_lam[None, :]) @ U.T * ystd[None, :]
+    var = (v_pc.T * lam[None, :]) @ (U.T**2) * (ystd[None, :] ** 2)
+    return mean, var
+
+
 def predict_multivariate(
     emu: MultivariateEmulator, Xs_raw: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -247,13 +265,94 @@ def predict_multivariate(
     m_pc, v_pc = _predict_components(
         emu.states, emu.params, emu.X, emu.Z, Xs, emu.config
     )  # (r, m) each
-    lam = emu.pca.eigenvalues.astype(m_pc.dtype)
-    U = emu.pca.U.astype(m_pc.dtype)  # (t, r)
-    ymean = emu.pca.ymean.astype(m_pc.dtype)
-    ystd = emu.pca.ystd.astype(m_pc.dtype)
-    sqrt_lam = jnp.sqrt(lam)
-    # mean_j = ybar_j + s_j * sum_i sqrt(lam_i) U_ji m_i
-    mean = ymean[None, :] + (m_pc.T * sqrt_lam[None, :]) @ U.T * ystd[None, :]
-    # var_j = s_j^2 * sum_i lam_i U_ji^2 v_i
-    var = (v_pc.T * lam[None, :]) @ (U.T**2) * (ystd[None, :] ** 2)
-    return mean, var
+    return reconstruct_observables(m_pc, v_pc, emu.pca)
+
+
+class IterativeMultivariateEmulator(NamedTuple):
+    """A trained multivariate emulator with NO dense serving cache: both
+    fitting and serving run matrix-free (models/iterative.py), so N is
+    bounded by O(N * (rank + probes)) instead of r * N^2. The PCA pipeline,
+    theta layout and reconstruction math are identical to
+    `MultivariateEmulator` — only the per-component GP engine differs."""
+
+    scaling: DesignScaling
+    X: jax.Array  # (N, d) scaled design
+    Z: jax.Array  # (N, r) PC scores
+    pca: PCAState
+    params: GPParams  # batched (r, ...) per-component hyperparameters
+    config: GPConfig
+    restart_log_likelihoods: Optional[jax.Array] = None  # (r, R)
+
+    @property
+    def n_components(self) -> int:
+        return self.Z.shape[1]
+
+    @property
+    def n_outputs(self) -> int:
+        return self.pca.ymean.shape[0]
+
+
+def fit_multivariate_iterative(
+    key: jax.Array,
+    X_raw: jax.Array,
+    Y: jax.Array,
+    config: GPConfig,
+    pca_variance: float = 0.95,
+    standardize: bool = True,
+    param_ranges: Optional[Tuple[jax.Array, jax.Array]] = None,
+    **iter_kwargs,
+) -> IterativeMultivariateEmulator:
+    """Matrix-free multivariate training (the estimate_thetas path past
+    dense-HBM N). Components fit sequentially on host — at the N where this
+    path matters, ONE component's solves already fill the chip, so the
+    dense path's vmap-over-components holds no advantage. iter_kwargs
+    forward to models.iterative.fit_gp_iterative (rank, probes,
+    lanczos_iters, cg_tol, cg_max_iters, seed, vg_batch)."""
+    from madaiemulator_tpu.models.iterative import fit_gp_iterative
+
+    scaling = fit_scaling(X_raw, ranges=param_ranges)
+    X = apply_scaling(jnp.asarray(X_raw), scaling)
+    pca, Z = pca_decompose(Y, pca_variance, standardize=standardize)
+    Z = Z.astype(X.dtype)
+    r = Z.shape[1]
+    keys = jax.random.split(key, r)
+    logger.info(
+        "fit_multivariate_iterative: N=%d d=%d t=%d -> r=%d components",
+        X.shape[0], X.shape[1], Y.shape[1], r,
+    )
+    fits = [
+        fit_gp_iterative(keys[i], GPData(X=X, y=Z[:, i]), config, **iter_kwargs)
+        for i in range(r)
+    ]
+    params = jax.tree.map(lambda *a: jnp.stack(a), *[f.params for f in fits])
+    lls = jnp.stack([f.restart_log_likelihoods for f in fits])
+    return IterativeMultivariateEmulator(
+        scaling=scaling, X=X, Z=Z, pca=pca, params=params, config=config,
+        restart_log_likelihoods=lls,
+    )
+
+
+def predict_multivariate_iterative(
+    emu: IterativeMultivariateEmulator,
+    Xs_raw: jax.Array,
+    **iter_kwargs,
+) -> Tuple[jax.Array, jax.Array]:
+    """Matrix-free multivariate serving (per-component PCG solves); same
+    observable-space reconstruction as the dense path. iter_kwargs forward
+    to models.iterative.predict_iterative (rank, cg_tol, cg_max_iters,
+    query_chunk, jitter)."""
+    from madaiemulator_tpu.models.iterative import predict_iterative
+
+    Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=emu.X.dtype), emu.scaling)
+    r = emu.n_components
+    ms, vs = [], []
+    for i in range(r):
+        p = jax.tree.map(lambda a: a[i], emu.params)
+        m_i, v_i = predict_iterative(
+            p, GPData(X=emu.X, y=emu.Z[:, i]), Xs, emu.config, **iter_kwargs
+        )
+        ms.append(m_i)
+        vs.append(v_i)
+    return reconstruct_observables(
+        jnp.stack(ms), jnp.stack(vs), emu.pca
+    )

@@ -93,6 +93,9 @@ def sharded_gram_matvec(
         cpad = (-nl) % chunk
         Xlp = jnp.pad(Xl, ((0, cpad), (0, 0))) if cpad else Xl
 
+        # rematerialize the kernel tile in any backward pass (see the
+        # matching jax.checkpoint note in models/iterative.gram_matvec)
+        @jax.checkpoint
         def block(xc):
             Kc = kernels.cross_covariance(xc, Xf, prm, config)
             return jnp.dot(

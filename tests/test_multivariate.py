@@ -6,9 +6,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from madaiemulator_tpu.models.multivariate import (
+    IterativeMultivariateEmulator,
     fit_multivariate,
+    fit_multivariate_iterative,
     pca_decompose,
     predict_multivariate,
+    predict_multivariate_iterative,
 )
 from madaiemulator_tpu.utils.config import GPConfig
 
@@ -74,6 +77,42 @@ def test_fit_and_predict_multivariate(rng):
     # at training points the emulator must reproduce observables well
     rel = np.abs(np.asarray(mean) - Y) / (np.abs(Y).mean(axis=0, keepdims=True))
     assert float(np.median(rel)) < 0.02, float(np.median(rel))
+
+
+def test_multivariate_iterative_matches_dense_serving(rng):
+    """The matrix-free multivariate serving path reproduces the dense path
+    when given the SAME hyperparameters (exact-probe solves)."""
+    X, Y = make_heavy_ion_like(rng, n=36)
+    cfg = GPConfig(nparams=3, regression_order=1, n_restarts=2, max_opt_steps=30)
+    emu = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg, pca_variance=0.99
+    )
+    it_emu = IterativeMultivariateEmulator(
+        scaling=emu.scaling, X=emu.X, Z=emu.Z, pca=emu.pca,
+        params=emu.params, config=emu.config,
+    )
+    m_d, v_d = predict_multivariate(emu, jnp.asarray(X))
+    m_i, v_i = predict_multivariate_iterative(
+        it_emu, jnp.asarray(X), rank=36, cg_tol=1e-12, cg_max_iters=400,
+    )
+    np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), rtol=1e-4, atol=1e-9)
+
+
+def test_fit_multivariate_iterative_end_to_end(rng):
+    X, Y = make_heavy_ion_like(rng, n=32)
+    cfg = GPConfig(nparams=3, regression_order=1, n_restarts=2, max_opt_steps=20)
+    emu = fit_multivariate_iterative(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
+        pca_variance=0.99, rank=32, probes=32, lanczos_iters=32,
+        cg_tol=1e-10, cg_max_iters=300,
+    )
+    mean, var = predict_multivariate_iterative(
+        emu, jnp.asarray(X), rank=32, cg_tol=1e-10, cg_max_iters=300,
+    )
+    assert mean.shape == Y.shape and np.all(np.asarray(var) >= 0)
+    rel = np.abs(np.asarray(mean) - Y) / (np.abs(Y).mean(axis=0, keepdims=True))
+    assert float(np.median(rel)) < 0.03, float(np.median(rel))
 
 
 def test_predict_multivariate_off_design(rng):
