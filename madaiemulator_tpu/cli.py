@@ -55,10 +55,30 @@ def _build_parser() -> argparse.ArgumentParser:
     est.add_argument("--seed", type=int, default=0)
     est.add_argument("--dtype", choices=["float64", "float32"], default="float64")
     est.add_argument("--quiet", action="store_true")
+    # matrix-free training for N past dense-HBM scale (models/iterative.py)
+    est.add_argument(
+        "--fit_method", choices=["dense", "iterative"], default="dense",
+        help="'iterative': matrix-free PCG+SLQ fitting (no N^2 memory)",
+    )
+    est.add_argument("--rank", type=int, default=64,
+                     help="iterative: preconditioner rank")
+    est.add_argument("--probes", type=int, default=16,
+                     help="iterative: SLQ probe vectors")
+    est.add_argument("--lanczos_iters", type=int, default=32)
+    est.add_argument("--cg_tol", type=float, default=1e-5)
+    est.add_argument("--cg_max_iters", type=int, default=256)
 
     im = sub.add_parser("interactive_mode", help="serve queries over stdin/stdout")
     im.add_argument("state_file")
     im.add_argument("--dtype", choices=["float64", "float32"], default="float64")
+    im.add_argument(
+        "--serve_method", choices=["dense", "iterative"], default="dense",
+        help="'iterative': matrix-free serving (no dense factorization; "
+        "required when N^2 per component exceeds device memory)",
+    )
+    im.add_argument("--rank", type=int, default=64)
+    im.add_argument("--cg_tol", type=float, default=1e-6)
+    im.add_argument("--cg_max_iters", type=int, default=256)
 
     pt = sub.add_parser("print_thetas", help="print fitted hyperparameters")
     pt.add_argument("state_file")
@@ -85,7 +105,10 @@ def cmd_estimate_thetas(args) -> int:
 
     from madaiemulator_tpu.io.modelfile import read_model_file
     from madaiemulator_tpu.io.snapshot import write_snapshot_auto
-    from madaiemulator_tpu.models.multivariate import fit_multivariate
+    from madaiemulator_tpu.models.multivariate import (
+        fit_multivariate,
+        fit_multivariate_iterative,
+    )
     from madaiemulator_tpu.utils.config import COVARIANCE_CLI_NAMES, GPConfig
 
     mf = read_model_file(args.model_file)
@@ -105,13 +128,28 @@ def cmd_estimate_thetas(args) -> int:
         n_restarts=args.restarts,
         max_opt_steps=args.steps,
     )
-    emu = fit_multivariate(
-        jax.random.key(args.seed),
-        jnp.asarray(mf.X, dtype=dtype),
-        jnp.asarray(mf.Y, dtype=dtype),
-        cfg,
-        pca_variance=args.pca_variance,
-    )
+    if args.fit_method == "iterative":
+        emu = fit_multivariate_iterative(
+            jax.random.key(args.seed),
+            jnp.asarray(mf.X, dtype=dtype),
+            jnp.asarray(mf.Y, dtype=dtype),
+            cfg,
+            pca_variance=args.pca_variance,
+            rank=args.rank,
+            probes=args.probes,
+            lanczos_iters=args.lanczos_iters,
+            cg_tol=args.cg_tol,
+            cg_max_iters=args.cg_max_iters,
+            seed=args.seed,
+        )
+    else:
+        emu = fit_multivariate(
+            jax.random.key(args.seed),
+            jnp.asarray(mf.X, dtype=dtype),
+            jnp.asarray(mf.Y, dtype=dtype),
+            cfg,
+            pca_variance=args.pca_variance,
+        )
     if not args.quiet:
         lls = np.asarray(emu.restart_log_likelihoods)
         for i in range(emu.n_components):
@@ -138,9 +176,21 @@ def cmd_interactive_mode(args) -> int:
     import jax.numpy as jnp
 
     from madaiemulator_tpu.io.snapshot import read_snapshot_auto
-    from madaiemulator_tpu.models.multivariate import predict_multivariate
+    from madaiemulator_tpu.models.multivariate import (
+        predict_multivariate,
+        predict_multivariate_iterative,
+    )
 
-    emu, param_names, output_names = read_snapshot_auto(args.state_file, dtype=dtype)
+    iterative_serve = args.serve_method == "iterative"
+    emu, param_names, output_names = read_snapshot_auto(
+        args.state_file, dtype=dtype, build_states=not iterative_serve
+    )
+    if iterative_serve:
+        def predict_multivariate(e, q):  # noqa: F811 — same call shape
+            return predict_multivariate_iterative(
+                e, q, rank=args.rank, cg_tol=args.cg_tol,
+                cg_max_iters=args.cg_max_iters,
+            )
     d = len(param_names)
     t = len(output_names)
     out = sys.stdout

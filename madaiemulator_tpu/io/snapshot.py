@@ -166,8 +166,11 @@ def write_snapshot_npz(
 
 
 def read_snapshot_npz(
-    source: str, dtype=jnp.float64
+    source: str, dtype=jnp.float64, build_states: bool = True
 ) -> Tuple[MultivariateEmulator, List[str], List[str]]:
+    """build_states=False skips the dense per-component factorizations and
+    returns an IterativeMultivariateEmulator (matrix-free serving — the
+    only option when N^2 per component exceeds HBM)."""
     z = np.load(source, allow_pickle=False)
     if str(z["magic"][0]) != MAGIC or int(z["version"][0]) != VERSION:
         raise ValueError("not a compatible npz snapshot")
@@ -187,23 +190,29 @@ def read_snapshot_npz(
     )
     Xj = jnp.asarray(z["X"], dtype=dtype)
     Zj = jnp.asarray(z["Z"], dtype=dtype)
-    emu = MultivariateEmulator(
-        scaling=DesignScaling(
-            mins=jnp.asarray(z["mins"], dtype=dtype),
-            ranges=jnp.asarray(z["ranges"], dtype=dtype),
-        ),
-        X=Xj,
-        Z=Zj,
-        pca=PCAState(
-            ymean=jnp.asarray(z["ymean"], dtype=dtype),
-            ystd=jnp.asarray(z["ystd"], dtype=dtype),
-            eigenvalues=jnp.asarray(z["eigenvalues"], dtype=dtype),
-            U=jnp.asarray(z["U"], dtype=dtype),
-        ),
-        params=params,
-        states=_vmapped_states(params, Xj, Zj, cfg),
-        config=cfg,
+    scaling = DesignScaling(
+        mins=jnp.asarray(z["mins"], dtype=dtype),
+        ranges=jnp.asarray(z["ranges"], dtype=dtype),
     )
+    pca = PCAState(
+        ymean=jnp.asarray(z["ymean"], dtype=dtype),
+        ystd=jnp.asarray(z["ystd"], dtype=dtype),
+        eigenvalues=jnp.asarray(z["eigenvalues"], dtype=dtype),
+        U=jnp.asarray(z["U"], dtype=dtype),
+    )
+    if build_states:
+        emu = MultivariateEmulator(
+            scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params,
+            states=_vmapped_states(params, Xj, Zj, cfg), config=cfg,
+        )
+    else:
+        from madaiemulator_tpu.models.multivariate import (
+            IterativeMultivariateEmulator,
+        )
+
+        emu = IterativeMultivariateEmulator(
+            scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params, config=cfg,
+        )
     return emu, list(map(str, z["param_names"])), list(map(str, z["output_names"]))
 
 
@@ -213,10 +222,10 @@ def write_snapshot_auto(dest: str, *args, **kwargs) -> None:
     writer(dest, *args, **kwargs)
 
 
-def read_snapshot_auto(source: str, dtype=jnp.float64):
+def read_snapshot_auto(source: str, dtype=jnp.float64, build_states: bool = True):
     """Dispatch on extension: '.npz' -> binary, else text."""
     reader = read_snapshot_npz if source.endswith(".npz") else read_snapshot
-    return reader(source, dtype=dtype)
+    return reader(source, dtype=dtype, build_states=build_states)
 
 
 def _tokens(stream: TextIO):
@@ -227,14 +236,15 @@ def _tokens(stream: TextIO):
 
 
 def read_snapshot(
-    source: Union[str, TextIO], dtype=jnp.float64
+    source: Union[str, TextIO], dtype=jnp.float64, build_states: bool = True
 ) -> Tuple[MultivariateEmulator, List[str], List[str]]:
     """Load a snapshot; recomputes the per-component posterior factorizations
     (the serve-time precompute of SURVEY.md §3.2). Returns
-    (emulator, param_names, output_names)."""
+    (emulator, param_names, output_names). build_states=False returns an
+    IterativeMultivariateEmulator instead (matrix-free serving, no N^2)."""
     if isinstance(source, str):
         with open(source, "r") as f:
-            return read_snapshot(f, dtype=dtype)
+            return read_snapshot(f, dtype=dtype, build_states=build_states)
     toks = _tokens(source)
 
     def tok() -> str:
@@ -297,22 +307,27 @@ def read_snapshot(
     )
     Xj = jnp.asarray(X, dtype=dtype)
     Zj = jnp.asarray(Z, dtype=dtype)
-    states: GPPosteriorState = _vmapped_states(params, Xj, Zj, cfg)
-    emu = MultivariateEmulator(
-        scaling=DesignScaling(
-            mins=jnp.asarray(mins, dtype=dtype),
-            ranges=jnp.asarray(ranges, dtype=dtype),
-        ),
-        X=Xj,
-        Z=Zj,
-        pca=PCAState(
-            ymean=jnp.asarray(ymean, dtype=dtype),
-            ystd=jnp.asarray(ystd, dtype=dtype),
-            eigenvalues=jnp.asarray(lam, dtype=dtype),
-            U=jnp.asarray(U, dtype=dtype),
-        ),
-        params=params,
-        states=states,
-        config=cfg,
+    scaling = DesignScaling(
+        mins=jnp.asarray(mins, dtype=dtype),
+        ranges=jnp.asarray(ranges, dtype=dtype),
     )
+    pca = PCAState(
+        ymean=jnp.asarray(ymean, dtype=dtype),
+        ystd=jnp.asarray(ystd, dtype=dtype),
+        eigenvalues=jnp.asarray(lam, dtype=dtype),
+        U=jnp.asarray(U, dtype=dtype),
+    )
+    if build_states:
+        emu = MultivariateEmulator(
+            scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params,
+            states=_vmapped_states(params, Xj, Zj, cfg), config=cfg,
+        )
+    else:
+        from madaiemulator_tpu.models.multivariate import (
+            IterativeMultivariateEmulator,
+        )
+
+        emu = IterativeMultivariateEmulator(
+            scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params, config=cfg,
+        )
     return emu, param_names, output_names

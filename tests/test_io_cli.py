@@ -190,6 +190,43 @@ def test_cli_interactive_mode_batches_piped_points(rng, tmp_path):
     assert err.max() < 2e-2, err.max()
 
 
+def test_cli_iterative_fit_and_serve(rng, tmp_path):
+    """--fit_method=iterative writes the standard snapshot;
+    --serve_method=iterative answers the pipe protocol without dense
+    factorizations, agreeing with the dense serve path."""
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.txt"
+    _make_model_file(model, rng)
+    r = subprocess.run(
+        CLI
+        + [
+            "estimate_thetas", str(model), str(state),
+            "--regression_order=1", "--restarts=2", "--steps=25",
+            "--fit_method=iterative", "--rank=25", "--probes=25",
+            "--lanczos_iters=25", "--cg_tol=1e-10", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    queries = "0.3\n0.7\n"
+    outs = {}
+    for method in ("dense", "iterative"):
+        r = subprocess.run(
+            CLI + ["interactive_mode", str(state), f"--serve_method={method}",
+                   "--cg_tol=1e-10"],
+            input=queries, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr
+        outs[method] = np.asarray(
+            [float(t) for t in r.stdout.split()[-4:]]
+        )  # 2 queries x (mean, var)
+    # atol covers near-zero interpolation variances (both paths report
+    # O(1e-8) at training-adjacent queries; signs of numerical zero differ)
+    np.testing.assert_allclose(
+        outs["iterative"], outs["dense"], rtol=1e-5, atol=1e-7
+    )
+
+
 def test_cli_npz_state_file(rng, tmp_path):
     """state files ending in .npz use the binary format end to end."""
     model = tmp_path / "model.txt"
