@@ -11,7 +11,10 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
     interactive_emulator estimate_thetas <model_file> <state_file>
         [--regression_order=N] [--covariance_fn=NAME] [--pca_variance=P]
         [--restarts=R] [--steps=S] [--seed=K] [--dtype=float64|float32]
-        [--quiet]
+        [--quiet] [--fit_method=dense|iterative]
+        (--fit_method=iterative trains matrix-free — PCG + stochastic
+        Lanczos, models/iterative.py — for N past dense-HBM scale; tune
+        with --rank --probes --lanczos_iters --cg_tol --cg_max_iters)
 
     interactive_emulator interactive_mode <state_file>
         reads query points (nparams whitespace-separated floats) on stdin
@@ -19,6 +22,9 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
         flushing after each — the pipe protocol the MADAI MCMC calibration
         framework drives (SURVEY.md §3.2). Header: nparams, param names,
         2*noutputs, then mean_*/variance_* labels.
+        --serve_method=iterative serves matrix-free (no dense
+        factorization is ever built; required when N^2 per component
+        exceeds device memory).
 
     interactive_emulator print_thetas <state_file>
         prints the fitted per-component hyperparameters (natural space).
