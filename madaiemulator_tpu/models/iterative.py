@@ -352,25 +352,37 @@ class IterativeInfo(NamedTuple):
     cg_iters: jax.Array
 
 
-def _solve_C(params, data, config, rank, cg, B):
+def _matvec_for(params, data, config, mesh):
+    """Matvec closure: single-device row-chunked, or mesh-row-sharded when
+    a jax.sharding.Mesh is given (parallel/iterative_sharded)."""
+    if mesh is None:
+        return lambda V: gram_matvec(data.X, params, config, V)
+    from madaiemulator_tpu.parallel.iterative_sharded import (
+        make_sharded_matvec,
+    )
+
+    return make_sharded_matvec(data.X, params, config, mesh)
+
+
+def _solve_C(params, data, config, rank, cg, B, mesh=None):
     """PCG solve C^-1 B with a fresh pivoted-Cholesky preconditioner."""
     tol, iters = cg
     n = data.X.shape[0]
     da = _diag_add(n, params, config, data.X.dtype)
     Lk = pivoted_cholesky(data.X, params, config, rank)
     pre = make_preconditioner(Lk, da)
-    mv = lambda V: gram_matvec(data.X, params, config, V)
+    mv = _matvec_for(params, data, config, mesh)
     return pcg_solve(mv, B, pre, tol=tol, max_iters=iters)
 
 
 def _lml_iterative_impl(
-    params, seed, data, config, rank, probes, lanczos_iters, cg
+    params, seed, data, config, rank, probes, lanczos_iters, cg, mesh=None
 ):
     key = jax.random.key(seed)
     n = data.X.shape[0]
     H = regression_basis(data.X, config.regression_order)
     B = jnp.concatenate([data.y[:, None], H], axis=1)  # (n, 1 + p)
-    S, rel, it = _solve_C(params, data, config, rank, cg, B)
+    S, rel, it = _solve_C(params, data, config, rank, cg, B, mesh)
     Ciy, CiH = S[:, 0], S[:, 1:]
     A = jnp.dot(H.T, CiH, precision=lax.Precision.HIGHEST)
     LA = lax.linalg.cholesky(A)
@@ -382,7 +394,7 @@ def _lml_iterative_impl(
     alpha = Ciy - jnp.dot(CiH, beta, precision=lax.Precision.HIGHEST)
     r = data.y - jnp.dot(H, beta, precision=lax.Precision.HIGHEST)
     quad = jnp.dot(r, alpha, precision=lax.Precision.HIGHEST)
-    mv = lambda V: gram_matvec(data.X, params, config, V)
+    mv = _matvec_for(params, data, config, mesh)
     logdet = slq_logdet(
         mv, n, key, probes=probes, lanczos_iters=lanczos_iters,
         dtype=data.X.dtype,
@@ -408,7 +420,7 @@ def _lml_iterative_impl(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8)
 )
 def _lml_iterative(
     params: GPParams,
@@ -419,21 +431,26 @@ def _lml_iterative(
     probes: int,
     lanczos_iters: int,
     cg: Tuple[float, int],
+    mesh=None,
 ):
     ll, _, _ = _lml_iterative_impl(
-        params, seed, data, config, rank, probes, lanczos_iters, cg
+        params, seed, data, config, rank, probes, lanczos_iters, cg, mesh
     )
     return ll
 
 
-def _lml_iter_fwd(params, seed, data, config, rank, probes, lanczos_iters, cg):
+def _lml_iter_fwd(
+    params, seed, data, config, rank, probes, lanczos_iters, cg, mesh=None
+):
     ll, alpha, _ = _lml_iterative_impl(
-        params, seed, data, config, rank, probes, lanczos_iters, cg
+        params, seed, data, config, rank, probes, lanczos_iters, cg, mesh
     )
     return ll, (params, alpha)
 
 
-def _lml_iter_bwd(seed, data, config, rank, probes, lanczos_iters, cg, res, g):
+def _lml_iter_bwd(
+    seed, data, config, rank, probes, lanczos_iters, cg, mesh, res, g
+):
     """BBMM-style gradient, no N x N intermediates:
 
       d lml = 0.5 alpha^T dC alpha - 0.5 tr(C^-1 dC)
@@ -459,11 +476,12 @@ def _lml_iter_bwd(seed, data, config, rank, probes, lanczos_iters, cg, res, g):
             jax.random.bernoulli(key, 0.5, (n, probes)), 1.0, -1.0
         ).astype(data.X.dtype)
         scale = 1.0 / probes  # Hutchinson mean
-    CiZ, _, _ = _solve_C(params, data, config, rank, cg, Z)
+    CiZ, _, _ = _solve_C(params, data, config, rank, cg, Z, mesh)
 
     def quad_form(prm, U, V):
         # sum_j u_j^T C(prm) v_j
-        return jnp.sum(U * gram_matvec(data.X, prm, config, V))
+        mv = _matvec_for(prm, data, config, mesh)
+        return jnp.sum(U * mv(V))
 
     # 0.5 * alpha^T dC alpha
     _, vjp1 = jax.vjp(
@@ -490,16 +508,19 @@ def lml_iterative(
     lanczos_iters: int = 32,
     cg_tol: float = 1e-6,
     cg_max_iters: int = 256,
+    mesh=None,
 ) -> jax.Array:
     """Matrix-free GLS log-marginal likelihood, differentiable wrt params
     via the Hutchinson/adjoint-solve VJP. `seed` (static int) fixes the
     probe vectors — keep it constant across an optimization run so the
     objective is a deterministic sample-average approximation. Setting
     probes >= N switches the estimators to exact canonical-basis traces
-    (O(N) solves; for validation and small N)."""
+    (O(N) solves; for validation and small N). Pass a 1-D
+    jax.sharding.Mesh to run every matvec row-sharded over devices
+    (parallel/iterative_sharded) — the multi-chip large-N fit path."""
     return _lml_iterative(
         params, seed, data, config, rank, probes, lanczos_iters,
-        (cg_tol, cg_max_iters),
+        (cg_tol, cg_max_iters), mesh,
     )
 
 

@@ -67,6 +67,26 @@ def test_sharded_slq_exact_mode(rng):
     assert np.isclose(est, np.linalg.slogdet(C)[1], rtol=1e-6)
 
 
+def test_lml_iterative_sharded_matches_unsharded(rng):
+    """lml_iterative(mesh=...) — the multi-chip fit objective — computes
+    the same value and gradient as the single-device layout."""
+    cfg, X, p = setup_problem(rng, n=40)
+    y = jnp.asarray(rng.standard_normal(40))
+    data = GPData(X=X, y=y)
+    mesh = its.make_rows_mesh(8)
+    kw = dict(seed=0, rank=20, probes=12, lanczos_iters=24,
+              cg_tol=1e-11, cg_max_iters=300)
+    v0 = float(iterative.lml_iterative(p, data, cfg, **kw))
+    v1 = float(iterative.lml_iterative(p, data, cfg, mesh=mesh, **kw))
+    assert np.isclose(v1, v0, rtol=1e-8), (v1, v0)
+    g0 = jax.grad(lambda pp: iterative.lml_iterative(pp, data, cfg, **kw))(p)
+    g1 = jax.grad(
+        lambda pp: iterative.lml_iterative(pp, data, cfg, mesh=mesh, **kw)
+    )(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6)
+
+
 def test_sharded_matvec_uses_all_devices(rng):
     """The row axis must actually shard: check the output sharding spec."""
     cfg, X, p = setup_problem(rng, n=64)
