@@ -130,12 +130,14 @@ def _apply_family(
         # input is sum_d |dx/ell|^alpha (== scaled sqdist when alpha == 2)
         return amp * jnp.exp(-0.5 * dist2_or_power)
     # Matérn families take the scaled *squared* distance; derive r carefully
-    # (sqrt has infinite grad at 0 — add a tiny floor inside, exact at r=0 in value).
+    # (sqrt has infinite grad at 0 — add a tiny floor inside, exact at r=0 in
+    # value). The ARD variants differ only in how the distance was scaled
+    # (per-dimension, via _scaled) — the polynomial is identical.
     r = jnp.sqrt(dist2_or_power + jnp.asarray(1e-36, dist2_or_power.dtype))
-    if fam is CovarianceFamily.MATERN32:
+    if fam in (CovarianceFamily.MATERN32, CovarianceFamily.MATERN32_ARD):
         s = jnp.sqrt(jnp.asarray(3.0, r.dtype)) * r
         return amp * (1.0 + s) * jnp.exp(-s)
-    if fam is CovarianceFamily.MATERN52:
+    if fam in (CovarianceFamily.MATERN52, CovarianceFamily.MATERN52_ARD):
         s = jnp.sqrt(jnp.asarray(5.0, r.dtype)) * r
         return amp * (1.0 + s + s * s / 3.0) * jnp.exp(-s)
     raise ValueError(f"unknown covariance family {fam}")
@@ -173,7 +175,7 @@ def _pallas_cross_vjp(U, V, amp, config: GPConfig):
         V,
         amp,
         jnp.zeros((), U.dtype),
-        family=config.covariance.value,
+        family=_pallas_family(config),
         add_diag=False,
         interpret=config.pallas_interpret,
     )
@@ -207,7 +209,7 @@ def _pallas_gram_vjp(U, amp, diag_add, config: GPConfig):
         U,
         amp,
         diag_add,
-        family=config.covariance.value,
+        family=_pallas_family(config),
         add_diag=True,
         interpret=config.pallas_interpret,
     )
@@ -230,6 +232,15 @@ def _pallas_gram_bwd(config, res, Kbar):
 
 
 _pallas_gram_vjp.defvjp(_pallas_gram_fwd, _pallas_gram_bwd)
+
+
+def _pallas_family(config: GPConfig) -> str:
+    """Pallas tile-epilogue name: ARD Matérn shares the isotropic epilogue
+    (the per-dimension scaling happened on the inputs)."""
+    return {
+        CovarianceFamily.MATERN32_ARD: "matern32",
+        CovarianceFamily.MATERN52_ARD: "matern52",
+    }.get(config.covariance, config.covariance.value)
 
 
 def _pallas_eligible(config: GPConfig, dtype) -> bool:

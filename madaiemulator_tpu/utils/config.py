@@ -27,9 +27,18 @@ class CovarianceFamily(enum.Enum):
     POWER_EXPONENTIAL = "power_exponential"
     MATERN32 = "matern32"
     MATERN52 = "matern52"
+    # ARD Matérn (per-dimension length scales) — an extension past the
+    # reference's isotropic Matérn (ROADMAP feature): the scaled distance
+    # r^2 = sum_d (dx_d / ell_d)^2 feeds the same Matérn polynomial.
+    MATERN32_ARD = "matern32_ard"
+    MATERN52_ARD = "matern52_ard"
 
     def num_length_scales(self, nparams: int) -> int:
-        if self is CovarianceFamily.POWER_EXPONENTIAL:
+        if self in (
+            CovarianceFamily.POWER_EXPONENTIAL,
+            CovarianceFamily.MATERN32_ARD,
+            CovarianceFamily.MATERN52_ARD,
+        ):
             return nparams  # ARD: one length scale per input dimension
         return 1  # isotropic Matérn, as in the reference
 
@@ -47,6 +56,9 @@ COVARIANCE_CLI_NAMES = {
     "matern_three": CovarianceFamily.MATERN32,
     "matern52": CovarianceFamily.MATERN52,
     "matern_five": CovarianceFamily.MATERN52,
+    # extensions (not in the reference)
+    "matern32_ard": CovarianceFamily.MATERN32_ARD,
+    "matern52_ard": CovarianceFamily.MATERN52_ARD,
 }
 
 

@@ -104,6 +104,39 @@ def test_matern_matches_scalar(rng, fam, nu):
             assert np.isclose(K[i, j], expect, rtol=1e-8, atol=1e-12), (i, j)
 
 
+@pytest.mark.parametrize(
+    "fam,nu",
+    [
+        (CovarianceFamily.MATERN32_ARD, 1.5),
+        (CovarianceFamily.MATERN52_ARD, 2.5),
+    ],
+)
+def test_matern_ard_matches_scalar(rng, fam, nu):
+    """ARD Matérn (per-dimension length scales; extension past the
+    reference's isotropic Matérn): r^2 = sum_d (dx_d/ell_d)^2 feeds the same
+    Matérn polynomial. scalar_matern's broadcast handles vector ls."""
+    d = 3
+    cfg = GPConfig(nparams=d, covariance=fam)
+    assert cfg.num_length_scales == d
+    X = rng.uniform(size=(6, d))
+    Y = rng.uniform(size=(4, d))
+    ls = np.array([0.4, 0.9, 1.7])
+    p = make_params(2.3, 1e-4, ls)
+    K = np.asarray(kernels.cross_covariance(jnp.asarray(X), jnp.asarray(Y), p, cfg))
+    for i in range(6):
+        for j in range(4):
+            expect = scalar_matern(X[i], Y[j], 2.3, ls, nu)
+            assert np.isclose(K[i, j], expect, rtol=1e-8, atol=1e-12), (i, j)
+    # equal length scales must reduce exactly to the isotropic family
+    iso = CovarianceFamily.MATERN32 if nu == 1.5 else CovarianceFamily.MATERN52
+    cfg_iso = GPConfig(nparams=d, covariance=iso)
+    p_ard = make_params(2.3, 1e-4, [0.7, 0.7, 0.7])
+    p_iso = make_params(2.3, 1e-4, 0.7)
+    K_ard = np.asarray(kernels.cross_covariance(jnp.asarray(X), jnp.asarray(Y), p_ard, cfg))
+    K_iso = np.asarray(kernels.cross_covariance(jnp.asarray(X), jnp.asarray(Y), p_iso, cfg_iso))
+    np.testing.assert_allclose(K_ard, K_iso, rtol=1e-12)
+
+
 def test_gram_adds_nugget_and_is_symmetric(rng):
     d = 2
     cfg = GPConfig(nparams=d)
