@@ -46,8 +46,13 @@ def main():
     )
     cfg = GPConfig(nparams=d, regression_order=1, n_restarts=restarts, max_opt_steps=steps)
 
+    # R > 2 per program reproducibly crashes the TPU worker (vmapped zoom
+    # linesearch; ROADMAP.md) — split the restart axis into stable R<=2
+    # programs merged by argmax (mathematically identical).
+    rsplit = 2 if restarts > 2 else None
     t0 = time.perf_counter()
-    res = fit_ensemble(jax.random.key(0), Xb, yb, cfg, ensemble_chunk=chunk)
+    res = fit_ensemble(jax.random.key(0), Xb, yb, cfg, ensemble_chunk=chunk,
+                       restart_split=rsplit)
     sync(res.log_likelihood)
     t_fit = time.perf_counter() - t0
     lls = np.asarray(res.log_likelihood)
@@ -62,6 +67,7 @@ def main():
                 "restarts": restarts,
                 "steps": steps,
                 "ensemble_chunk": chunk,
+                "restart_split": rsplit,
                 "wallclock_s": round(t_fit, 2),
                 "finite_fraction": float(np.isfinite(lls).mean()),
             }

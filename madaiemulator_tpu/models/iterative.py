@@ -180,7 +180,8 @@ def pcg_solve(
     precond: Optional[Preconditioner] = None,
     tol: float = 1e-6,
     max_iters: int = 256,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    track_tridiag: bool = False,
+):
     """Batched preconditioned CG: solve A x = b for every column of B.
 
     Returns (X, rel_residual (m,), iters_used). Converged columns freeze
@@ -193,6 +194,14 @@ def pcg_solve(
     — callers see rel > tol for that column and can gate on it (the
     iterative LML maps non-convergence to -inf, mirroring the dense path's
     non-SPD semantics).
+
+    track_tridiag=True additionally returns (alphas, betas, steps), each
+    (max_iters, m) / (m,), the CG coefficients per column — the raw
+    material of the mBCG Lanczos tridiagonals (Gardner et al. 2018):
+        T[0,0]   = 1/alpha_0
+        T[k,k]   = 1/alpha_k + beta_{k-1}/alpha_{k-1}
+        T[k,k+1] = sqrt(beta_k)/alpha_k
+    valid for iterations 0..steps_j-1 of column j.
     """
     vec = B.ndim == 1
     B2 = B[:, None] if vec else B
@@ -208,16 +217,20 @@ def pcg_solve(
     P0 = Z0
     rz0 = jnp.sum(R0 * Z0, axis=0)
     frozen0 = jnp.zeros((m,), dtype=bool)
+    dt = B2.dtype
+    A0 = jnp.zeros((max_iters, m), dtype=dt)  # alphas per iteration
+    Bt0 = jnp.zeros((max_iters, m), dtype=dt)  # betas per iteration
+    steps0 = jnp.zeros((m,), dtype=jnp.int32)  # valid CG steps per column
 
     def cond(state):
-        i, _, R, _, _, _, frozen = state
+        i, _, R, _, _, _, frozen, *_ = state
         rel = jnp.linalg.norm(R, axis=0) / bnorm
         return jnp.logical_and(
             i < max_iters, jnp.any(jnp.logical_and(rel > tol, ~frozen))
         )
 
     def body(state):
-        i, Xc, R, Z, P, rz, frozen = state
+        i, Xc, R, Z, P, rz, frozen, At, Bt, steps = state
         active = jnp.logical_and(
             (jnp.linalg.norm(R, axis=0) / bnorm) > tol, ~frozen
         )  # (m,)
@@ -244,15 +257,24 @@ def pcg_solve(
         Zn = jnp.where(keep, Zn, Z)
         Pn = jnp.where(keep, Pn, P)
         rz_new = jnp.where(newly_frozen, rz, rz_new)
-        return (i + 1, Xn, Rn, Zn, Pn, rz_new, frozen | newly_frozen)
+        took = jnp.logical_and(active, col_ok)
+        At = At.at[i].set(jnp.where(took, alpha, 0.0))
+        Bt = Bt.at[i].set(jnp.where(took, beta, 0.0))
+        steps = steps + took.astype(jnp.int32)
+        return (
+            i + 1, Xn, Rn, Zn, Pn, rz_new, frozen | newly_frozen,
+            At, Bt, steps,
+        )
 
-    i, Xs, R, _, _, _, _ = lax.while_loop(
-        cond, body, (0, X0, R0, Z0, P0, rz0, frozen0)
+    i, Xs, R, _, _, _, _, At, Bt, steps = lax.while_loop(
+        cond, body, (0, X0, R0, Z0, P0, rz0, frozen0, A0, Bt0, steps0)
     )
     rel = jnp.linalg.norm(R, axis=0) / bnorm
     if vec:
-        return Xs[:, 0], rel[0], i
-    return Xs, rel, i
+        out = (Xs[:, 0], rel[0], i)
+        return out + ((At[:, 0], Bt[:, 0], steps[0]),) if track_tridiag else out
+    out = (Xs, rel, i)
+    return out + ((At, Bt, steps),) if track_tridiag else out
 
 
 def _lanczos_tridiag_batched(
@@ -347,6 +369,34 @@ def slq_logdet(
     return jnp.sum(ests) if exact else jnp.mean(ests)
 
 
+def mbcg_quadrature(At: jax.Array, Bt: jax.Array, steps: jax.Array,
+                    weights: jax.Array) -> jax.Array:
+    """Per-probe Gauss quadrature w_j * e1^T log(T_j) e1 from CG
+    coefficients (mBCG; Gardner et al. 2018). At/Bt are (max_iters, p),
+    steps (p,) counts valid iterations; weights (p,) are z^T P^-1 z for
+    probes z ~ N(0, P). Iterations beyond steps contribute log(1) = 0
+    (identity padding)."""
+    max_iters = At.shape[0]
+    it = jnp.arange(max_iters)
+
+    def one(a, b, k, w):
+        valid = it < k
+        a_safe = jnp.where(a > 0, a, 1.0)
+        diag = 1.0 / a_safe
+        a_prev = jnp.concatenate([jnp.ones((1,), a.dtype), a[:-1]])
+        b_prev = jnp.concatenate([jnp.zeros((1,), b.dtype), b[:-1]])
+        diag = diag + b_prev / jnp.where(a_prev > 0, a_prev, 1.0)
+        diag = jnp.where(valid, diag, 1.0)
+        off = jnp.sqrt(jnp.maximum(b, 0.0)) / a_safe
+        off = jnp.where(it < k - 1, off, 0.0)[: max_iters - 1]
+        T = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, 1e-30)
+        return jnp.dot(evecs[0, :] ** 2, jnp.log(evals)) * w
+
+    return jax.vmap(one, in_axes=(1, 1, 0, 0))(At, Bt, steps, weights)
+
+
 class IterativeInfo(NamedTuple):
     solve_rel_residual: jax.Array  # worst relative residual of the solves
     cg_iters: jax.Array
@@ -376,14 +426,31 @@ def _solve_C(params, data, config, rank, cg, B, mesh=None):
 
 
 def _lml_iterative_impl(
-    params, seed, data, config, rank, probes, lanczos_iters, cg, mesh=None
+    params, seed, data, config, rank, probes, lanczos_iters, cg, mesh=None,
+    logdet_method="slq",
 ):
     key = jax.random.key(seed)
     n = data.X.shape[0]
+    tol, iters = cg
+    da = _diag_add(n, params, config, data.X.dtype)
+    Lk = pivoted_cholesky(data.X, params, config, rank)
+    pre = make_preconditioner(Lk, da)
+    mv = _matvec_for(params, data, config, mesh)
     H = regression_basis(data.X, config.regression_order)
     B = jnp.concatenate([data.y[:, None], H], axis=1)  # (n, 1 + p)
-    S, rel, it = _solve_C(params, data, config, rank, cg, B, mesh)
-    Ciy, CiH = S[:, 0], S[:, 1:]
+    nbase = B.shape[1]
+    if logdet_method == "mbcg":
+        # probes z ~ N(0, P): the mBCG quadratures of their CG runs carry
+        # the logdet (one Krylov pass for solves AND logdet)
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 2))
+        w1 = jax.random.normal(k1, (rank, probes), dtype=B.dtype)
+        w2 = jax.random.normal(k2, (n, probes), dtype=B.dtype)
+        U = jnp.dot(Lk, w1, precision=lax.Precision.HIGHEST) + jnp.sqrt(da) * w2
+        B = jnp.concatenate([B, U], axis=1)
+    S, rel, it, (At, Bt, steps) = pcg_solve(
+        mv, B, pre, tol=tol, max_iters=iters, track_tridiag=True
+    )
+    Ciy, CiH = S[:, 0], S[:, 1:nbase]
     A = jnp.dot(H.T, CiH, precision=lax.Precision.HIGHEST)
     LA = lax.linalg.cholesky(A)
     rhs = jnp.dot(H.T, Ciy, precision=lax.Precision.HIGHEST)
@@ -394,11 +461,17 @@ def _lml_iterative_impl(
     alpha = Ciy - jnp.dot(CiH, beta, precision=lax.Precision.HIGHEST)
     r = data.y - jnp.dot(H, beta, precision=lax.Precision.HIGHEST)
     quad = jnp.dot(r, alpha, precision=lax.Precision.HIGHEST)
-    mv = _matvec_for(params, data, config, mesh)
-    logdet = slq_logdet(
-        mv, n, key, probes=probes, lanczos_iters=lanczos_iters,
-        dtype=data.X.dtype,
-    )
+    if logdet_method == "mbcg":
+        weights = jnp.sum(U * pre.solve(U), axis=0)  # z^T P^-1 z per probe
+        quads = mbcg_quadrature(
+            At[:, nbase:], Bt[:, nbase:], steps[nbase:], weights
+        )
+        logdet = pre.logdet() + jnp.mean(quads)
+    else:
+        logdet = slq_logdet(
+            mv, n, key, probes=probes, lanczos_iters=lanczos_iters,
+            dtype=data.X.dtype,
+        )
     ll = -0.5 * quad - 0.5 * logdet - 0.5 * n * math.log(2.0 * math.pi)
     if config.reml:
         ll = ll - jnp.sum(jnp.log(jnp.diagonal(LA)))
@@ -420,7 +493,7 @@ def _lml_iterative_impl(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9)
 )
 def _lml_iterative(
     params: GPParams,
@@ -432,24 +505,29 @@ def _lml_iterative(
     lanczos_iters: int,
     cg: Tuple[float, int],
     mesh=None,
+    logdet_method="slq",
 ):
     ll, _, _ = _lml_iterative_impl(
-        params, seed, data, config, rank, probes, lanczos_iters, cg, mesh
+        params, seed, data, config, rank, probes, lanczos_iters, cg, mesh,
+        logdet_method,
     )
     return ll
 
 
 def _lml_iter_fwd(
-    params, seed, data, config, rank, probes, lanczos_iters, cg, mesh=None
+    params, seed, data, config, rank, probes, lanczos_iters, cg, mesh=None,
+    logdet_method="slq",
 ):
     ll, alpha, _ = _lml_iterative_impl(
-        params, seed, data, config, rank, probes, lanczos_iters, cg, mesh
+        params, seed, data, config, rank, probes, lanczos_iters, cg, mesh,
+        logdet_method,
     )
     return ll, (params, alpha)
 
 
 def _lml_iter_bwd(
-    seed, data, config, rank, probes, lanczos_iters, cg, mesh, res, g
+    seed, data, config, rank, probes, lanczos_iters, cg, mesh, logdet_method,
+    res, g,
 ):
     """BBMM-style gradient, no N x N intermediates:
 
@@ -509,6 +587,7 @@ def lml_iterative(
     cg_tol: float = 1e-6,
     cg_max_iters: int = 256,
     mesh=None,
+    logdet_method: str = "slq",
 ) -> jax.Array:
     """Matrix-free GLS log-marginal likelihood, differentiable wrt params
     via the Hutchinson/adjoint-solve VJP. `seed` (static int) fixes the
@@ -517,10 +596,15 @@ def lml_iterative(
     probes >= N switches the estimators to exact canonical-basis traces
     (O(N) solves; for validation and small N). Pass a 1-D
     jax.sharding.Mesh to run every matvec row-sharded over devices
-    (parallel/iterative_sharded) — the multi-chip large-N fit path."""
+    (parallel/iterative_sharded) — the multi-chip large-N fit path.
+    logdet_method="mbcg" derives the logdet tridiagonals from the SAME
+    preconditioned-CG pass that computes the solves (probes ride as extra
+    RHS columns; Gardner et al. 2018) — one Krylov build instead of
+    CG + separate Lanczos, and the logdet estimate inherits the
+    preconditioner's convergence."""
     return _lml_iterative(
         params, seed, data, config, rank, probes, lanczos_iters,
-        (cg_tol, cg_max_iters), mesh,
+        (cg_tol, cg_max_iters), mesh, logdet_method,
     )
 
 
@@ -537,6 +621,8 @@ def fit_gp_iterative(
     cg_tol: float = 1e-5,
     cg_max_iters: int = 256,
     vg_batch: Optional[int] = 1,
+    mesh=None,
+    logdet_method: str = "slq",
 ):
     """Hyperparameter estimation with the matrix-free likelihood.
 
@@ -554,7 +640,8 @@ def fit_gp_iterative(
         return lml_iterative(
             params, d, cfg, seed=seed, rank=rank, probes=probes,
             lanczos_iters=lanczos_iters, cg_tol=cg_tol,
-            cg_max_iters=cg_max_iters,
+            cg_max_iters=cg_max_iters, mesh=mesh,
+            logdet_method=logdet_method,
         )
 
     return fit_gp_host(

@@ -146,6 +146,28 @@ def _fit_ensemble_jit(
     )
 
 
+def _merge_fit_results(parts) -> FitResult:
+    """Merge sequential restart batches of the same ensemble: concatenate
+    the restart axis, re-argmax per ensemble member."""
+    lls = jnp.concatenate(
+        [p.restart_log_likelihoods for p in parts], axis=1
+    )  # (E, R_total)
+    rparams = jax.tree.map(
+        lambda *a: jnp.concatenate(a, axis=1), *[p.restart_params for p in parts]
+    )
+    safe = jnp.where(jnp.isfinite(lls), lls, -jnp.inf)
+    best = jnp.argmax(safe, axis=1)  # (E,)
+    params = jax.tree.map(
+        lambda a: jax.vmap(lambda row, i: row[i])(a, best), rparams
+    )
+    return FitResult(
+        params=params,
+        log_likelihood=jnp.max(safe, axis=1),
+        restart_log_likelihoods=lls,
+        restart_params=rparams,
+    )
+
+
 def fit_ensemble(
     key: jax.Array,
     Xb: jax.Array,  # (E, N, d)
@@ -155,6 +177,7 @@ def fit_ensemble(
     n_restarts: Optional[int] = None,
     max_steps: Optional[int] = None,
     ensemble_chunk: Optional[int] = None,
+    restart_split: Optional[int] = None,
 ) -> FitResult:
     """Fit E independent scalar GPs as one sharded program (config 5 [B]).
 
@@ -164,8 +187,15 @@ def fit_ensemble(
 
     ensemble_chunk runs the ensemble axis in sequential groups of that size
     (lax.map over groups, vmap within): use it to cap the number of live
-    optimizer cells when E*R is very large — the workaround for the
-    documented E=2048 x R=4 TPU worker crash (ROADMAP.md).
+    optimizer cells when E*R is very large.
+
+    restart_split caps how many restarts run per device program: restarts
+    beyond it run as additional sequential programs (fresh key folds) and
+    the results merge by per-member argmax — mathematically identical to
+    one R-wide batch. This is the robust workaround for the REPRODUCIBLE
+    R=4 vmapped-linesearch TPU worker crash (ROADMAP.md: E=2048 x R=4
+    crashed at every ensemble_chunk tried, down to 512; R=2 programs are
+    stable at E=2048).
     """
     R = config.n_restarts if n_restarts is None else n_restarts
     steps = config.max_opt_steps if max_steps is None else max_steps
@@ -173,7 +203,22 @@ def fit_ensemble(
         sh = NamedSharding(mesh, P(ENSEMBLE_AXIS))
         Xb = jax.device_put(Xb, sh)
         yb = jax.device_put(yb, sh)
-    return _fit_ensemble_jit(key, Xb, yb, config, R, steps, ensemble_chunk)
+    if restart_split is None or restart_split >= R:
+        return _fit_ensemble_jit(key, Xb, yb, config, R, steps, ensemble_chunk)
+    parts = []
+    done = 0
+    i = 0
+    while done < R:
+        r_i = min(restart_split, R - done)
+        parts.append(
+            _fit_ensemble_jit(
+                jax.random.fold_in(key, i), Xb, yb, config, r_i, steps,
+                ensemble_chunk,
+            )
+        )
+        done += r_i
+        i += 1
+    return _merge_fit_results(parts)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -98,6 +98,31 @@ def test_fit_ensemble_chunked_matches_unchunked():
         fit_ensemble(jax.random.key(5), Xb, yb, cfg, ensemble_chunk=3)
 
 
+def test_fit_ensemble_restart_split_merges_correctly():
+    """restart_split runs restarts as sequential programs; the merged result
+    must have the full restart axis, a consistent argmax, and a best-ll at
+    least as good as either half (it IS one of the halves' bests)."""
+    cfg = GPConfig(nparams=2, n_restarts=4, max_opt_steps=10)
+    Xb, yb = make_batch(E=4, dtype=jnp.float64)
+    res = fit_ensemble(jax.random.key(7), Xb, yb, cfg, restart_split=2)
+    assert res.restart_log_likelihoods.shape == (4, 4)
+    assert res.params.log_ls.shape == (4, 2)
+    lls = np.asarray(res.restart_log_likelihoods)
+    best = np.asarray(res.log_likelihood)
+    np.testing.assert_allclose(
+        best, np.max(np.where(np.isfinite(lls), lls, -np.inf), axis=1)
+    )
+    # the selected params reproduce the reported best likelihood
+    from madaiemulator_tpu.models.gp import log_marginal_likelihood
+
+    for e in range(4):
+        p_e = jax.tree.map(lambda a: a[e], res.params)
+        ll_e = float(
+            log_marginal_likelihood(p_e, GPData(Xb[e], yb[e]), cfg)
+        )
+        assert np.isclose(ll_e, best[e], rtol=1e-8), (e, ll_e, best[e])
+
+
 def test_make_mesh_validates_restart_shards():
     with pytest.raises(ValueError, match="not divisible"):
         make_mesh(8, restart_shards=3)

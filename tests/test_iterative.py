@@ -145,6 +145,51 @@ def test_predict_iterative_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), rtol=1e-4, atol=1e-8)
 
 
+def test_mbcg_quadrature_matches_lanczos(rng):
+    """CG-derived tridiagonals (mBCG, no preconditioner) must reproduce the
+    direct Lanczos quadrature z^T log(A) z for the same probes."""
+    cfg, data, p = setup_problem(rng, n=40)
+    C = np.asarray(kernels.gram_matrix(data.X, p, cfg))
+    mv = lambda V: iterative.gram_matvec(data.X, p, cfg, V)
+    Z = np.where(rng.uniform(size=(40, 4)) < 0.5, -1.0, 1.0)
+    Zj = jnp.asarray(Z)
+    # direct Lanczos quadrature
+    m = 40
+    alphas, betas = iterative._lanczos_tridiag_batched(mv, Zj, m)
+
+    def lq(a, b, z):
+        T = np.diag(np.asarray(a)) + np.diag(np.asarray(b), 1) + np.diag(np.asarray(b), -1)
+        ev, evec = np.linalg.eigh(T)
+        return float((evec[0] ** 2) @ np.log(np.maximum(ev, 1e-30)) * (z @ z))
+
+    direct = np.array([lq(alphas[:, i], betas[:, i], Z[:, i]) for i in range(4)])
+    # mBCG: CG on the same probes, no preconditioner, full iterations
+    _, _, _, (At, Bt, steps) = iterative.pcg_solve(
+        mv, Zj, None, tol=1e-30, max_iters=m, track_tridiag=True
+    )
+    weights = jnp.asarray((Z * Z).sum(axis=0))  # z^T I^-1 z
+    quads = np.asarray(iterative.mbcg_quadrature(At, Bt, steps, weights))
+    np.testing.assert_allclose(quads, direct, rtol=1e-6)
+    # and both must sum-estimate the true trace of log(C) reasonably
+    exact = np.linalg.slogdet(C)[1]
+    assert abs(np.mean(quads) - exact) < 0.15 * max(abs(exact), 10.0)
+
+
+def test_lml_iterative_mbcg_close_to_dense(rng):
+    cfg, data, p = setup_problem(rng, n=60)
+    ll_dense = float(gp.log_marginal_likelihood(p, data, cfg))
+    ll_mbcg = float(
+        iterative.lml_iterative(
+            p, data, cfg, seed=3, rank=40, probes=24, logdet_method="mbcg",
+            cg_tol=1e-11, cg_max_iters=300,
+        )
+    )
+    # stochastic logdet estimate: generous but meaningful tolerance
+    assert abs(ll_mbcg - ll_dense) < 0.05 * max(abs(ll_dense), 20.0), (
+        ll_mbcg, ll_dense,
+    )
+
+
 def test_fit_gp_iterative_improves_likelihood(rng):
     """End-to-end matrix-free fit: exact-probe objective, small n; the
     fitted params must beat the best random start by a clear margin and
