@@ -78,9 +78,12 @@ def _build_parser() -> argparse.ArgumentParser:
     im.add_argument("state_file")
     im.add_argument("--dtype", choices=["float64", "float32"], default="float64")
     im.add_argument(
-        "--serve_method", choices=["dense", "iterative"], default="dense",
-        help="'iterative': matrix-free serving (no dense factorization; "
-        "required when N^2 per component exceeds device memory)",
+        "--serve_method", choices=["dense", "fast", "iterative"],
+        default="dense",
+        help="'fast': GEMM-only serving (explicit triangular inverses, "
+        "one extra O(N^3/3) precompute); 'iterative': matrix-free serving "
+        "(no dense factorization; required when N^2 per component exceeds "
+        "device memory)",
     )
     im.add_argument("--rank", type=int, default=64)
     im.add_argument("--cg_tol", type=float, default=1e-6)
@@ -183,7 +186,9 @@ def cmd_interactive_mode(args) -> int:
 
     from madaiemulator_tpu.io.snapshot import read_snapshot_auto
     from madaiemulator_tpu.models.multivariate import (
+        precompute_fast_multivariate,
         predict_multivariate,
+        predict_multivariate_fast,
         predict_multivariate_iterative,
     )
 
@@ -197,6 +202,11 @@ def cmd_interactive_mode(args) -> int:
                 e, q, rank=args.rank, cg_tol=args.cg_tol,
                 cg_max_iters=args.cg_max_iters,
             )
+    elif args.serve_method == "fast":
+        fast_states = precompute_fast_multivariate(emu)
+
+        def predict_multivariate(e, q):  # noqa: F811 — same call shape
+            return predict_multivariate_fast(e, fast_states, q)
     d = len(param_names)
     t = len(output_names)
     out = sys.stdout

@@ -272,13 +272,10 @@ class FastPredictorState(NamedTuple):
     LAinv: jax.Array  # (p, p) lower-triangular LA^-1
 
 
-def precompute_fast_predictor(
-    params: GPParams, data: GPData, config: GPConfig
-) -> FastPredictorState:
-    """One-time O(N^3/3) inversion on top of `precompute_predictor` for
-    GEMM-only serving via `predict_fast`."""
-    st = precompute_predictor(params, data, config)
-    if data.y.dtype == jnp.float64:
+def fast_predictor_from_state(st: GPPosteriorState) -> FastPredictorState:
+    """Form the explicit triangular inverses from an existing factorization
+    (no refactorization); vmappable over component/ensemble axes."""
+    if st.L.dtype == jnp.float64:
         eyeN = jnp.eye(st.L.shape[0], dtype=st.L.dtype)
         Linv = jax.lax.linalg.triangular_solve(
             st.L, eyeN, left_side=True, lower=True
@@ -295,6 +292,16 @@ def precompute_fast_predictor(
             st.LA, precision=jax.lax.Precision.HIGHEST
         )
     return FastPredictorState(base=st, Linv=Linv, LAinv=LAinv)
+
+
+def precompute_fast_predictor(
+    params: GPParams, data: GPData, config: GPConfig
+) -> FastPredictorState:
+    """One-time O(N^3/3) inversion on top of `precompute_predictor` for
+    GEMM-only serving via `predict_fast`."""
+    return fast_predictor_from_state(
+        precompute_predictor(params, data, config)
+    )
 
 
 def predict_fast(

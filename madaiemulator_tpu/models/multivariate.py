@@ -268,6 +268,37 @@ def predict_multivariate(
     return reconstruct_observables(m_pc, v_pc, emu.pca)
 
 
+def precompute_fast_multivariate(emu: MultivariateEmulator):
+    """Batched (r, ...) FastPredictorState: explicit per-component
+    triangular inverses so multivariate serving is GEMM-only
+    (models/gp.predict_fast). One-time O(r N^3/3) on top of the STORED
+    factorizations — no refactorization."""
+    from madaiemulator_tpu.models.gp import fast_predictor_from_state
+
+    return jax.vmap(fast_predictor_from_state)(emu.states)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _predict_components_fast(fast_states, params, X, Z, Xs, config):
+    from madaiemulator_tpu.models.gp import predict_fast
+
+    def one(fp, p, z):
+        return predict_fast(fp, p, GPData(X=X, y=z), Xs, config)
+
+    return jax.vmap(one)(fast_states, params, Z.T)  # (r, m) each
+
+
+def predict_multivariate_fast(
+    emu: MultivariateEmulator, fast_states, Xs_raw: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """GEMM-only multivariate serving (see precompute_fast_multivariate)."""
+    Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=emu.X.dtype), emu.scaling)
+    m_pc, v_pc = _predict_components_fast(
+        fast_states, emu.params, emu.X, emu.Z, Xs, emu.config
+    )
+    return reconstruct_observables(m_pc, v_pc, emu.pca)
+
+
 class IterativeMultivariateEmulator(NamedTuple):
     """A trained multivariate emulator with NO dense serving cache: both
     fitting and serving run matrix-free (models/iterative.py), so N is

@@ -99,6 +99,27 @@ def test_multivariate_iterative_matches_dense_serving(rng):
     np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), rtol=1e-4, atol=1e-9)
 
 
+def test_predict_multivariate_fast_matches_dense(rng):
+    """GEMM-only multivariate serving vs the TRSM path."""
+    from madaiemulator_tpu.models.multivariate import (
+        precompute_fast_multivariate,
+        predict_multivariate_fast,
+    )
+
+    X, Y = make_heavy_ion_like(rng, n=36)
+    cfg = GPConfig(nparams=3, regression_order=1, n_restarts=2, max_opt_steps=25)
+    emu = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg, pca_variance=0.99
+    )
+    fast = precompute_fast_multivariate(emu)
+    m_d, v_d = predict_multivariate(emu, jnp.asarray(X))
+    m_f, v_f = predict_multivariate_fast(emu, fast, jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_d), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(v_f), np.asarray(v_d), rtol=1e-6, atol=1e-10
+    )
+
+
 def test_fit_multivariate_iterative_end_to_end(rng):
     X, Y = make_heavy_ion_like(rng, n=32)
     cfg = GPConfig(nparams=3, regression_order=1, n_restarts=2, max_opt_steps=20)
