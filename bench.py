@@ -125,21 +125,24 @@ def main():
     # every variant must pass the residual check to count; the headline is
     # the fastest verified factorization. The first entry is the library's
     # own default large-N serve path (left-looking + auto tier).
+    # dedup key is the VARIANT IDENTITY (impl, block, precision), not the
+    # display name — when the auto tier resolves to "highest" the labeled
+    # auto entry and the explicit highest entry are the same benchmark
     variants = [
-        (f"left(1024,{tier})[auto]",
+        (f"left(1024,{tier})[auto]", ("left", 1024, tier),
          lambda M: linalg.left_cholesky(M, block=1024, update_precision=tier)),
-        ("xla", jax.jit(linalg.xla_cholesky)),
-        ("left(1024,highest)",
+        ("xla", ("xla",), jax.jit(linalg.xla_cholesky)),
+        ("left(1024,highest)", ("left", 1024, "highest"),
          lambda M: linalg.left_cholesky(M, block=1024, update_precision="highest")),
-        ("blocked_opt(1024,high)",
+        ("blocked_opt(1024,high)", ("blocked", 1024, "high"),
          lambda M: linalg.blocked_cholesky_opt(M, block=1024, update_precision="high")),
     ]
     best_t, best_name = float("inf"), "none"
     seen = set()
-    for name, f in variants:
-        if name in seen:
+    for name, ident, f in variants:
+        if ident in seen:
             continue
-        seen.add(name)
+        seen.add(ident)
         try:
             t_v, ok = verified(name, jax.jit(f))
             if ok and t_v < best_t:

@@ -27,7 +27,9 @@ def main():
     else:
         chunk = max(1, 4096 // restarts) if E * restarts > 4096 else None
         if chunk is not None and E % chunk != 0:
-            chunk = 1 << (chunk.bit_length() - 1)  # round down to power of 2
+            # largest divisor of E not exceeding the cap (a power-of-two
+            # round-down is NOT a divisor when E isn't a power of two)
+            chunk = max(c for c in range(1, chunk + 1) if E % c == 0)
 
     import jax
     import jax.numpy as jnp

@@ -311,7 +311,31 @@ def predict_fast(
     Xs: jax.Array,
     config: GPConfig,
 ) -> Tuple[jax.Array, jax.Array]:
-    """GEMM-only posterior mean and variance (see FastPredictorState)."""
+    """GEMM-only posterior mean and variance (see FastPredictorState).
+
+    Honors config.predict_query_chunk like the TRSM path — at large N the
+    (N, m) cross-kernel and product blocks must stay bounded.
+    """
+    chunk = config.predict_query_chunk
+    m = Xs.shape[0]
+    if chunk is not None and m > chunk:
+        pad = (-m) % chunk
+        Xsp = jnp.concatenate([Xs, Xs[:pad]], axis=0) if pad else Xs
+        groups = Xsp.reshape(-1, chunk, Xs.shape[1])
+        means, variances = jax.lax.map(
+            lambda q: _predict_fast_core(fp, params, data, q, config), groups
+        )
+        return means.reshape(-1)[:m], variances.reshape(-1)[:m]
+    return _predict_fast_core(fp, params, data, Xs, config)
+
+
+def _predict_fast_core(
+    fp: FastPredictorState,
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+) -> Tuple[jax.Array, jax.Array]:
     st = fp.base
     with jax.named_scope("cross_kernel"):
         Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)

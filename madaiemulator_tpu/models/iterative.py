@@ -236,16 +236,24 @@ def pcg_solve(
         )  # (m,)
         AP = matvec(P)
         pap = jnp.sum(P * AP, axis=0)
-        alpha = jnp.where(active, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+        # Non-positive curvature (pap <= 0 with everything still finite) is
+        # the COMMON f32 CG breakdown once the residual reaches the matvec
+        # noise floor: substituting a fake denominator would take an
+        # arbitrary wrong step that the isfinite check below cannot catch.
+        # Treat it as breakdown: take no step, freeze the column.
+        curv_ok = pap > 0
+        step_ok = jnp.logical_and(active, curv_ok)
+        alpha = jnp.where(step_ok, rz / jnp.where(curv_ok, pap, 1.0), 0.0)
         Xn = Xc + alpha[None, :] * P
         Rn = R - alpha[None, :] * AP
         Zn = psolve(Rn)
         rz_new = jnp.sum(Rn * Zn, axis=0)
-        beta = jnp.where(active, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        beta = jnp.where(step_ok, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
         Pn = Zn + beta[None, :] * P
         # breakdown detection per column: freeze at the last finite iterate
         col_ok = (
-            jnp.all(jnp.isfinite(Xn), axis=0)
+            curv_ok
+            & jnp.all(jnp.isfinite(Xn), axis=0)
             & jnp.all(jnp.isfinite(Rn), axis=0)
             & jnp.all(jnp.isfinite(Pn), axis=0)
             & jnp.isfinite(rz_new)
@@ -493,7 +501,10 @@ def _lml_iterative_impl(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9)
+    # data is a DIFFERENTIABLE argument (zero cotangent) so callers may
+    # pass it as a traced jit/vmap argument — array-valued nondiff_argnums
+    # would reject tracers. Everything else is static/hashable.
+    jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6, 7, 8, 9)
 )
 def _lml_iterative(
     params: GPParams,
@@ -522,11 +533,11 @@ def _lml_iter_fwd(
         params, seed, data, config, rank, probes, lanczos_iters, cg, mesh,
         logdet_method,
     )
-    return ll, (params, alpha)
+    return ll, (params, data, alpha)
 
 
 def _lml_iter_bwd(
-    seed, data, config, rank, probes, lanczos_iters, cg, mesh, logdet_method,
+    seed, config, rank, probes, lanczos_iters, cg, mesh, logdet_method,
     res, g,
 ):
     """BBMM-style gradient, no N x N intermediates:
@@ -542,7 +553,7 @@ def _lml_iter_bwd(
     main terms; config.reml with iterative gradients is documented as
     approximate.)
     """
-    params, alpha = res
+    params, data, alpha = res
     n = data.X.shape[0]
     key = jax.random.fold_in(jax.random.key(seed), 1)
     if probes >= n:
@@ -570,7 +581,10 @@ def _lml_iter_bwd(
     _, vjp2 = jax.vjp(lambda prm: quad_form(prm, CiZ, Z), params)
     g2 = vjp2(jnp.asarray(-0.5 * scale, alpha.dtype))[0]
     grad = jax.tree.map(lambda a, b: (a + b) * g, g1, g2)
-    return (grad,)
+    # zero cotangent for the training data (treated as constants; the
+    # reference workload never differentiates wrt the design/targets)
+    data_zero = jax.tree.map(jnp.zeros_like, data)
+    return (grad, data_zero)
 
 
 _lml_iterative.defvjp(_lml_iter_fwd, _lml_iter_bwd)
@@ -676,9 +690,16 @@ def predict_iterative(
 
         config = dataclasses.replace(config, jitter=jitter)
     n = data.X.shape[0]
+    # build the preconditioner ONCE (it depends only on params/data); every
+    # query chunk reuses it instead of re-running the sequential rank-k
+    # pivoted-Cholesky construction inside lax.map
+    da = _diag_add(n, params, config, data.X.dtype)
+    Lk = pivoted_cholesky(data.X, params, config, rank)
+    pre = make_preconditioner(Lk, da)
+    mv = _matvec_for(params, data, config, None)
     H = regression_basis(data.X, config.regression_order)
     B = jnp.concatenate([data.y[:, None], H], axis=1)
-    S, _, _ = _solve_C(params, data, config, rank, (cg_tol, cg_max_iters), B)
+    S, _, _ = pcg_solve(mv, B, pre, tol=cg_tol, max_iters=cg_max_iters)
     Ciy, CiH = S[:, 0], S[:, 1:]
     A = jnp.dot(H.T, CiH, precision=lax.Precision.HIGHEST)
     LA = lax.linalg.cholesky(A)
@@ -709,9 +730,7 @@ def predict_iterative(
         )
         if not with_variance:
             return mean, jnp.zeros_like(mean)
-        CiKs, _, _ = _solve_C(
-            params, data, config, rank, (cg_tol, cg_max_iters), Ks
-        )
+        CiKs, _, _ = pcg_solve(mv, Ks, pre, tol=cg_tol, max_iters=cg_max_iters)
         var = kss - jnp.sum(Ks * CiKs, axis=0)
         G = Hs.T - jnp.dot(CiH.T, Ks, precision=lax.Precision.HIGHEST)
         W = lax.linalg.triangular_solve(LA, G, left_side=True, lower=True)

@@ -109,6 +109,11 @@ def _abs_power_dist(U: jax.Array, V: jax.Array, alpha: float) -> jax.Array:
     n1, d = U.shape
     n2 = V.shape[0]
 
+    # jax.checkpoint: without it, differentiating through the lax.map
+    # stacks every chunk's (chunk, n2, d) diff tensor as a residual —
+    # rebuilding exactly the full tensor this chunking exists to avoid
+    # (same trap as models/iterative.gram_matvec).
+    @jax.checkpoint
     def block(ug):
         diff = jnp.abs(ug[:, None, :] - V[None, :, :])
         return jnp.sum(diff**alpha, axis=-1)

@@ -103,23 +103,50 @@ callEmulateAtList <- function(design, y, thetas, points,
 #' Open a trained emulator state file behind a pipe server.
 #' cmd: "python" (default; uses the installed CLI) or "madai_query"
 #' (the native C++ server binary, if built/on PATH).
+#'
+#' Transport note: base R's pipe() connections are popen-backed and
+#' therefore UNIDIRECTIONAL — pipe(cmd, "r+") silently yields a read-only
+#' connection on Unix, so a bidirectional protocol cannot ride one. This
+#' client instead bridges stdin/stdout through two named FIFOs (mkfifo),
+#' which base R's file() opens like ordinary connections. Unix-only.
 madaiOpenEmulator <- function(state_file,
                               cmd = c("python", "madai_query")) {
   cmd <- match.arg(cmd)
-  line <- if (cmd == "python") {
+  if (.Platform$OS.type != "unix") {
+    stop("the zero-dependency pipe client needs a Unix host (named fifos); ",
+         "on other platforms use the reticulate layer above or {processx}")
+  }
+  prog <- if (cmd == "python") {
     sprintf("python -m madaiemulator_tpu.cli interactive_mode %s",
             shQuote(state_file))
   } else {
     sprintf("madai_query %s", shQuote(state_file))
   }
-  con <- pipe(line, open = "r+")
-  nparams <- as.integer(readLines(con, n = 1))
-  param_names <- readLines(con, n = nparams)
-  nvals <- as.integer(readLines(con, n = 1))
-  labels <- readLines(con, n = nvals)
+  fifo_in <- tempfile("madai_in_")
+  fifo_out <- tempfile("madai_out_")
+  if (system(paste("mkfifo", shQuote(fifo_in), shQuote(fifo_out))) != 0L) {
+    stop("mkfifo failed")
+  }
+  # The backgrounded shell opens fifo_in (its stdin) first and blocks until
+  # our write end opens, then fifo_out symmetrically — so the open order
+  # below (write end, then read end) is load-bearing.
+  system(sprintf("%s < %s > %s &",
+                 prog, shQuote(fifo_in), shQuote(fifo_out)))
+  con_in <- file(fifo_in, open = "w")
+  con_out <- file(fifo_out, open = "r")
+  nparams <- as.integer(readLines(con_out, n = 1))
+  if (length(nparams) != 1L || is.na(nparams)) {
+    close(con_in); close(con_out); unlink(c(fifo_in, fifo_out))
+    stop("emulator server failed to start (no header on the pipe)")
+  }
+  param_names <- readLines(con_out, n = nparams)
+  nvals <- as.integer(readLines(con_out, n = 1))
+  labels <- readLines(con_out, n = nvals)
   noutputs <- nvals %/% 2L
   structure(
-    list(con = con, nparams = nparams, noutputs = noutputs,
+    list(con_in = con_in, con_out = con_out,
+         fifo_in = fifo_in, fifo_out = fifo_out,
+         nparams = nparams, noutputs = noutputs,
          param_names = param_names,
          output_names = sub("^mean_", "", labels[seq_len(noutputs)])),
     class = "madai_emulator"
@@ -135,15 +162,17 @@ madaiQuery <- function(emu, points) {
   t <- emu$noutputs
   # one write for the whole batch: the server drains every buffered point
   # and predicts them as one device call (VERDICT r1: throughput path)
-  writeLines(apply(points, 1L, paste, collapse = " "), emu$con)
-  flush(emu$con)
-  vals <- as.numeric(readLines(emu$con, n = m * 2L * t))
+  writeLines(apply(points, 1L, paste, collapse = " "), emu$con_in)
+  flush(emu$con_in)
+  vals <- as.numeric(readLines(emu$con_out, n = m * 2L * t))
   per <- matrix(vals, nrow = m, ncol = 2L * t, byrow = TRUE)
   list(means = per[, seq_len(t), drop = FALSE],
        variances = per[, t + seq_len(t), drop = FALSE])
 }
 
 madaiCloseEmulator <- function(emu) {
-  close(emu$con)
+  close(emu$con_in)   # EOF on the server's stdin -> clean exit
+  close(emu$con_out)
+  unlink(c(emu$fifo_in, emu$fifo_out))
   invisible(NULL)
 }

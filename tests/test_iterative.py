@@ -209,6 +209,27 @@ def test_fit_gp_iterative_improves_likelihood(rng):
     assert ll_dense >= float(gp.log_marginal_likelihood(p, data, cfg)) - 1e-6
 
 
+def test_lml_iterative_data_as_jit_argument(rng):
+    """data must be passable as a TRACED jit argument (it is a
+    differentiable custom_vjp arg with zero cotangent, not a static one)."""
+    cfg, data, p = setup_problem(rng, n=24)
+    f = jax.jit(
+        lambda pp, dd: iterative.lml_iterative(
+            pp, dd, cfg, seed=1, rank=8, probes=4, lanczos_iters=12
+        )
+    )
+    v = float(f(p, data))
+    assert np.isfinite(v)
+    g = jax.jit(
+        jax.grad(
+            lambda pp, dd: iterative.lml_iterative(
+                pp, dd, cfg, seed=1, rank=8, probes=4, lanczos_iters=12
+            )
+        )
+    )(p, data)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
 def test_lml_iterative_jits(rng):
     cfg, data, p = setup_problem(rng, n=24)
     f = jax.jit(
