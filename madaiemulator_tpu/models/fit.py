@@ -182,6 +182,8 @@ def fit_gp_host(
     gtol: float = 1e-5,
     vg_batch: int | None = None,
     lml_fn=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 5,
 ) -> FitResult:
     """Host-loop LBFGS for very large N (BASELINE config 4 driver).
 
@@ -202,6 +204,14 @@ def fit_gp_host(
     lml_fn overrides the objective: any (params, data, config) -> scalar
     log-likelihood with a JAX-differentiable value (e.g. the matrix-free
     `models.iterative.lml_iterative`, see `fit_gp_iterative`).
+
+    checkpoint_path enables mid-optimization checkpoint/resume (absent
+    upstream; for the multi-minute large-N fits): every `checkpoint_every`
+    LBFGS steps the full host optimizer state (iterates, gradients, LBFGS
+    ring buffers, best-so-far) is written atomically as .npz; a fresh call
+    with the same path resumes from the saved step. Delete the file to
+    restart from scratch. The state is keyed to (R, P, steps) — a mismatch
+    is rejected rather than silently misused.
     """
     import numpy as np
 
@@ -304,8 +314,39 @@ def fit_gp_host(
     RHO = np.zeros((m_history, R))
     hlen = np.zeros(R, dtype=int)  # valid history entries per restart
     active = np.isfinite(F) & np.isfinite(G).all(axis=1)
+    step0 = 0
 
-    for _ in range(steps):
+    if checkpoint_path is not None:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            if ck["X"].shape != (R, P):
+                raise ValueError(
+                    f"checkpoint {checkpoint_path}: saved shape "
+                    f"{ck['X'].shape} != expected {(R, P)}"
+                )
+            X, F, G = ck["X"], ck["F"], ck["G"]
+            S_h, Y_h, RHO = ck["S_h"], ck["Y_h"], ck["RHO"]
+            hlen = ck["hlen"]
+            active = ck["active"]
+            best_X, best_F = ck["best_X"], ck["best_F"]
+            step0 = int(ck["step"])
+
+    def _save_checkpoint(step):
+        if checkpoint_path is None:
+            return
+        import os
+
+        tmp = checkpoint_path + ".tmp.npz"
+        np.savez(
+            tmp.removesuffix(".npz"), X=X, F=F, G=G, S_h=S_h, Y_h=Y_h,
+            RHO=RHO, hlen=hlen, active=active, best_X=best_X, best_F=best_F,
+            step=step,
+        )
+        os.replace(tmp, checkpoint_path)
+
+    for _step in range(step0, steps):
         active &= np.linalg.norm(G, axis=1) >= gtol
         if not active.any():
             break
@@ -387,6 +428,8 @@ def fit_gp_host(
         better = stepped & np.isfinite(F) & (F < best_F)
         best_X = np.where(better[:, None], X, best_X)
         best_F = np.where(better, F, best_F)
+        if checkpoint_path is not None and (_step + 1) % checkpoint_every == 0:
+            _save_checkpoint(_step + 1)
 
     lls = np.where(np.isfinite(best_F), -best_F, -np.inf)
     best_i = int(np.argmax(lls))

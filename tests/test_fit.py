@@ -55,6 +55,45 @@ def test_fit_beats_random_params():
         assert float(res.log_likelihood) >= ll0 - 1e-9
 
 
+def test_fit_gp_host_checkpoint_resume(tmp_path):
+    """Interrupted-and-resumed host LBFGS must reproduce the uninterrupted
+    run exactly (same arithmetic path, state round-tripped through .npz)."""
+    from madaiemulator_tpu.models.fit import fit_gp_host
+
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=3)
+    X = np.linspace(0.0, 1.0, 25)[:, None]
+    y = np.sin(2 * np.pi * X[:, 0])
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    ck = str(tmp_path / "fit_ck.npz")
+    res_full = fit_gp_host(jax.random.key(4), data, cfg, max_steps=6)
+    # phase 1: run only 3 steps, checkpointing every step
+    fit_gp_host(
+        jax.random.key(4), data, cfg, max_steps=3,
+        checkpoint_path=ck, checkpoint_every=1,
+    )
+    import os
+
+    assert os.path.exists(ck)
+    # phase 2: resume to the full 6 steps
+    res_resumed = fit_gp_host(
+        jax.random.key(4), data, cfg, max_steps=6,
+        checkpoint_path=ck, checkpoint_every=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_resumed.restart_log_likelihoods),
+        np.asarray(res_full.restart_log_likelihoods),
+        rtol=1e-12,
+    )
+    # shape-mismatched checkpoints are rejected, not silently misused
+    cfg2 = GPConfig(nparams=2, regression_order=1, n_restarts=3)
+    X2 = np.random.default_rng(0).uniform(size=(20, 2))
+    data2 = GPData(X=jnp.asarray(X2), y=jnp.asarray(np.sin(X2[:, 0])))
+    with pytest.raises(ValueError, match="checkpoint"):
+        fit_gp_host(
+            jax.random.key(4), data2, cfg2, max_steps=2, checkpoint_path=ck
+        )
+
+
 def test_fit_4d_matern_multirestart():
     """Config 2: 4D scalar emulation, Matérn-3/2, multi-restart LBFGS."""
     rng = np.random.default_rng(7)
