@@ -21,7 +21,15 @@
 
 namespace madai_tpu {
 
-enum class Covariance { kPowerExponential, kMatern32, kMatern52 };
+enum class Covariance {
+  kPowerExponential,
+  kMatern32,
+  kMatern52,
+  // ARD variants: per-dimension length scales feeding the same Matern
+  // polynomial (extension past the reference's isotropic Matern)
+  kMatern32Ard,
+  kMatern52Ard,
+};
 
 struct Snapshot {
   int version = 0;

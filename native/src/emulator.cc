@@ -97,7 +97,10 @@ void SolveUpperT(const std::vector<double>& L, int n, double* b) {
 }  // namespace
 
 int Snapshot::ntheta() const {
-  return 2 + (cov == Covariance::kPowerExponential ? nparams : 1);
+  const bool ard = cov == Covariance::kPowerExponential ||
+                   cov == Covariance::kMatern32Ard ||
+                   cov == Covariance::kMatern52Ard;
+  return 2 + (ard ? nparams : 1);
 }
 
 Snapshot LoadSnapshot(std::istream& in) {
@@ -116,6 +119,10 @@ Snapshot LoadSnapshot(std::istream& in) {
     s.cov = Covariance::kMatern32;
   else if (cov == "matern52")
     s.cov = Covariance::kMatern52;
+  else if (cov == "matern32_ard")
+    s.cov = Covariance::kMatern32Ard;
+  else if (cov == "matern52_ard")
+    s.cov = Covariance::kMatern52Ard;
   else
     throw std::runtime_error("unknown covariance " + cov);
   Expect(t, "power_exp_alpha");
@@ -181,13 +188,15 @@ double Emulator::Kernel(const double* a, const double* b,
     }
     return amp * std::exp(-0.5 * acc);
   }
+  const bool ard = s_.cov == Covariance::kMatern32Ard ||
+                   s_.cov == Covariance::kMatern52Ard;
   double r2 = 0.0;
   for (int k = 0; k < s_.nparams; ++k) {
-    double dk = (a[k] - b[k]) / theta[2];
+    double dk = (a[k] - b[k]) / theta[ard ? 2 + k : 2];
     r2 += dk * dk;
   }
   double r = std::sqrt(r2);
-  if (s_.cov == Covariance::kMatern32) {
+  if (s_.cov == Covariance::kMatern32 || s_.cov == Covariance::kMatern32Ard) {
     double sq = std::sqrt(3.0) * r;
     return amp * (1.0 + sq) * std::exp(-sq);
   }

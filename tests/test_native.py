@@ -50,6 +50,8 @@ def trained(rng, cov=CovarianceFamily.POWER_EXPONENTIAL, order=1):
         (CovarianceFamily.POWER_EXPONENTIAL, 0),
         (CovarianceFamily.MATERN32, 2),
         (CovarianceFamily.MATERN52, 1),
+        (CovarianceFamily.MATERN32_ARD, 1),
+        (CovarianceFamily.MATERN52_ARD, 1),
     ],
 )
 def test_native_matches_jax_predictions(rng, tmp_path, lib, cov, order):
