@@ -314,10 +314,11 @@ def predict_fast(
     """GEMM-only posterior mean and variance (see FastPredictorState).
 
     Honors config.predict_query_chunk like the TRSM path — at large N the
-    (N, m) cross-kernel and product blocks must stay bounded.
+    (N, m) cross-kernel and product blocks must stay bounded (auto-chunks
+    past ~256 MB of temporaries when unset).
     """
-    chunk = config.predict_query_chunk
     m = Xs.shape[0]
+    chunk = _auto_query_chunk(data.X.shape[0], m, config.predict_query_chunk)
     if chunk is not None and m > chunk:
         pad = (-m) % chunk
         Xsp = jnp.concatenate([Xs, Xs[:pad]], axis=0) if pad else Xs
@@ -352,6 +353,17 @@ def _predict_fast_core(
     return mean, jnp.maximum(var, 0.0)
 
 
+def _auto_query_chunk(n: int, m: int, chunk):
+    """Default query-chunking policy: honor an explicit setting; otherwise
+    chunk whenever the (N, m) solver temporaries would exceed ~256 MB f32
+    (results are identical — chunking is a lax.map over query groups)."""
+    if chunk is not None:
+        return chunk
+    if n * m > (1 << 26):
+        return 1024
+    return None
+
+
 def predict_from_precomputed(
     state: GPPosteriorState,
     params: GPParams,
@@ -364,10 +376,11 @@ def predict_from_precomputed(
     One batched cross-covariance matmul + two triangular solves for all
     queries (vs the reference's per-point k-vector loop, SURVEY.md §3.2).
     With config.predict_query_chunk set, queries run in sequential chunks
-    (lax.map) to bound solver temporaries at large N.
+    (lax.map) to bound solver temporaries at large N; when unset, chunking
+    auto-engages past ~256 MB of (N, m) temporaries.
     """
-    chunk = config.predict_query_chunk
     m = Xs.shape[0]
+    chunk = _auto_query_chunk(data.X.shape[0], m, config.predict_query_chunk)
     if chunk is not None and m > chunk:
         pad = (-m) % chunk
         Xsp = jnp.concatenate([Xs, Xs[:pad]], axis=0) if pad else Xs
