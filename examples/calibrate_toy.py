@@ -10,13 +10,16 @@ Run: python examples/calibrate_toy.py  (CPU f64 by default; works on TPU f32)
 """
 
 import os
-
-if "JAX_PLATFORMS" not in os.environ:
-    os.environ["JAX_PLATFORMS"] = "cpu"
+import sys
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
+# default to CPU f64 (the example's parity-grade mode); pass --tpu to run
+# on the chip. NOTE the env var alone is not enough on axon-relay machines —
+# the site hook pins the platform, so force it through the config API.
+if "--tpu" in sys.argv:
+    sys.argv.remove("--tpu")
+else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 

@@ -247,6 +247,37 @@ def _left_cholesky_impl(
     return L
 
 
+def left_cholesky_sharded(
+    A: jax.Array,
+    mesh,
+    axis: str = "rows",
+    block: int = 1024,
+    update_precision: str = "highest",
+) -> jax.Array:
+    """left_cholesky executed row-sharded over a device mesh.
+
+    XLA's SPMD partitioner (GSPMD) splits every panel-history GEMM by
+    output rows — pure data parallelism over ICI, the natural layout for
+    the left-looking structure (each output element is written once) —
+    and inserts the per-panel collectives (the factored panel broadcasts)
+    automatically. Verified correct and actually distributed on an
+    8-device mesh (tests/test_linalg.py); real-multi-chip performance is
+    untested on this single-chip environment (SURVEY.md §5: ICI-sharded
+    factorization is the growth path past one chip).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec(axis, None))
+    f = jax.jit(
+        lambda M: left_cholesky(
+            M, block=block, update_precision=update_precision
+        ),
+        in_shardings=(sh,),
+        out_shardings=sh,
+    )
+    return f(jax.device_put(A, sh))
+
+
 def choose_update_precision(kappa_bound: float, tol: float = 1e-3) -> str:
     """Static precision-tier choice from a condition-number bound.
 

@@ -128,6 +128,20 @@ def test_left_cholesky_gradient_matches_xla(rng):
     np.testing.assert_allclose(g1, g2, rtol=1e-8, atol=1e-10)
 
 
+def test_left_cholesky_sharded_distributes_and_matches(rng):
+    """Row-sharded execution over the 8-virtual-device mesh: result must be
+    laid out across all devices and match numpy exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    n = 256
+    A = random_spd(rng, n)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("rows",))
+    L = linalg.left_cholesky_sharded(jnp.asarray(A), mesh, block=64)
+    assert len(L.sharding.device_set) == 8
+    assert np.allclose(np.asarray(L), np.linalg.cholesky(A), rtol=1e-9)
+
+
 def test_choose_update_precision_thresholds():
     assert linalg.choose_update_precision(1e2) == "high"
     assert linalg.choose_update_precision(1e4) == "high"
