@@ -174,6 +174,36 @@ def test_resolve_update_precision_auto(rng):
     assert bool(st.ok)
 
 
+def test_auto_tier_choice_is_safe_for_its_gram(rng):
+    """Integration of the mixed-precision tier rule: whatever tier the
+    resolver picks for concrete hyperparameters, factoring THAT Gram at
+    THAT tier must produce a residual-accurate factor (f32)."""
+    from madaiemulator_tpu.ops import kernels, linalg
+
+    d = 2
+    X = jnp.asarray(rng.uniform(size=(192, d)), jnp.float32)
+    for nugget, expect_tier in [(0.5, "high"), (1e-6, "highest")]:
+        p = GPParams(
+            log_amp=jnp.asarray(0.0, jnp.float32),
+            log_nugget=jnp.asarray(np.log(nugget), jnp.float32),
+            log_ls=jnp.asarray(np.log([0.5, 0.8]), jnp.float32),
+        )
+        cfg_auto = GPConfig(
+            nparams=d, cholesky_method="left", cholesky_block=64,
+            cholesky_update_precision="auto",
+        )
+        rcfg = gp.resolve_update_precision(p, 192, cfg_auto)
+        assert rcfg.cholesky_update_precision == expect_tier, nugget
+        C = kernels.gram_matrix(X, p, cfg_auto)
+        Lf = linalg.left_cholesky(
+            jnp.asarray(np.asarray(C), jnp.float32), block=64,
+            update_precision=rcfg.cholesky_update_precision,
+        )
+        R = np.asarray(C) - np.tril(np.asarray(Lf)) @ np.tril(np.asarray(Lf)).T
+        rel = np.abs(R).max() / np.abs(np.asarray(C)).max()
+        assert rel < 1e-5, (nugget, rcfg.cholesky_update_precision, rel)
+
+
 def test_chunked_predict_matches_unchunked(rng):
     cfg, data, p = setup_problem(rng, n=30)
     Xs = jnp.asarray(rng.uniform(size=(23, 2)))  # deliberately not % chunk
