@@ -489,11 +489,18 @@ def _lml_iterative_impl(
     # optimizer then avoids theta where the f32 matvec noise floor makes
     # the system effectively unsolvable (same role as the dense path's
     # "f32 feasibility is part of theta-space", docs/ARCHITECTURE.md §3).
+    # Gate on the SOLVE columns only (y and H): under logdet_method="mbcg"
+    # the batch also carries probe columns whose partial convergence is
+    # fine — an unconverged probe just truncates its Lanczos quadrature
+    # (the standard SLQ/mBCG situation), it does not invalidate the value.
     tol = cg[0]
     ok = (
         jnp.isfinite(ll)
-        & jnp.all(jnp.isfinite(S))
-        & (jnp.max(rel) < jnp.asarray(max(tol * 100.0, 1e-3), ll.dtype))
+        & jnp.all(jnp.isfinite(S[:, :nbase]))
+        & (
+            jnp.max(rel[:nbase])
+            < jnp.asarray(max(tol * 100.0, 1e-3), ll.dtype)
+        )
     )
     neg_inf = jnp.asarray(-jnp.inf, ll.dtype)
     ll = jnp.where(ok, ll, neg_inf)
