@@ -87,6 +87,20 @@ def main():
         rng.uniform(0.1, 0.9, size=(8, 4)),
     )
 
+    # case 2b: 3D scalar, ARD Matérn-5/2 (extension family; pins the
+    # per-dimension theta layout through snapshot round-trips)
+    X = rng.uniform(size=(40, 3))
+    y = np.sin(4 * X[:, 0]) + 0.3 * X[:, 1] - X[:, 2] ** 2
+    make_case(
+        "scalar3d_matern52_ard",
+        X, y[:, None],
+        GPConfig(
+            nparams=3, covariance=CovarianceFamily.MATERN52_ARD,
+            regression_order=1, n_restarts=4, max_opt_steps=60,
+        ),
+        rng.uniform(0.1, 0.9, size=(8, 3)),
+    )
+
     # case 3: multivariate PCA, order-2 regression (BASELINE config 3)
     X = rng.uniform(1.0, 2.0, size=(40, 3))
     latent = np.stack(
