@@ -168,6 +168,28 @@ def _merge_fit_results(parts) -> FitResult:
     )
 
 
+def _is_tpu_backend() -> bool:
+    """True when the default JAX backend runs on TPU hardware (including the
+    axon relay, whose platform string differs but whose devices are TPUs)."""
+    try:
+        dev = jax.devices()[0]
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
+
+
+def _auto_restart_split(R: int) -> Optional[int]:
+    """Default restart_split policy: cap at 2 restarts per device program on
+    TPU backends. An R>2 restart-axis vmapped zoom-linesearch program
+    reproducibly crashes the TPU worker (ROADMAP.md: E=2048 x R=4 crashed at
+    every ensemble_chunk tried; R=2 programs are stable), so the safe split
+    is on by default rather than opt-in. Pass restart_split=R to force a
+    single R-wide program."""
+    if R > 2 and _is_tpu_backend():
+        return 2
+    return None
+
+
 def fit_ensemble(
     key: jax.Array,
     Xb: jax.Array,  # (E, N, d)
@@ -192,13 +214,16 @@ def fit_ensemble(
     restart_split caps how many restarts run per device program: restarts
     beyond it run as additional sequential programs (fresh key folds) and
     the results merge by per-member argmax — mathematically identical to
-    one R-wide batch. This is the robust workaround for the REPRODUCIBLE
-    R=4 vmapped-linesearch TPU worker crash (ROADMAP.md: E=2048 x R=4
-    crashed at every ensemble_chunk tried, down to 512; R=2 programs are
-    stable at E=2048).
+    one R-wide batch. On TPU backends this DEFAULTS to 2 when R > 2: the
+    REPRODUCIBLE R=4 vmapped-linesearch TPU worker crash (ROADMAP.md:
+    E=2048 x R=4 crashed at every ensemble_chunk tried, down to 512; R=2
+    programs are stable at E=2048) makes a wide restart axis unsafe.
+    Pass restart_split=R explicitly to force one R-wide program.
     """
     R = config.n_restarts if n_restarts is None else n_restarts
     steps = config.max_opt_steps if max_steps is None else max_steps
+    if restart_split is None:
+        restart_split = _auto_restart_split(R)
     if mesh is not None:
         sh = NamedSharding(mesh, P(ENSEMBLE_AXIS))
         Xb = jax.device_put(Xb, sh)
