@@ -30,6 +30,7 @@ from madaiemulator_tpu.utils.config import GPConfig, CovarianceFamily
 from madaiemulator_tpu.models.gp import (
     GPData,
     log_marginal_likelihood,
+    log_marginal_likelihood_ad,
     gp_posterior,
     precompute_predictor,
     precompute_fast_predictor,
@@ -38,9 +39,12 @@ from madaiemulator_tpu.models.gp import (
 )
 from madaiemulator_tpu.models.fit import fit_gp, fit_gp_host, FitResult
 from madaiemulator_tpu.models.iterative import (
+    IterativePosteriorState,
     fit_gp_iterative,
     lml_iterative,
+    precompute_iterative_predictor,
     predict_iterative,
+    predict_iterative_from_state,
 )
 from madaiemulator_tpu.models.multivariate import (
     MultivariateEmulator,
@@ -55,6 +59,7 @@ __all__ = [
     "CovarianceFamily",
     "GPData",
     "log_marginal_likelihood",
+    "log_marginal_likelihood_ad",
     "gp_posterior",
     "precompute_predictor",
     "precompute_fast_predictor",
@@ -62,9 +67,12 @@ __all__ = [
     "predict_from_precomputed",
     "fit_gp",
     "fit_gp_host",
+    "IterativePosteriorState",
     "fit_gp_iterative",
     "lml_iterative",
+    "precompute_iterative_predictor",
     "predict_iterative",
+    "predict_iterative_from_state",
     "FitResult",
     "MultivariateEmulator",
     "fit_multivariate",
