@@ -42,6 +42,11 @@ class FitResult(NamedTuple):
     log_likelihood: jax.Array  # its LML
     restart_log_likelihoods: jax.Array  # (R,) per-restart best LML
     restart_params: GPParams  # (R, ...) per-restart best params
+    # host-loop drivers (fit_gp_host) attach a wall-clock breakdown here:
+    # {n_vg_calls, first_vg_wall_s (compile+run), vg_wall_s (the rest),
+    #  n_steps, fit_wall_s} — None on the fully-jitted paths (a dict is
+    # not a device value; inside jit this field stays None)
+    stats: dict | None = None
 
 
 def _bounds_arrays(config: GPConfig, dtype) -> Tuple[GPParams, GPParams]:
@@ -184,6 +189,7 @@ def fit_gp_host(
     lml_fn=None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 5,
+    value_linesearch: bool | None = None,
 ) -> FitResult:
     """Host-loop LBFGS for very large N (BASELINE config 4 driver).
 
@@ -212,6 +218,14 @@ def fit_gp_host(
     with the same path resumes from the saved step. Delete the file to
     restart from scratch. The state is keyed to (R, P, steps) — a mismatch
     is rejected rather than silently misused.
+
+    value_linesearch runs the Armijo backtracking rounds on a VALUE-ONLY
+    compiled objective (no gradient), then evaluates ONE value+grad at the
+    accepted points. Config-4 profiling (bench/profile_fit.py) measured
+    ~5 backtracking rounds per step with the gradient ~4x the value cost —
+    value-only rounds cut the per-step device math ~2x at the price of one
+    extra compiled program. None (default) enables it when the run is long
+    enough to amortize that compile (steps >= 25).
     """
     import numpy as np
 
@@ -235,36 +249,82 @@ def fit_gp_host(
     _vg_batched = jax.jit(
         jax.vmap(jax.value_and_grad(lambda flat: objective(unravel(flat))))
     )
+    if value_linesearch is None:
+        value_linesearch = steps >= 25
+    _v_batched = (
+        jax.jit(jax.vmap(lambda flat: objective(unravel(flat))))
+        if value_linesearch
+        else None
+    )
+
+    import time as _time
+
+    stats = {
+        "n_vg_calls": 0, "first_vg_wall_s": 0.0, "vg_wall_s": 0.0,
+        "n_v_calls": 0, "v_wall_s": 0.0,
+        "n_steps": 0, "fit_wall_s": 0.0,
+    }
+    _t_fit0 = _time.perf_counter()
 
     def vg(X_host: "np.ndarray"):
         """(R, P) -> (R,), (R, P): batched value+grad, chunked to vg_batch."""
         outs_f, outs_g = [], []
+        t0 = _time.perf_counter()
         for i in range(0, R, B):
             chunk = X_host[i : i + B]
             pad = B - chunk.shape[0]
             if pad:
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
-            f, g = _vg_batched(jnp.asarray(chunk, dtype=dtype))
+            f, g = jax.device_get(_vg_batched(jnp.asarray(chunk, dtype=dtype)))
             f = np.asarray(f, dtype=np.float64)
             g = np.asarray(g, dtype=np.float64)
             outs_f.append(f[: B - pad] if pad else f)
             outs_g.append(g[: B - pad] if pad else g)
+        dt = _time.perf_counter() - t0
+        if stats["n_vg_calls"] == 0:
+            stats["first_vg_wall_s"] = dt  # compile + first run
+        else:
+            stats["vg_wall_s"] += dt
+        stats["n_vg_calls"] += 1
         return np.concatenate(outs_f), np.concatenate(outs_g)
+
+    def v_only(X_host: "np.ndarray"):
+        """(R, P) -> (R,): batched objective values, chunked to vg_batch."""
+        outs_f = []
+        t0 = _time.perf_counter()
+        for i in range(0, R, B):
+            chunk = X_host[i : i + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
+            f = np.asarray(
+                jax.device_get(_v_batched(jnp.asarray(chunk, dtype=dtype))),
+                dtype=np.float64,
+            )
+            outs_f.append(f[: B - pad] if pad else f)
+        stats["v_wall_s"] += _time.perf_counter() - t0
+        stats["n_v_calls"] += 1
+        return np.concatenate(outs_f)
 
     P = int(
         jax.flatten_util.ravel_pytree(single)[0].shape[0]
     )
-    X = np.stack(
-        [
-            np.asarray(
-                jax.flatten_util.ravel_pytree(
-                    jax.tree.map(lambda a: a[i], u0_all)
-                )[0],
-                dtype=np.float64,
-            )
-            for i in range(R)
-        ]
-    )  # (R, P)
+
+    def _flatten_batch(tree) -> "np.ndarray":
+        """(R, ...) pytree -> (R, P) host matrix, row i == ravel_pytree of
+        element i (leaf order + per-leaf ravel). ONE host fetch per leaf —
+        per-restart ravel_pytree loops cost a device round-trip each, which
+        at the axon relay's dispatch floor added ~10 s of pure overhead to
+        a 10-step fit (measured, bench/profile_fit.py)."""
+        return np.concatenate(
+            [
+                np.asarray(leaf, dtype=np.float64).reshape(R, -1)
+                for leaf in jax.tree.leaves(tree)
+            ],
+            axis=1,
+        )
+
+    X = _flatten_batch(u0_all)  # (R, P)
 
     F, G = vg(X)
     # Dead-start rescue (same recipe as fit_gp's vmapped path): draws whose
@@ -293,17 +353,7 @@ def fit_gp_host(
             ),
         )
         u_fb = jax.vmap(lambda p: _params_to_u(p, lo, hi))(fb)
-        X_fb = np.stack(
-            [
-                np.asarray(
-                    jax.flatten_util.ravel_pytree(
-                        jax.tree.map(lambda a: a[i], u_fb)
-                    )[0],
-                    dtype=np.float64,
-                )
-                for i in range(R)
-            ]
-        )
+        X_fb = _flatten_batch(u_fb)
         X = np.where(dead[:, None], X_fb, X)
         F, G = vg(X)
     best_X = X.copy()
@@ -346,6 +396,7 @@ def fit_gp_host(
         )
         os.replace(tmp, checkpoint_path)
 
+    _step = step0 - 1
     for _step in range(step0, steps):
         active &= np.linalg.norm(G, axis=1) >= gtol
         if not active.any():
@@ -381,8 +432,16 @@ def fit_gp_host(
             D[bad] = -G[bad]
             GTD[bad] = -np.einsum("rp,rp->r", G[bad], G[bad])
             hlen[bad] = 0
-        # lock-step Armijo backtracking: one batched eval per round
-        t = np.ones(R)
+        # lock-step Armijo backtracking: one batched eval per round. Lanes
+        # with no LBFGS history yet (first step / after a direction reset)
+        # take a gradient-normalized first trial — a raw -G step at large
+        # ||G|| wastes ~5 halving rounds before anything accepts (measured,
+        # bench/profile_fit.py).
+        t = np.where(
+            hlen > 0,
+            1.0,
+            np.minimum(1.0, 1.0 / np.maximum(np.linalg.norm(D, axis=1), 1e-30)),
+        )
         accepted = ~active  # inactive lanes are "done" immediately
         F_new, G_new = F.copy(), G.copy()
         X_cand = X.copy()
@@ -390,7 +449,11 @@ def fit_gp_host(
             trial = np.where(
                 accepted[:, None], X_cand, X + t[:, None] * D
             )
-            f_t, g_t = vg(trial)
+            if value_linesearch:
+                f_t = v_only(trial)
+                g_t = None
+            else:
+                f_t, g_t = vg(trial)
             ok = (
                 np.isfinite(f_t)
                 & (f_t <= F + 1e-4 * t * GTD)
@@ -398,11 +461,19 @@ def fit_gp_host(
             )
             X_cand = np.where(ok[:, None], trial, X_cand)
             F_new = np.where(ok, f_t, F_new)
-            G_new = np.where(ok[:, None], g_t, G_new)
+            if g_t is not None:
+                G_new = np.where(ok[:, None], g_t, G_new)
             accepted |= ok
             t = np.where(accepted, t, t * 0.5)
             if accepted.all():
                 break
+        if value_linesearch and (accepted & active).any():
+            # ONE value+grad at the accepted points (value-only rounds have
+            # no gradient); lanes that never accepted keep their old state
+            f_full, g_full = vg(X_cand)
+            took_ls = accepted & active & np.isfinite(f_full)
+            F_new = np.where(took_ls, f_full, F_new)
+            G_new = np.where(took_ls[:, None], g_full, G_new)
         # lanes whose linesearch never accepted go inactive (keep their
         # current x/f as final)
         active &= accepted
@@ -433,16 +504,20 @@ def fit_gp_host(
 
     lls = np.where(np.isfinite(best_F), -best_F, -np.inf)
     best_i = int(np.argmax(lls))
-    params_all = [
-        _u_to_params(unravel(jnp.asarray(best_X[i], dtype=dtype)), lo, hi)
-        for i in range(R)
-    ]
-    stacked = jax.tree.map(lambda *a: jnp.stack(a), *params_all)
+    # ONE batched device call for the whole u -> params transform (the
+    # per-restart unravel loop paid a dispatch round-trip per restart)
+    stacked = jax.vmap(lambda flat: _u_to_params(unravel(flat), lo, hi))(
+        jnp.asarray(best_X, dtype=dtype)
+    )
+    params_best = jax.tree.map(lambda a: a[best_i], stacked)
+    stats["n_steps"] = _step + 1 - step0
+    stats["fit_wall_s"] = _time.perf_counter() - _t_fit0
     return FitResult(
-        params=params_all[best_i],
+        params=params_best,
         log_likelihood=jnp.asarray(lls[best_i], dtype=dtype),
         restart_log_likelihoods=jnp.asarray(lls, dtype=dtype),
         restart_params=stacked,
+        stats=stats,
     )
 
 

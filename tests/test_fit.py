@@ -199,6 +199,26 @@ def test_fit_gp_host_vg_batch_chunking_matches():
     )
 
 
+def test_fit_gp_host_value_linesearch_quality_and_stats():
+    """Value-only backtracking (round-3 overhead fix) must reach the same
+    optimum quality as gradient-carrying rounds, populate the stats
+    breakdown, and actually use the value-only program."""
+    from madaiemulator_tpu.models.fit import fit_gp_host
+
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=3, max_opt_steps=40)
+    X = np.linspace(0.0, 1.0, 25)[:, None]
+    y = np.sin(2 * np.pi * X[:, 0])
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+    res_v = fit_gp_host(jax.random.key(9), data, cfg, value_linesearch=True)
+    res_g = fit_gp_host(jax.random.key(9), data, cfg, value_linesearch=False)
+    assert np.isfinite(float(res_v.log_likelihood))
+    assert float(res_v.log_likelihood) >= float(res_g.log_likelihood) - 1.0
+    assert res_v.stats["n_v_calls"] > 0
+    assert res_g.stats["n_v_calls"] == 0
+    assert res_v.stats["n_steps"] > 0
+    assert res_v.stats["fit_wall_s"] > 0
+
+
 def test_fit_is_deterministic():
     cfg = GPConfig(nparams=1, n_restarts=2, max_opt_steps=20)
     X = np.linspace(0, 1, 10)[:, None]

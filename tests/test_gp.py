@@ -65,6 +65,52 @@ def test_autodiff_gradient_matches_finite_differences(rng):
         assert np.isclose(float(gflat[i]), float(fd), rtol=1e-4, atol=1e-7), i
 
 
+@pytest.mark.parametrize("reml", [False, True])
+@pytest.mark.parametrize("order", [0, 2])
+def test_closed_form_vjp_matches_autodiff(rng, reml, order):
+    """The production LML's closed-form VJP (Rasmussen 5.9 + GLS envelope;
+    never differentiates through the Cholesky) must match plain autodiff
+    through the factorization graph to f64 tightness, and must vmap."""
+    import dataclasses
+
+    cfg, data, p = setup_problem(rng, order=order)
+    cfg = dataclasses.replace(cfg, reml=reml)
+    g_closed = jax.grad(lambda pp: gp.log_marginal_likelihood(pp, data, cfg))(p)
+    g_ad = jax.grad(lambda pp: gp.log_marginal_likelihood_ad(pp, data, cfg))(p)
+    for a, b in zip(jax.tree.leaves(g_ad), jax.tree.leaves(g_closed)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-12
+        )
+    # vmapped gradient (the fit path's shape): same answer per lane
+    pb = jax.tree.map(lambda a: jnp.stack([a, a]), p)
+    gb = jax.vmap(
+        jax.grad(lambda pp: gp.log_marginal_likelihood(pp, data, cfg))
+    )(pb)
+    for a, b in zip(jax.tree.leaves(g_closed), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(b[0]), np.asarray(a), rtol=1e-10)
+
+
+def test_closed_form_vjp_matern_isotropic(rng):
+    """Closed-form VJP across a non-default kernel family (isotropic
+    Matern-5/2: single shared length scale exercises the reduced log_ls
+    cotangent shape)."""
+    from madaiemulator_tpu.utils.config import CovarianceFamily
+
+    cfg, data, _ = setup_problem(rng)
+    cfg = GPConfig(
+        nparams=2, regression_order=1, covariance=CovarianceFamily.MATERN52
+    )
+    p = GPParams(
+        log_amp=jnp.asarray(np.log(1.1)),
+        log_nugget=jnp.asarray(np.log(1e-3)),
+        log_ls=jnp.asarray(np.log(np.array([0.7]))),
+    )
+    g_closed = jax.grad(lambda pp: gp.log_marginal_likelihood(pp, data, cfg))(p)
+    g_ad = jax.grad(lambda pp: gp.log_marginal_likelihood_ad(pp, data, cfg))(p)
+    for a, b in zip(jax.tree.leaves(g_ad), jax.tree.leaves(g_closed)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8)
+
+
 def test_non_spd_gives_neg_inf(rng):
     cfg, data, p = setup_problem(rng)
     # an absurd negative-nugget-like setup can't happen (log space), so force
