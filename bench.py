@@ -211,8 +211,49 @@ def main():
             f"predict_fast N=4096 m={m}: {t_fast*1e3:.2f} ms  "
             f"{m/t_fast:,.0f} pts/s  (|dmean|={dm:.1e} |dvar|={dv:.1e} vs TRSM)"
         )
+
+        # Device-side throughput (VERDICT r2 weak #7): the single-call walls
+        # above are dominated by the ~21-32 ms axon dispatch floor, hiding
+        # the GEMM-only path's real win. Amortize: R query batches served
+        # inside ONE program (lax.scan; the carry perturbs each batch and
+        # consumes each output, so iterations can neither fuse nor DCE).
+        R = 32
+
+        def amortized(pred_fn, state):
+            def body(carry, _):
+                q = Xs + carry * jnp.asarray(1e-12, dtype)
+                mm, vv = pred_fn(state, p4, q)
+                return jnp.sum(mm) + jnp.sum(vv), None
+
+            reps = jax.jit(
+                lambda s: jax.lax.scan(
+                    lambda c, x: body(c, x), jnp.asarray(0.0, dtype), None,
+                    length=R,
+                )[0]
+            )
+            t_r, _ = timeit(reps, state)
+            return m * R / t_r
+
+        dev_trsm = amortized(
+            lambda s, pp, q: predict_from_precomputed(s, pp, data4, q, cfg),
+            st,
+        )
+        dev_fast = amortized(
+            lambda s, pp, q: predict_fast(s, pp, data4, q, cfg), fp
+        )
+        log(
+            f"predict device-side (x{R} in-graph, floor amortized): "
+            f"TRSM {dev_trsm:,.0f} pts/s  GEMM-only {dev_fast:,.0f} pts/s"
+        )
+        predict_secondary = {
+            "predict_pts_per_s_wall": round(m / t_pred),
+            "predict_fast_pts_per_s_wall": round(m / t_fast),
+            "predict_pts_per_s_device": round(dev_trsm),
+            "predict_fast_pts_per_s_device": round(dev_fast),
+        }
     except Exception as e:
         log(f"predict bench failed: {type(e).__name__}: {e}")
+        predict_secondary = {}
 
     print(
         json.dumps(
@@ -221,6 +262,7 @@ def main():
                 "value": round(tflops, 3),
                 "unit": "TFLOP/s",
                 "vs_baseline": round(tflops / 0.01, 1),
+                "secondary": predict_secondary,
             }
         )
     )

@@ -1,0 +1,121 @@
+"""Decompose config-4 fit wall-clock into compile / device-math / overhead.
+
+VERDICT r2 weak #2: the N=16,384 dense fit took 593 s while unit costs
+suggested tens of seconds of device math — but no breakdown was ever
+recorded. This script measures, on the real chip:
+
+  1. unit costs of the objective's pieces (gram build, Cholesky, LML value,
+     LML value+grad) at the fit's exact operating point;
+  2. the full fit_gp_host run with its built-in stats (first vg call =
+     compile + run, steady-state vg wall, call count);
+  3. the residual = fit wall - first_vg - vg_wall = host LBFGS + dispatch
+     bookkeeping.
+
+Run:  python bench/profile_fit.py [N] [steps] [restarts] [vg_batch]
+Prints one JSON line per measurement.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    restarts = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    vg_batch = int(sys.argv[4]) if len(sys.argv) > 4 else None
+
+    import jax
+    import jax.numpy as jnp
+
+    from madaiemulator_tpu.models.fit import (
+        _bounds_arrays,
+        _u_to_params,
+        fit_gp_host,
+        sample_restarts,
+    )
+    from madaiemulator_tpu.models.gp import GPData, log_marginal_likelihood
+    from madaiemulator_tpu.ops import kernels
+    from madaiemulator_tpu.utils.config import GPConfig
+    from madaiemulator_tpu.utils.profiling import timed
+
+    d = 8
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    y = jnp.asarray(
+        np.sin(3 * np.asarray(X[:, 0])) + np.asarray(X[:, 1]) ** 2, jnp.float32
+    )
+    cfg = GPConfig(
+        nparams=d, regression_order=1, n_restarts=restarts,
+        max_opt_steps=steps, cholesky_method="xla",
+        linesearch="backtracking",
+    )
+    data = GPData(X=X, y=y)
+    dev = jax.devices()[0]
+    emit(device=f"{dev.platform} {getattr(dev, 'device_kind', '?')}", n=n)
+
+    # --- unit costs at a mid-box theta ---------------------------------
+    lo, hi = _bounds_arrays(cfg, jnp.float32)
+    u0 = sample_restarts(jax.random.key(0), cfg, 1, dtype=jnp.float32)
+    p = _u_to_params(jax.tree.map(lambda a: a[0], u0), lo, hi)
+
+    t, _ = timed(jax.jit(lambda pp: kernels.gram_matrix(X, pp, cfg)), p, reps=2)
+    emit(metric="unit_gram_build_s", value=round(t, 3))
+    C = jax.jit(lambda pp: kernels.gram_matrix(X, pp, cfg))(p)
+    t, _ = timed(jax.jit(jnp.linalg.cholesky), C, reps=2)
+    emit(metric="unit_cholesky_fwd_s", value=round(t, 3))
+    t, _ = timed(
+        jax.jit(lambda pp: log_marginal_likelihood(pp, data, cfg)), p, reps=2
+    )
+    emit(metric="unit_lml_value_s", value=round(t, 3))
+    vgf = jax.jit(
+        jax.value_and_grad(lambda pp: log_marginal_likelihood(pp, data, cfg))
+    )
+    t, _ = timed(vgf, p, reps=2)
+    emit(metric="unit_lml_value_and_grad_s", value=round(t, 3))
+    B = restarts if vg_batch is None else vg_batch
+    if B > 1:
+        pb = jax.tree.map(lambda a: jnp.stack([a] * B), p)
+        vgb = jax.jit(
+            jax.vmap(
+                jax.value_and_grad(
+                    lambda pp: log_marginal_likelihood(pp, data, cfg)
+                )
+            )
+        )
+        t, _ = timed(vgb, pb, reps=2)
+        emit(metric=f"unit_lml_vg_batch{B}_s", value=round(t, 3))
+
+    # --- the full fit with built-in stats ------------------------------
+    t0 = time.perf_counter()
+    res = fit_gp_host(
+        jax.random.key(0), data, cfg, vg_batch=vg_batch,
+    )
+    wall = time.perf_counter() - t0
+    s = dict(res.stats)
+    overhead = s["fit_wall_s"] - s["first_vg_wall_s"] - s["vg_wall_s"]
+    emit(
+        metric=f"fit_wallclock_n{n}", value=round(wall, 2), unit="s",
+        logL=float(res.log_likelihood),
+        breakdown={
+            "compile_plus_first_eval_s": round(s["first_vg_wall_s"], 2),
+            "steady_vg_wall_s": round(s["vg_wall_s"], 2),
+            "n_vg_calls": s["n_vg_calls"],
+            "per_call_s": round(
+                s["vg_wall_s"] / max(s["n_vg_calls"] - 1, 1), 3
+            ),
+            "n_steps": s["n_steps"],
+            "host_plus_dispatch_s": round(overhead, 2),
+        },
+    )
+
+
+if __name__ == "__main__":
+    main()
