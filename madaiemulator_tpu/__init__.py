@@ -37,7 +37,13 @@ from madaiemulator_tpu.models.gp import (
     predict_fast,
     predict_from_precomputed,
 )
-from madaiemulator_tpu.models.fit import fit_gp, fit_gp_host, FitResult
+from madaiemulator_tpu.models.fit import (
+    AlphaFitResult,
+    FitResult,
+    fit_gp,
+    fit_gp_alpha,
+    fit_gp_host,
+)
 from madaiemulator_tpu.models.iterative import (
     IterativePosteriorState,
     fit_gp_iterative,
@@ -66,7 +72,9 @@ __all__ = [
     "predict_fast",
     "predict_from_precomputed",
     "fit_gp",
+    "fit_gp_alpha",
     "fit_gp_host",
+    "AlphaFitResult",
     "IterativePosteriorState",
     "fit_gp_iterative",
     "lml_iterative",

@@ -614,3 +614,64 @@ def fit_gp(
         restart_log_likelihoods=lls,
         restart_params=best_params_all,
     )
+
+
+class AlphaFitResult(NamedTuple):
+    """Result of the power-exponent profile search (fit_gp_alpha)."""
+
+    result: FitResult  # the winning alpha's full fit
+    alpha: float  # the winning exponent
+    alphas: Tuple[float, ...]  # the grid searched
+    alpha_log_likelihoods: Tuple[float, ...]  # best LML per grid point
+
+
+def fit_gp_alpha(
+    key: jax.Array,
+    data: GPData,
+    config: GPConfig,
+    alphas: Tuple[float, ...] = (1.2, 1.5, 1.8, 2.0),
+    **fit_kwargs,
+) -> AlphaFitResult:
+    """Fit with a TRAINABLE power-exponential exponent via profile
+    likelihood over a grid (widen-past-reference: the upstream pins alpha
+    fixed, SURVEY.md §2 [B]).
+
+    alpha is notoriously weakly identified jointly with the length scales
+    (the likelihood surface is ridge-shaped in (alpha, ell)), so a smooth
+    joint optimization adds a near-flat direction to every restart; the
+    profile approach instead runs the full multi-restart fit per grid
+    point and keeps the best — each alpha is a static config (a separate
+    compiled program), which also keeps the alpha != 2 distance path's
+    chunked kernel (ops/kernels._abs_power_dist) intact. The same PRNG
+    key is reused per grid point so grid points differ only in alpha.
+
+    Only meaningful for CovarianceFamily.POWER_EXPONENTIAL (raises
+    otherwise). fit_kwargs forward to fit_gp (n_restarts, max_steps,
+    restart_chunk).
+    """
+    import dataclasses
+
+    from madaiemulator_tpu.utils.config import CovarianceFamily
+
+    if config.covariance is not CovarianceFamily.POWER_EXPONENTIAL:
+        raise ValueError(
+            "fit_gp_alpha applies to the power-exponential family only; "
+            f"got {config.covariance}"
+        )
+    import math as _math
+
+    best_res, best_alpha, best_ll = None, None, -_math.inf
+    lls = []
+    for a in alphas:
+        cfg_a = dataclasses.replace(config, power_exp_alpha=float(a))
+        res = fit_gp(key, data, cfg_a, **fit_kwargs)
+        ll = float(res.log_likelihood)
+        lls.append(ll)
+        if best_res is None or (_math.isfinite(ll) and ll > best_ll):
+            best_res, best_alpha, best_ll = res, float(a), ll
+    return AlphaFitResult(
+        result=best_res,
+        alpha=best_alpha,
+        alphas=tuple(float(a) for a in alphas),
+        alpha_log_likelihoods=tuple(lls),
+    )

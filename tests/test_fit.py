@@ -219,6 +219,47 @@ def test_fit_gp_host_value_linesearch_quality_and_stats():
     assert res_v.stats["fit_wall_s"] > 0
 
 
+def test_fit_gp_alpha_recovers_exponent(rng):
+    """Profile-likelihood grid over the power-exponential exponent
+    (widen-past-reference; the upstream pins alpha fixed): data drawn from
+    an alpha=1.4 kernel must prefer the rough grid point over alpha=2."""
+    from madaiemulator_tpu.models.fit import fit_gp_alpha
+    from madaiemulator_tpu.ops.kernels import GPParams, gram_matrix
+
+    d, n = 1, 60
+    X = np.sort(rng.uniform(size=(n, d)), axis=0)
+    cfg_true = GPConfig(
+        nparams=d, regression_order=0, power_exp_alpha=1.4,
+        n_restarts=4, max_opt_steps=40,
+    )
+    p_true = GPParams(
+        log_amp=jnp.asarray(0.0),
+        log_nugget=jnp.asarray(np.log(1e-4)),
+        log_ls=jnp.asarray([np.log(0.15)]),
+    )
+    C = np.asarray(gram_matrix(jnp.asarray(X), p_true, cfg_true))
+    L = np.linalg.cholesky(C)
+    y = L @ rng.standard_normal(n)
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+
+    out = fit_gp_alpha(
+        jax.random.key(0), data, cfg_true, alphas=(1.4, 2.0)
+    )
+    assert out.alphas == (1.4, 2.0)
+    assert len(out.alpha_log_likelihoods) == 2
+    assert out.alpha == 1.4, out.alpha_log_likelihoods
+    assert np.isfinite(float(out.result.log_likelihood))
+    # wrong family rejected
+    import dataclasses
+    from madaiemulator_tpu.utils.config import CovarianceFamily
+
+    with pytest.raises(ValueError, match="power-exponential"):
+        fit_gp_alpha(
+            jax.random.key(0), data,
+            dataclasses.replace(cfg_true, covariance=CovarianceFamily.MATERN32),
+        )
+
+
 def test_fit_is_deterministic():
     cfg = GPConfig(nparams=1, n_restarts=2, max_opt_steps=20)
     X = np.linspace(0, 1, 10)[:, None]
