@@ -92,11 +92,19 @@ def main():
     t_pre = time.perf_counter() - t0
     emit(metric="iterative_precompute_s", value=round(t_pre, 2))
 
+    # Serve-time PCG programs (a (n, chunk)-RHS while_loop nested in the
+    # query lax.map) crash the axon TPU worker at N=64k (observed at chunk
+    # 1024 AND 256) — the same program-shape crash class as the R=4
+    # restart-axis fit (ROADMAP). The 64k serve path therefore uses the
+    # PCG-free routes: the mean is pure GEMMs (alpha is cached), and the
+    # variance comes from the cached preconditioner's Woodbury apply
+    # (variance_method="precond"). Exact-variance serving is cross-checked
+    # on a small batch below.
     m = 2048
     Xq = jnp.asarray(rng.uniform(size=(m, d)), jnp.float32)
     t0 = time.perf_counter()
     mean, var = predict_iterative_from_state(
-        state, data, Xq, query_chunk=1024
+        state, data, Xq, query_chunk=256, variance_method="precond"
     )
     sync(mean)
     t_q = time.perf_counter() - t0
@@ -106,12 +114,33 @@ def main():
         unit="pts/s", wall_s=round(t_q, 2),
         rmse_vs_truth=round(rmse, 4), noise_floor=NOISE,
         mean_var=float(np.mean(np.asarray(var))),
+        variance_method="precond",
     )
     # a second batch must be CHEAP (no training solves — VERDICT r2 weak #1)
     t0 = time.perf_counter()
-    mean2, _ = predict_iterative_from_state(state, data, Xq, query_chunk=1024)
+    mean2, _ = predict_iterative_from_state(
+        state, data, Xq, query_chunk=256, variance_method="precond"
+    )
     sync(mean2)
     emit(metric="iterative_predict_repeat_s", value=round(time.perf_counter() - t0, 2))
+
+    # exact-variance cross-check on a small batch (PCG with few RHS is the
+    # same program class the fit already runs safely)
+    m_small = 64
+    t0 = time.perf_counter()
+    m_e, v_e = predict_iterative_from_state(
+        state, data, Xq[:m_small], query_chunk=m_small,
+        variance_method="exact",
+    )
+    sync(m_e)
+    emit(
+        metric="iterative_predict_exactvar_check",
+        wall_s=round(time.perf_counter() - t0, 2), m=m_small,
+        max_dmean=float(np.max(np.abs(np.asarray(m_e) - np.asarray(mean)[:m_small]))),
+        precond_var_over_exact=float(
+            np.mean(np.asarray(var)[:m_small]) / max(np.mean(np.asarray(v_e)), 1e-30)
+        ),
+    )
 
 
 if __name__ == "__main__":

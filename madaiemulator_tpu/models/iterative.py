@@ -763,11 +763,22 @@ def predict_iterative_from_state(
     Xs: jax.Array,
     query_chunk: int = 1024,
     with_variance: bool = True,
+    variance_method: str = "exact",
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Serve one query batch from the cached state: per chunk, one
     cross-covariance build + GEMMs for the mean, and (with_variance) ONE
     PCG solve k* -> C^-1 k* — no training-grade solves, no preconditioner
-    rebuild. Memory high-water mark O(N * (rank + query_chunk))."""
+    rebuild. Memory high-water mark O(N * (rank + query_chunk)).
+
+    variance_method="precond" replaces the per-chunk PCG variance solve
+    with the cached preconditioner's Woodbury apply (k*^T P^-1 k*,
+    P = L_k L_k^T + sigma^2 I): O(N * rank) per query instead of a full
+    Krylov solve — the LOVE-style serving tradeoff (PAPERS.md BBMM line).
+    Since P <= C (the pivoted-Cholesky residual is PSD), P^-1 >= C^-1 and
+    the reported variance is a LOWER bound that tightens as the
+    preconditioner rank grows (exact at rank = N); the mean and the GLS
+    correction stay exact. Use for MCMC serving where variance is a
+    proposal heuristic, not a calibrated interval."""
     params, config = state.params, state.config
     pre, alpha, beta, CiH, LA = (
         state.pre, state.alpha, state.beta, state.CiH, state.LA,
@@ -786,6 +797,9 @@ def predict_iterative_from_state(
         else 0.0
     )
 
+    if variance_method not in ("exact", "precond"):
+        raise ValueError(f"unknown variance_method {variance_method!r}")
+
     def do_chunk(xq):
         Ks = kernels.cross_covariance(data.X, xq, params, config)  # (n, c)
         Hs = regression_basis(xq, config.regression_order)  # (c, p)
@@ -794,9 +808,12 @@ def predict_iterative_from_state(
         )
         if not with_variance:
             return mean, jnp.zeros_like(mean)
-        CiKs, _, _ = pcg_solve(
-            mv, Ks, pre, tol=state.cg_tol, max_iters=state.cg_max_iters
-        )
+        if variance_method == "precond":
+            CiKs = pre.solve(Ks)  # Woodbury apply: O(n * rank * c)
+        else:
+            CiKs, _, _ = pcg_solve(
+                mv, Ks, pre, tol=state.cg_tol, max_iters=state.cg_max_iters
+            )
         var = kss - jnp.sum(Ks * CiKs, axis=0)
         G = Hs.T - jnp.dot(CiH.T, Ks, precision=lax.Precision.HIGHEST)
         W = lax.linalg.triangular_solve(LA, G, left_side=True, lower=True)

@@ -197,6 +197,40 @@ def test_predict_iterative_from_state_matches_oneshot(rng):
     np.testing.assert_allclose(np.asarray(m3), np.asarray(m_ref), rtol=1e-12)
 
 
+def test_predict_iterative_precond_variance(rng):
+    """variance_method='precond' (Woodbury apply instead of PCG): exact at
+    full preconditioner rank; a lower bound that is still close at reduced
+    rank (P <= C => reported variance <= exact variance)."""
+    cfg, data, p = setup_problem(rng, n=40)
+    Xs = jnp.asarray(rng.uniform(size=(13, 2)))
+    st_full = iterative.precompute_iterative_predictor(
+        p, data, cfg, rank=40, cg_tol=1e-12, cg_max_iters=400
+    )
+    m_e, v_e = iterative.predict_iterative_from_state(
+        st_full, data, Xs, query_chunk=5
+    )
+    m_p, v_p = iterative.predict_iterative_from_state(
+        st_full, data, Xs, query_chunk=5, variance_method="precond"
+    )
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_e), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(v_p), np.asarray(v_e), rtol=1e-6, atol=1e-10
+    )
+    # reduced rank: mean still exact, variance a (close) lower bound
+    st_lo = iterative.precompute_iterative_predictor(
+        p, data, cfg, rank=20, cg_tol=1e-12, cg_max_iters=400
+    )
+    m_l, v_l = iterative.predict_iterative_from_state(
+        st_lo, data, Xs, query_chunk=5, variance_method="precond"
+    )
+    np.testing.assert_allclose(np.asarray(m_l), np.asarray(m_e), rtol=1e-8)
+    assert np.all(np.asarray(v_l) <= np.asarray(v_e) + 1e-8)
+    with pytest.raises(ValueError, match="variance_method"):
+        iterative.predict_iterative_from_state(
+            st_full, data, Xs, variance_method="bogus"
+        )
+
+
 def test_mbcg_quadrature_matches_lanczos(rng):
     """CG-derived tridiagonals (mBCG, no preconditioner) must reproduce the
     direct Lanczos quadrature z^T log(A) z for the same probes."""
