@@ -104,6 +104,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "size (bounds peak memory when N^2 x restarts is large)",
     )
     est.add_argument(
+        "--alpha_grid", default=None, metavar="A1,A2,...",
+        help="dense power-exponential only: profile the kernel exponent "
+        "over this comma-separated grid (one shared alpha; best total "
+        "logL wins). The reference pins alpha fixed",
+    )
+    est.add_argument(
         "--vg_batch", type=int, default=1,
         help="iterative: restarts sharing one device value+grad call "
         "(1 = sequential; one restart's solves already fill the chip at "
@@ -219,6 +225,19 @@ def cmd_estimate_thetas(args) -> int:
             checkpoint_path=args.checkpoint_path,
         )
     else:
+        alpha_grid = None
+        if args.alpha_grid:
+            try:
+                alpha_grid = tuple(
+                    float(v) for v in args.alpha_grid.split(",") if v
+                )
+            except ValueError:
+                print(
+                    f"error: bad --alpha_grid={args.alpha_grid!r} "
+                    "(expected comma-separated floats)",
+                    file=sys.stderr,
+                )
+                return 2
         emu = fit_multivariate(
             jax.random.key(args.seed),
             jnp.asarray(mf.X, dtype=dtype),
@@ -226,6 +245,7 @@ def cmd_estimate_thetas(args) -> int:
             cfg,
             pca_variance=args.pca_variance,
             restart_chunk=args.restart_chunk,
+            alpha_grid=alpha_grid,
         )
     if not args.quiet:
         lls = np.asarray(emu.restart_log_likelihoods)

@@ -179,6 +179,7 @@ def fit_multivariate(
     standardize: bool = True,
     param_ranges: Optional[Tuple[jax.Array, jax.Array]] = None,
     restart_chunk: Optional[int] = None,
+    alpha_grid: Optional[Tuple[float, ...]] = None,
 ) -> MultivariateEmulator:
     """Train a multivariate emulator (the `estimate_thetas` multivariate path).
 
@@ -186,7 +187,41 @@ def fit_multivariate(
     GP fits run as ONE vmapped batch over (component x restart) — the
     reference's serial loop over r pthreaded estimations collapses into a
     single device program.
+
+    alpha_grid (power-exponential only) profiles the kernel exponent: the
+    whole vmapped fit runs once per grid value and the emulator with the
+    best TOTAL log likelihood (sum over components — one shared alpha, as
+    a shared-kernel-family model implies) wins. See models.fit.fit_gp_alpha
+    for why alpha is gridded rather than jointly optimized.
     """
+    if alpha_grid:
+        import dataclasses as _dc
+        import math as _math
+
+        from madaiemulator_tpu.utils.config import CovarianceFamily
+
+        if config.covariance is not CovarianceFamily.POWER_EXPONENTIAL:
+            raise ValueError(
+                "alpha_grid applies to the power-exponential family only"
+            )
+        best_emu, best_total = None, -_math.inf
+        for a in alpha_grid:
+            cfg_a = _dc.replace(config, power_exp_alpha=float(a))
+            emu_a = fit_multivariate(
+                key, X_raw, Y, cfg_a, pca_variance=pca_variance,
+                standardize=standardize, param_ranges=param_ranges,
+                restart_chunk=restart_chunk,
+            )
+            lls = np.asarray(emu_a.restart_log_likelihoods)
+            total = float(
+                np.sum(np.max(np.where(np.isfinite(lls), lls, -np.inf), axis=1))
+            )
+            logger.info("alpha_grid: alpha=%g total best logL=%.6g", a, total)
+            if best_emu is None or (
+                _math.isfinite(total) and total > best_total
+            ):
+                best_emu, best_total = emu_a, total
+        return best_emu
     scaling = fit_scaling(X_raw, ranges=param_ranges)
     X = apply_scaling(jnp.asarray(X_raw), scaling)
     pca, Z = pca_decompose(Y, pca_variance, standardize=standardize)

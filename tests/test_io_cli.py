@@ -280,6 +280,42 @@ def test_cli_large_n_flags_end_to_end(rng, tmp_path):
         assert abs(mean - np.sin(2 * np.pi * 0.25)) < 2e-2, mean
 
 
+def test_cli_alpha_grid_flag(rng, tmp_path):
+    """--alpha_grid profiles the power exponent; the snapshot records the
+    winning alpha and serving honors it; malformed grids error cleanly."""
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.txt"
+    _make_model_file(model, rng)
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(state),
+            "--restarts=2", "--steps=25", "--quiet",
+            "--alpha_grid=1.5,2.0",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    txt = state.read_text()
+    alpha = [
+        l.split()[1] for l in txt.splitlines()
+        if l.startswith("power_exp_alpha")
+    ][0]
+    assert float(alpha) in (1.5, 2.0)
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state)],
+        input="0.25\n", capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    mean = float(r.stdout.split()[-2])
+    assert abs(mean - np.sin(2 * np.pi * 0.25)) < 2e-2, mean
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(state),
+               "--alpha_grid=1.5,banana", "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "alpha_grid" in r.stderr
+
+
 def test_cli_npz_state_file(rng, tmp_path):
     """state files ending in .npz use the binary format end to end."""
     model = tmp_path / "model.txt"

@@ -4,6 +4,7 @@ observable-space reconstruction (BASELINE config 3; SURVEY.md §2 L4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from madaiemulator_tpu.models.multivariate import (
     IterativeMultivariateEmulator,
@@ -138,6 +139,40 @@ def test_multivariate_iterative_cached_states_match(rng):
     assert calls["pc"] == 0
     np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_ref), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_ref), rtol=1e-10)
+
+
+def test_fit_multivariate_alpha_grid(rng):
+    """One shared power exponent profiled over a grid: the winner carries
+    the best TOTAL logL and its config records the winning alpha."""
+    import dataclasses
+
+    from madaiemulator_tpu.ops.kernels import GPParams, gram_matrix
+    from madaiemulator_tpu.utils.config import CovarianceFamily
+
+    n, d = 50, 2
+    X = rng.uniform(size=(n, d))
+    cfg14 = GPConfig(
+        nparams=d, regression_order=0, power_exp_alpha=1.4,
+        n_restarts=2, max_opt_steps=25,
+    )
+    p_true = GPParams(
+        log_amp=jnp.asarray(0.0), log_nugget=jnp.asarray(np.log(1e-4)),
+        log_ls=jnp.asarray(np.log([0.2, 0.25])),
+    )
+    C = np.asarray(gram_matrix(jnp.asarray(X), p_true, cfg14))
+    L = np.linalg.cholesky(C)
+    Y = np.stack([L @ rng.standard_normal(n) for _ in range(2)], axis=1)
+    emu = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg14,
+        pca_variance=0.999, alpha_grid=(1.4, 2.0),
+    )
+    assert emu.config.power_exp_alpha == 1.4
+    with pytest.raises(ValueError, match="power-exponential"):
+        fit_multivariate(
+            jax.random.key(0), jnp.asarray(X), jnp.asarray(Y),
+            dataclasses.replace(cfg14, covariance=CovarianceFamily.MATERN32),
+            alpha_grid=(1.4, 2.0),
+        )
 
 
 def test_predict_multivariate_fast_matches_dense(rng):
