@@ -376,6 +376,15 @@ def fit_gp_host(
                     f"checkpoint {checkpoint_path}: saved shape "
                     f"{ck['X'].shape} != expected {(R, P)}"
                 )
+            # theta shapes are N-independent, so shape alone cannot tell a
+            # stale checkpoint from another problem apart — also key on the
+            # data size (older checkpoints without the field still load)
+            if "n_data" in ck and int(ck["n_data"]) != data.y.shape[0]:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path}: saved for "
+                    f"N={int(ck['n_data'])}, current data has "
+                    f"N={data.y.shape[0]} — delete it to start fresh"
+                )
             X, F, G = ck["X"], ck["F"], ck["G"]
             S_h, Y_h, RHO = ck["S_h"], ck["Y_h"], ck["RHO"]
             hlen = ck["hlen"]
@@ -392,7 +401,7 @@ def fit_gp_host(
         np.savez(
             tmp.removesuffix(".npz"), X=X, F=F, G=G, S_h=S_h, Y_h=Y_h,
             RHO=RHO, hlen=hlen, active=active, best_X=best_X, best_F=best_F,
-            step=step,
+            step=step, n_data=data.y.shape[0],
         )
         os.replace(tmp, checkpoint_path)
 

@@ -92,6 +92,15 @@ def test_fit_gp_host_checkpoint_resume(tmp_path):
         fit_gp_host(
             jax.random.key(4), data2, cfg2, max_steps=2, checkpoint_path=ck
         )
+    # SAME theta shapes but different data size: also rejected (theta
+    # shapes are N-independent, so shape alone cannot catch a stale
+    # checkpoint from another problem — round-3 64k/128k footgun)
+    X3 = np.linspace(0.0, 1.0, 30)[:, None]
+    data3 = GPData(X=jnp.asarray(X3), y=jnp.asarray(np.sin(2 * np.pi * X3[:, 0])))
+    with pytest.raises(ValueError, match="delete it"):
+        fit_gp_host(
+            jax.random.key(4), data3, cfg, max_steps=2, checkpoint_path=ck
+        )
 
 
 def test_fit_4d_matern_multirestart():
