@@ -64,11 +64,14 @@ def main():
          n=n, steps=steps, restarts=restarts)
 
     t0 = time.perf_counter()
+    # row_chunk 1024: the default 2048 tile is (2048, n) f32 = 1 GB at
+    # N=131k and the axon worker crashes in the first value+grad
+    row_chunk = 1024 if n > 65536 else 2048
     res = fit_gp_iterative(
         jax.random.key(1), data, cfg, seed=0, rank=64, probes=8,
         lanczos_iters=20, cg_tol=1e-4, cg_max_iters=120, vg_batch=1,
         logdet_method="mbcg", checkpoint_path="/tmp/cap64k.ckpt",
-        value_linesearch=True,
+        value_linesearch=True, row_chunk=row_chunk,
     )
     t_fit = time.perf_counter() - t0
     s = res.stats or {}
@@ -86,7 +89,8 @@ def main():
     # serving: cache built once; chunked memory-flat predictions
     t0 = time.perf_counter()
     state = precompute_iterative_predictor(
-        res.params, data, cfg, rank=64, cg_tol=1e-5, cg_max_iters=200
+        res.params, data, cfg, rank=64, cg_tol=1e-5, cg_max_iters=200,
+        row_chunk=row_chunk,
     )
     sync(state.alpha)
     t_pre = time.perf_counter() - t0
@@ -104,7 +108,8 @@ def main():
     Xq = jnp.asarray(rng.uniform(size=(m, d)), jnp.float32)
     t0 = time.perf_counter()
     mean, var = predict_iterative_from_state(
-        state, data, Xq, query_chunk=256, variance_method="precond"
+        state, data, Xq, query_chunk=256, variance_method="precond",
+        row_chunk=row_chunk,
     )
     sync(mean)
     t_q = time.perf_counter() - t0
@@ -119,7 +124,8 @@ def main():
     # a second batch must be CHEAP (no training solves — VERDICT r2 weak #1)
     t0 = time.perf_counter()
     mean2, _ = predict_iterative_from_state(
-        state, data, Xq, query_chunk=256, variance_method="precond"
+        state, data, Xq, query_chunk=256, variance_method="precond",
+        row_chunk=row_chunk,
     )
     sync(mean2)
     emit(metric="iterative_predict_repeat_s", value=round(time.perf_counter() - t0, 2))
@@ -130,7 +136,7 @@ def main():
     t0 = time.perf_counter()
     m_e, v_e = predict_iterative_from_state(
         state, data, Xq[:m_small], query_chunk=m_small,
-        variance_method="exact",
+        variance_method="exact", row_chunk=row_chunk,
     )
     sync(m_e)
     emit(

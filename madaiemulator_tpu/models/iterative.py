@@ -410,11 +410,15 @@ class IterativeInfo(NamedTuple):
     cg_iters: jax.Array
 
 
-def _matvec_for(params, data, config, mesh):
+def _matvec_for(params, data, config, mesh, row_chunk: int = 2048):
     """Matvec closure: single-device row-chunked, or mesh-row-sharded when
-    a jax.sharding.Mesh is given (parallel/iterative_sharded)."""
+    a jax.sharding.Mesh is given (parallel/iterative_sharded). row_chunk
+    bounds the kernel-tile footprint at (row_chunk, n) f32 — at N=131k the
+    default 2048 tile is 1 GB and the axon worker crashes in the first
+    value+grad; 1024 and below are the large-N setting."""
     if mesh is None:
-        return lambda V: gram_matvec(data.X, params, config, V)
+        return lambda V: gram_matvec(data.X, params, config, V,
+                                     row_chunk=row_chunk)
     from madaiemulator_tpu.parallel.iterative_sharded import (
         make_sharded_matvec,
     )
@@ -422,20 +426,20 @@ def _matvec_for(params, data, config, mesh):
     return make_sharded_matvec(data.X, params, config, mesh)
 
 
-def _solve_C(params, data, config, rank, cg, B, mesh=None):
+def _solve_C(params, data, config, rank, cg, B, mesh=None, row_chunk=2048):
     """PCG solve C^-1 B with a fresh pivoted-Cholesky preconditioner."""
     tol, iters = cg
     n = data.X.shape[0]
     da = _diag_add(n, params, config, data.X.dtype)
     Lk = pivoted_cholesky(data.X, params, config, rank)
     pre = make_preconditioner(Lk, da)
-    mv = _matvec_for(params, data, config, mesh)
+    mv = _matvec_for(params, data, config, mesh, row_chunk)
     return pcg_solve(mv, B, pre, tol=tol, max_iters=iters)
 
 
 def _lml_iterative_impl(
     params, seed, data, config, rank, probes, lanczos_iters, cg, mesh=None,
-    logdet_method="slq", with_aux=False,
+    logdet_method="slq", with_aux=False, row_chunk=2048,
 ):
     key = jax.random.key(seed)
     n = data.X.shape[0]
@@ -443,7 +447,7 @@ def _lml_iterative_impl(
     da = _diag_add(n, params, config, data.X.dtype)
     Lk = pivoted_cholesky(data.X, params, config, rank)
     pre = make_preconditioner(Lk, da)
-    mv = _matvec_for(params, data, config, mesh)
+    mv = _matvec_for(params, data, config, mesh, row_chunk)
     H = regression_basis(data.X, config.regression_order)
     B = jnp.concatenate([data.y[:, None], H], axis=1)  # (n, 1 + p)
     nbase = B.shape[1]
@@ -513,7 +517,7 @@ def _lml_iterative_impl(
     # data is a DIFFERENTIABLE argument (zero cotangent) so callers may
     # pass it as a traced jit/vmap argument — array-valued nondiff_argnums
     # would reject tracers. Everything else is static/hashable.
-    jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6, 7, 8, 9, 10)
 )
 def _lml_iterative(
     params: GPParams,
@@ -526,21 +530,22 @@ def _lml_iterative(
     cg: Tuple[float, int],
     mesh=None,
     logdet_method="slq",
+    row_chunk: int = 2048,
 ):
     ll, _, _ = _lml_iterative_impl(
         params, seed, data, config, rank, probes, lanczos_iters, cg, mesh,
-        logdet_method,
+        logdet_method, row_chunk=row_chunk,
     )
     return ll
 
 
 def _lml_iter_fwd(
     params, seed, data, config, rank, probes, lanczos_iters, cg, mesh=None,
-    logdet_method="slq",
+    logdet_method="slq", row_chunk=2048,
 ):
     ll, alpha, aux, _ = _lml_iterative_impl(
         params, seed, data, config, rank, probes, lanczos_iters, cg, mesh,
-        logdet_method, with_aux=True,
+        logdet_method, with_aux=True, row_chunk=row_chunk,
     )
     CiH, LA = aux
     return ll, (params, data, alpha, CiH, LA)
@@ -548,7 +553,7 @@ def _lml_iter_fwd(
 
 def _lml_iter_bwd(
     seed, config, rank, probes, lanczos_iters, cg, mesh, logdet_method,
-    res, g,
+    row_chunk, res, g,
 ):
     """BBMM-style gradient, no N x N intermediates:
 
@@ -577,11 +582,11 @@ def _lml_iter_bwd(
             jax.random.bernoulli(key, 0.5, (n, probes)), 1.0, -1.0
         ).astype(data.X.dtype)
         scale = 1.0 / probes  # Hutchinson mean
-    CiZ, _, _ = _solve_C(params, data, config, rank, cg, Z, mesh)
+    CiZ, _, _ = _solve_C(params, data, config, rank, cg, Z, mesh, row_chunk)
 
     def quad_form(prm, U, V):
         # sum_j u_j^T C(prm) v_j
-        mv = _matvec_for(prm, data, config, mesh)
+        mv = _matvec_for(prm, data, config, mesh, row_chunk)
         return jnp.sum(U * mv(V))
 
     # 0.5 * alpha^T dC alpha
@@ -625,6 +630,7 @@ def lml_iterative(
     cg_max_iters: int = 256,
     mesh=None,
     logdet_method: str = "slq",
+    row_chunk: int = 2048,
 ) -> jax.Array:
     """Matrix-free GLS log-marginal likelihood, differentiable wrt params
     via the Hutchinson/adjoint-solve VJP. `seed` (static int) fixes the
@@ -641,7 +647,7 @@ def lml_iterative(
     preconditioner's convergence."""
     return _lml_iterative(
         params, seed, data, config, rank, probes, lanczos_iters,
-        (cg_tol, cg_max_iters), mesh, logdet_method,
+        (cg_tol, cg_max_iters), mesh, logdet_method, row_chunk,
     )
 
 
@@ -663,6 +669,7 @@ def fit_gp_iterative(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 5,
     value_linesearch: Optional[bool] = None,
+    row_chunk: int = 2048,
 ):
     """Hyperparameter estimation with the matrix-free likelihood.
 
@@ -681,7 +688,7 @@ def fit_gp_iterative(
             params, d, cfg, seed=seed, rank=rank, probes=probes,
             lanczos_iters=lanczos_iters, cg_tol=cg_tol,
             cg_max_iters=cg_max_iters, mesh=mesh,
-            logdet_method=logdet_method,
+            logdet_method=logdet_method, row_chunk=row_chunk,
         )
 
     return fit_gp_host(
@@ -724,6 +731,7 @@ def precompute_iterative_predictor(
     cg_tol: float = 1e-6,
     cg_max_iters: int = 256,
     jitter: Optional[float] = None,
+    row_chunk: int = 2048,
 ) -> IterativePosteriorState:
     """One-time matrix-free training solves for serving (see
     IterativePosteriorState). `jitter` overrides the config's diagonal
@@ -738,7 +746,7 @@ def precompute_iterative_predictor(
     da = _diag_add(n, params, config, data.X.dtype)
     Lk = pivoted_cholesky(data.X, params, config, rank)
     pre = make_preconditioner(Lk, da)
-    mv = _matvec_for(params, data, config, None)
+    mv = _matvec_for(params, data, config, None, row_chunk)
     H = regression_basis(data.X, config.regression_order)
     B = jnp.concatenate([data.y[:, None], H], axis=1)
     S, _, _ = pcg_solve(mv, B, pre, tol=cg_tol, max_iters=cg_max_iters)
@@ -764,6 +772,7 @@ def predict_iterative_from_state(
     query_chunk: int = 1024,
     with_variance: bool = True,
     variance_method: str = "exact",
+    row_chunk: int = 2048,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Serve one query batch from the cached state: per chunk, one
     cross-covariance build + GEMMs for the mean, and (with_variance) ONE
@@ -783,7 +792,7 @@ def predict_iterative_from_state(
     pre, alpha, beta, CiH, LA = (
         state.pre, state.alpha, state.beta, state.CiH, state.LA,
     )
-    mv = _matvec_for(params, data, config, None)
+    mv = _matvec_for(params, data, config, None, row_chunk)
 
     m = Xs.shape[0]
     chunk = min(query_chunk, m)
