@@ -64,12 +64,12 @@ def main():
          n=n, steps=steps, restarts=restarts)
 
     t0 = time.perf_counter()
-    # row_chunk 1024: the default 2048 tile is (2048, n) f32 = 1 GB at
-    # N=131k and the axon worker crashes in the first value+grad
-    row_chunk = 1024 if n > 65536 else 2048
+    # tile limits measured on the axon worker: (1024, 131072) f32 (512 MB)
+    # still crashes it; (512, 131072) (256 MB) runs — keep tiles <= 256 MB
+    row_chunk = 2048 if n <= 65536 else max(256, (1 << 26) // n)
     res = fit_gp_iterative(
         jax.random.key(1), data, cfg, seed=0, rank=64, probes=8,
-        lanczos_iters=20, cg_tol=1e-4, cg_max_iters=120, vg_batch=1,
+        lanczos_iters=20, cg_tol=1e-4, cg_max_iters=200, vg_batch=1,
         logdet_method="mbcg", checkpoint_path="/tmp/cap64k.ckpt",
         value_linesearch=True, row_chunk=row_chunk,
     )
