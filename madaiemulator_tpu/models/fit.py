@@ -246,16 +246,35 @@ def fit_gp_host(
 
     single = jax.tree.map(lambda a: a[0], u0_all)
     _, unravel = jax.flatten_util.ravel_pytree(single)
-    _vg_batched = jax.jit(
-        jax.vmap(jax.value_and_grad(lambda flat: objective(unravel(flat))))
-    )
+    if B == 1:
+        # NO vmap wrapper at batch 1: vmapped while_loop programs are the
+        # axon worker's crash family (the R=4 restart-axis crash, and at
+        # N=131k even a B=1 vmapped iterative value+grad kills the worker
+        # while the unvmapped identical program runs fine — measured).
+        _vg_one = jax.jit(
+            jax.value_and_grad(lambda flat: objective(unravel(flat)))
+        )
+
+        def _vg_batched(batch):
+            f, g = _vg_one(batch[0])
+            return f[None], g[None]
+
+    else:
+        _vg_batched = jax.jit(
+            jax.vmap(jax.value_and_grad(lambda flat: objective(unravel(flat))))
+        )
     if value_linesearch is None:
         value_linesearch = steps >= 25
-    _v_batched = (
-        jax.jit(jax.vmap(lambda flat: objective(unravel(flat))))
-        if value_linesearch
-        else None
-    )
+    if not value_linesearch:
+        _v_batched = None
+    elif B == 1:
+        _v_one = jax.jit(lambda flat: objective(unravel(flat)))
+
+        def _v_batched(batch):
+            return _v_one(batch[0])[None]
+
+    else:
+        _v_batched = jax.jit(jax.vmap(lambda flat: objective(unravel(flat))))
 
     import time as _time
 
