@@ -197,6 +197,22 @@ def test_predict_iterative_from_state_matches_oneshot(rng):
     np.testing.assert_allclose(np.asarray(m3), np.asarray(m_ref), rtol=1e-12)
 
 
+def test_lml_iterative_row_chunk_invariant(rng):
+    """row_chunk (the matvec tile bound, plumbed in round 3 for the 131k
+    worker envelope) is a scheduling knob: value and gradient must not
+    change with it."""
+    cfg, data, p = setup_problem(rng, n=36)
+    kw = dict(seed=0, rank=36, probes=36, lanczos_iters=36,
+              cg_tol=1e-12, cg_max_iters=400)
+    f_ref = lambda pp: iterative.lml_iterative(pp, data, cfg, **kw)
+    f_chk = lambda pp: iterative.lml_iterative(pp, data, cfg, row_chunk=8, **kw)
+    np.testing.assert_allclose(float(f_chk(p)), float(f_ref(p)), rtol=1e-10)
+    g_ref = jax.grad(f_ref)(p)
+    g_chk = jax.grad(f_chk)(p)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_chk)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8)
+
+
 def test_predict_iterative_precond_variance(rng):
     """variance_method='precond' (Woodbury apply instead of PCG): exact at
     full preconditioner rank; a lower bound that is still close at reduced
