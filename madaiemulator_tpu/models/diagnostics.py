@@ -1,0 +1,332 @@
+"""Emulator validation diagnostics and posterior sampling.
+
+The reference ships no validation tooling — emulator quality was checked by
+eye against toy problems (SURVEY.md §4) — yet leave-one-out diagnostics and
+posterior draws are exactly what the MADAI calibration workflow needs to
+trust an emulator before running MCMC against it. This module adds both,
+TPU-first (everything jit-able / vmappable over the PCA-component axis):
+
+  * Closed-form leave-one-out cross-validation for the universal-kriging
+    (GLS mean) GP. No N refits: with the projected precision
+        P = C^-1 - W A^-1 W^T,   W = C^-1 H,  A = H^T C^-1 H
+    the model trained on the other N-1 points (with beta re-estimated by
+    GLS on those points) predicts point i with
+        residual_i = (P y)_i / P_ii = alpha_i / P_ii
+        variance_i = 1 / P_ii
+    (Dubrule 1983's kriging LOO identity; P y = alpha because beta is the
+    GLS maximizer). Cost: one factorization + one triangular inversion —
+    MXU GEMMs, not an N-fold refit loop.
+  * Standard validation summaries (RMSE, standardized-error moments,
+    central-interval coverage, log pseudo-likelihood) for LOO or an
+    external test set.
+  * Full posterior covariance over a query block and exact joint posterior
+    sampling (eigendecomposition-based, robust to the rank deficiency a GP
+    posterior covariance always has when m > N).
+  * Multivariate (PCA) variants: vmapped per-component LOO rotated back to
+    observable space, and joint observable-space samples that preserve both
+    cross-observable correlation (shared PCs) and cross-point correlation
+    (GP posterior covariance).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madaiemulator_tpu.models.gp import (
+    GPData,
+    GPPosteriorState,
+    _factor,
+    regression_basis,
+)
+from madaiemulator_tpu.ops import kernels, linalg
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import GPConfig
+
+
+class LOOResult(NamedTuple):
+    """Leave-one-out predictions for each training point.
+
+    mean/variance are the LOO predictive distribution of the OBSERVED value
+    y_i (they include the nugget: the diagonal of C does), residual is
+    y_i - mean_i, standardized is residual_i / sqrt(variance_i) — ~N(0,1)
+    when the emulator's error model is calibrated.
+    """
+
+    mean: jax.Array  # (N,)
+    variance: jax.Array  # (N,)
+    residual: jax.Array  # (N,)
+    standardized: jax.Array  # (N,)
+    ok: jax.Array  # scalar bool: factorization succeeded
+
+
+def _projected_precision_diag(st: GPPosteriorState) -> jax.Array:
+    """diag(P) with P = C^-1 - W A^-1 W^T from a factorization state."""
+    L = st.L
+    hi = jax.lax.Precision.HIGHEST
+    n = L.shape[0]
+    if L.dtype == jnp.float64:
+        Linv = jax.lax.linalg.triangular_solve(
+            L, jnp.eye(n, dtype=L.dtype), left_side=True, lower=True
+        )
+    else:
+        Linv = linalg.tri_inv_block(L, precision=hi)
+    cinv_diag = jnp.sum(Linv * Linv, axis=0)  # diag(L^-T L^-1)
+    # W = C^-1 H = L^-T (L^-1 H);  diag(W A^-1 W^T) = sum(W * (A^-1 W^T)^T)
+    W = jax.lax.linalg.triangular_solve(
+        L, st.Linv_H, left_side=True, lower=True, transpose_a=True
+    )
+    Z = linalg.cho_solve(st.LA, W.T)  # (p, N) = A^-1 W^T
+    return cinv_diag - jnp.sum(W * Z.T, axis=1)
+
+
+def loo_cv(
+    params: GPParams, data: GPData, config: GPConfig
+) -> LOOResult:
+    """Closed-form leave-one-out cross-validation (see module docstring).
+
+    Equivalent to refitting the GLS mean on each size-(N-1) subset and
+    predicting the held-out point (hyperparameters held fixed, as is
+    standard for LOO model checking); pinned against the brute-force
+    N-refit loop in tests/test_diagnostics.py. jit-able and vmappable
+    over a component/ensemble axis.
+    """
+    st = _factor(data, params, config)
+    pdiag = _projected_precision_diag(st)
+    # SPD C + full-rank H (N > p) guarantee pdiag > 0; the floor only
+    # guards the gated-failure branch (ok=False) from dividing by ~0.
+    tiny = jnp.asarray(jnp.finfo(pdiag.dtype).tiny, pdiag.dtype)
+    pdiag = jnp.maximum(pdiag, tiny)
+    resid = st.alpha / pdiag
+    var = 1.0 / pdiag
+    nan = jnp.asarray(jnp.nan, pdiag.dtype)
+    return LOOResult(
+        mean=jnp.where(st.ok, data.y - resid, nan),
+        variance=jnp.where(st.ok, var, nan),
+        residual=jnp.where(st.ok, resid, nan),
+        standardized=jnp.where(st.ok, resid / jnp.sqrt(var), nan),
+        ok=st.ok,
+    )
+
+
+def validation_summary(
+    mean, variance, y_true, interval: float = 0.95
+) -> Dict[str, float]:
+    """Host-side calibration summary of predictive (mean, variance) vs truth.
+
+    Returns rmse / mae, moments of the standardized errors (target: 0 / 1),
+    fraction of truths inside the central `interval` (target: `interval`),
+    and the Gaussian log predictive density per point (the LOO
+    pseudo-likelihood when fed LOOResult fields).
+    """
+    mean = np.asarray(mean, dtype=np.float64).ravel()
+    var = np.asarray(variance, dtype=np.float64).ravel()
+    y = np.asarray(y_true, dtype=np.float64).ravel()
+    err = y - mean
+    std = np.sqrt(np.maximum(var, np.finfo(np.float64).tiny))
+    zed = err / std
+    # central interval half-width in sigmas (no scipy in the base image):
+    # Phi^-1((1+p)/2) via the rational approximation of Acklam (|rel err|
+    # < 1.2e-9 — far below sampling noise at any realistic N)
+    zcrit = _norm_ppf(0.5 * (1.0 + interval))
+    return {
+        "n": int(y.size),
+        "rmse": float(np.sqrt(np.mean(err**2))),
+        "mae": float(np.mean(np.abs(err))),
+        "standardized_mean": float(np.mean(zed)),
+        "standardized_std": float(np.std(zed)),
+        "coverage": float(np.mean(np.abs(zed) <= zcrit)),
+        "coverage_target": float(interval),
+        "log_pseudo_likelihood": float(
+            np.sum(-0.5 * np.log(2.0 * np.pi * var) - 0.5 * zed**2)
+        ),
+    }
+
+
+def _norm_ppf(p: float) -> float:
+    """Standard-normal quantile (Acklam's rational approximation)."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    if p < plow:
+        q = np.sqrt(-2.0 * np.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q
+                + c[5]) / ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        return -_norm_ppf(1.0 - p)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r
+            + a[5]) * q / (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r
+                            + b[4]) * r + 1)
+
+
+def loo_summary(res: LOOResult, y: jax.Array, **kw) -> Dict[str, float]:
+    """validation_summary of a LOOResult against the training vector."""
+    return validation_summary(res.mean, res.variance, y, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Full posterior covariance + sampling
+# ---------------------------------------------------------------------------
+
+
+def posterior_covariance(
+    state: GPPosteriorState,
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Posterior mean (m,) and FULL covariance (m, m) over a query block.
+
+    Same math as models/gp._predict_core but keeping the cross terms:
+        Sigma = K** - V^T V + W^T W,  V = L^-1 K*,  W = LA^-1 G.
+    With config.predict_variance_includes_nugget the nugget is added to the
+    diagonal (the covariance of noisy observations rather than latent f).
+    The full m x m matrix is materialized: keep query blocks to a few
+    thousand points (sampling is O(m^3) anyway).
+    """
+    Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
+    Hs = regression_basis(Xs, config.regression_order)  # (m, p)
+    mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
+    hi = jax.lax.Precision.HIGHEST
+    Kss = kernels.cross_covariance(Xs, Xs, params, config)
+    Kss = 0.5 * (Kss + Kss.T)
+    V = linalg.solve_lower(state.L, Ks)  # (N, m)
+    cov = Kss - jnp.dot(V.T, V, preferred_element_type=V.dtype, precision=hi)
+    G = Hs.T - jnp.dot(state.Linv_H.T, V, precision=hi)  # (p, m)
+    W = linalg.solve_lower(state.LA, G)  # (p, m)
+    cov = cov + jnp.dot(W.T, W, preferred_element_type=W.dtype, precision=hi)
+    if config.predict_variance_includes_nugget:
+        cov = cov + jnp.exp(params.log_nugget) * jnp.eye(
+            Xs.shape[0], dtype=cov.dtype
+        )
+    return mean, cov
+
+
+def sample_posterior(
+    state: GPPosteriorState,
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+    key: jax.Array,
+    num_samples: int,
+) -> jax.Array:
+    """`num_samples` exact joint draws from the GP posterior at Xs: (S, m).
+
+    Factorizes the posterior covariance by symmetric eigendecomposition
+    with negative eigenvalues clamped to zero — a GP posterior covariance
+    is exactly rank-deficient whenever m > N (m - N zero directions), so a
+    Cholesky + jitter ladder is the wrong tool; eigh handles the degeneracy
+    natively and keeps the draws exact in the positive subspace.
+    """
+    mean, cov = posterior_covariance(state, params, data, Xs, config)
+    lam, U = jnp.linalg.eigh(cov)
+    scale = jnp.sqrt(jnp.maximum(lam, 0.0))
+    z = jax.random.normal(key, (num_samples, Xs.shape[0]), dtype=mean.dtype)
+    return mean[None, :] + jnp.dot(
+        z * scale[None, :], U.T, preferred_element_type=mean.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate (PCA) variants
+# ---------------------------------------------------------------------------
+
+
+def loo_cv_multivariate(emu) -> Tuple[LOOResult, jax.Array, jax.Array]:
+    """Per-component LOO (vmapped) + observable-space LOO (mean, variance).
+
+    Returns (component LOOResult with (r, N) leading axes,
+    loo_mean (N, t), loo_var (N, t)). The observable-space numbers are the
+    PCA reconstruction of the per-PC LOO predictions — compare them against
+    the emulator's own training targets (reconstruct_training_outputs) to
+    isolate GP error from PCA truncation error, or against the raw Y to
+    include it.
+    """
+    from madaiemulator_tpu.models.multivariate import reconstruct_observables
+
+    def one(p, z):
+        return loo_cv(p, GPData(X=emu.X, y=z), emu.config)
+
+    res = jax.vmap(one)(emu.params, emu.Z.T)  # fields (r, N)
+    loo_mean, loo_var = reconstruct_observables(
+        res.mean, res.variance, emu.pca
+    )  # (N, t) each
+    return res, loo_mean, loo_var
+
+
+def reconstruct_training_outputs(emu) -> jax.Array:
+    """The training outputs as the retained-r PCA subspace represents them,
+    (N, t): ybar + ystd * (Z sqrt(lam)) U^T. The natural ground truth for
+    loo_cv_multivariate when PCA truncation error should be excluded."""
+    pca = emu.pca
+    Z = emu.Z
+    sqrt_lam = jnp.sqrt(pca.eigenvalues.astype(Z.dtype))
+    return pca.ymean[None, :] + (
+        (Z * sqrt_lam[None, :]) @ pca.U.T
+    ) * pca.ystd[None, :]
+
+
+def loo_summary_multivariate(
+    emu, Y_true: Optional[jax.Array] = None, **kw
+) -> Dict[str, float]:
+    """Observable-space LOO calibration summary for a multivariate emulator.
+
+    Y_true defaults to the retained-subspace reconstruction of the training
+    outputs (GP error only); pass the raw Y matrix (N, t) to include PCA
+    truncation error in the residuals (its variance is NOT in the emulator's
+    error bars, so expect coverage to drop if truncation is material).
+    """
+    _, loo_mean, loo_var = loo_cv_multivariate(emu)
+    if Y_true is None:
+        Y_true = reconstruct_training_outputs(emu)
+    return validation_summary(loo_mean, loo_var, Y_true, **kw)
+
+
+def sample_multivariate_posterior(
+    emu, Xs_raw: jax.Array, key: jax.Array, num_samples: int
+) -> jax.Array:
+    """Joint observable-space posterior draws: (S, m, t).
+
+    Each retained PC is sampled from its full GP posterior over the query
+    block (independent across PCs — exactly the emulator's model), then
+    rotated: y[s, q, j] = ybar_j + s_j * sum_i sqrt(lam_i) U_ji z_i[s, q].
+    Draws therefore carry cross-observable correlation (shared PC weights)
+    and cross-point correlation (GP covariance) that the marginal
+    predict_multivariate variances cannot express.
+    """
+    from madaiemulator_tpu.utils.designs import apply_scaling
+
+    Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=emu.X.dtype), emu.scaling)
+    r = emu.n_components
+    keys = jax.random.split(key, r)
+
+    def one(st, p, z, k):
+        return sample_posterior(
+            st, p, GPData(X=emu.X, y=z), Xs, emu.config, k, num_samples
+        )
+
+    Zs = jax.vmap(one)(emu.states, emu.params, emu.Z.T, keys)  # (r, S, m)
+    pca = emu.pca
+    sqrt_lam = jnp.sqrt(pca.eigenvalues.astype(Zs.dtype))
+    U = pca.U.astype(Zs.dtype)
+    Y = jnp.einsum("rsm,jr->smj", Zs * sqrt_lam[:, None, None], U)
+    return pca.ymean[None, None, :] + Y * pca.ystd[None, None, :]

@@ -1,0 +1,242 @@
+"""Validation diagnostics: closed-form LOO vs brute-force refits, posterior
+covariance/sampling moments, multivariate variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.models import diagnostics
+from madaiemulator_tpu.models.gp import (
+    GPData,
+    _factor,
+    precompute_predictor,
+    predict_from_precomputed,
+)
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import CovarianceFamily, GPConfig
+
+
+def make_problem(rng, n=24, d=2, order=1, nugget=1e-2,
+                 family=CovarianceFamily.POWER_EXPONENTIAL):
+    cfg = GPConfig(nparams=d, covariance=family, regression_order=order)
+    X = jnp.asarray(rng.uniform(size=(n, d)))
+    nls = cfg.num_length_scales
+    p = GPParams(
+        log_amp=jnp.asarray(0.3),
+        log_nugget=jnp.asarray(np.log(nugget)),
+        log_ls=jnp.full((nls,), np.log(0.5)),
+    )
+    # draw y from the prior so the model is well-specified
+    C = np.asarray(
+        jax.jit(
+            lambda: __import__(
+                "madaiemulator_tpu.ops.kernels", fromlist=["gram_matrix"]
+            ).gram_matrix(X, p, cfg)
+        )()
+    )
+    y = jnp.asarray(np.linalg.cholesky(C) @ rng.standard_normal(n))
+    return cfg, GPData(X=X, y=y), p
+
+
+@pytest.mark.parametrize("order", [0, 1, 2])
+def test_loo_matches_bruteforce_refits(rng, order):
+    """The closed-form LOO equals actually refitting the GLS mean on each
+    size-(N-1) subset and predicting the held-out OBSERVED value."""
+    cfg, data, p = make_problem(rng, n=20, d=2, order=order)
+    res = diagnostics.loo_cv(p, data, cfg)
+    assert bool(res.ok)
+    n = data.y.shape[0]
+    for i in range(n):
+        keep = np.arange(n) != i
+        sub = GPData(X=data.X[keep], y=data.y[keep])
+        st = _factor(sub, p, cfg)
+        m_i, v_i = predict_from_precomputed(
+            st, p, sub, data.X[i][None, :], cfg
+        )
+        np.testing.assert_allclose(
+            float(res.mean[i]), float(m_i[0]), rtol=1e-8, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            float(res.variance[i]), float(v_i[0]), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_loo_matern_isotropic(rng):
+    """LOO identity holds for the isotropic Matérn family too."""
+    cfg, data, p = make_problem(
+        rng, n=16, d=3, order=1, family=CovarianceFamily.MATERN32
+    )
+    res = diagnostics.loo_cv(p, data, cfg)
+    i = 7
+    keep = np.arange(data.y.shape[0]) != i
+    sub = GPData(X=data.X[keep], y=data.y[keep])
+    st = _factor(sub, p, cfg)
+    m_i, v_i = predict_from_precomputed(st, p, sub, data.X[i][None, :], cfg)
+    np.testing.assert_allclose(float(res.mean[i]), float(m_i[0]), rtol=1e-8)
+    np.testing.assert_allclose(
+        float(res.variance[i]), float(v_i[0]), rtol=1e-8
+    )
+
+
+def test_loo_gated_on_failed_factorization(rng):
+    """A non-SPD theta yields ok=False and NaN diagnostics, not garbage."""
+    cfg, data, _ = make_problem(rng, n=12, d=2)
+    bad = GPParams(
+        log_amp=jnp.asarray(0.0),
+        log_nugget=jnp.asarray(np.log(1e-300)),
+        log_ls=jnp.full((2,), np.log(1e4)),  # constant kernel, no nugget
+    )
+    res = diagnostics.loo_cv(bad, data, cfg)
+    if not bool(res.ok):
+        assert np.all(np.isnan(np.asarray(res.mean)))
+
+
+def test_loo_summary_calibrated(rng):
+    """Well-specified model: standardized errors ~N(0,1), coverage ~95%."""
+    cfg, data, p = make_problem(rng, n=64, d=2, nugget=0.05)
+    res = diagnostics.loo_cv(p, data, cfg)
+    s = diagnostics.loo_summary(res, data.y)
+    assert s["n"] == 64
+    assert abs(s["standardized_mean"]) < 0.6
+    assert 0.5 < s["standardized_std"] < 1.8
+    assert 0.80 <= s["coverage"] <= 1.0
+    assert np.isfinite(s["log_pseudo_likelihood"])
+
+
+def test_norm_ppf():
+    # pinned to scipy.stats.norm.ppf values
+    np.testing.assert_allclose(
+        diagnostics._norm_ppf(0.975), 1.959963984540054, rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        diagnostics._norm_ppf(0.5), 0.0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        diagnostics._norm_ppf(0.005), -2.575829303548901, rtol=1e-7
+    )
+
+
+def test_posterior_covariance_diag_matches_predict(rng):
+    """diag of the full posterior covariance == the marginal variances; the
+    mean matches predict_from_precomputed."""
+    cfg, data, p = make_problem(rng, n=24, d=2)
+    st = precompute_predictor(p, data, cfg)
+    Xs = jnp.asarray(rng.uniform(size=(15, 2)))
+    m_ref, v_ref = predict_from_precomputed(st, p, data, Xs, cfg)
+    mean, cov = diagnostics.posterior_covariance(st, p, data, Xs, cfg)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(m_ref), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.diag(np.asarray(cov)), np.asarray(v_ref), rtol=1e-8, atol=1e-12
+    )
+    # symmetric PSD (up to rounding)
+    C = np.asarray(cov)
+    np.testing.assert_allclose(C, C.T, atol=1e-12)
+    assert np.linalg.eigvalsh(C).min() > -1e-9
+
+
+def test_sample_posterior_moments(rng):
+    """Sample mean/covariance converge to the analytic posterior; the
+    degenerate m > N case (rank-deficient covariance) runs cleanly."""
+    cfg, data, p = make_problem(rng, n=12, d=2, nugget=1e-3)
+    st = precompute_predictor(p, data, cfg)
+    Xs = jnp.asarray(rng.uniform(size=(20, 2)))  # m > N: degenerate cov
+    mean, cov = diagnostics.posterior_covariance(st, p, data, Xs, cfg)
+    S = 20000
+    draws = diagnostics.sample_posterior(
+        st, p, data, Xs, cfg, jax.random.key(0), S
+    )
+    assert draws.shape == (S, 20)
+    d = np.asarray(draws)
+    emp_mean = d.mean(axis=0)
+    emp_cov = np.cov(d.T)
+    sd = np.sqrt(np.diag(np.asarray(cov)))
+    np.testing.assert_allclose(
+        emp_mean, np.asarray(mean), atol=4.5 * sd.max() / np.sqrt(S) + 1e-12
+    )
+    # covariance entries to MC accuracy (loose: 5 sigma_ii scale / sqrt(S))
+    scale = np.outer(sd, sd).max() + 1e-12
+    assert np.max(np.abs(emp_cov - np.asarray(cov))) < 6 * scale / np.sqrt(S) + 5e-3 * scale
+
+
+def make_multivariate(rng, n=40, d=3, t=6):
+    from madaiemulator_tpu.models.multivariate import fit_multivariate
+
+    cfg = GPConfig(nparams=d, regression_order=1, n_restarts=2,
+                   max_opt_steps=25)
+    X = rng.uniform(size=(n, d))
+    grid = rng.standard_normal((t, 3))
+    F = np.stack(
+        [np.sin(2 * X @ g[:d] if d <= 3 else X[:, 0]) for g in grid], axis=1
+    )
+    Y = F + 0.01 * rng.standard_normal((n, t))
+    emu = fit_multivariate(
+        jax.random.key(1), jnp.asarray(X), jnp.asarray(Y), cfg,
+        pca_variance=0.99,
+    )
+    return emu, X, Y
+
+
+def test_multivariate_loo_and_summary(rng):
+    emu, X, Y = make_multivariate(rng)
+    res, loo_mean, loo_var = diagnostics.loo_cv_multivariate(emu)
+    r, n = emu.n_components, emu.X.shape[0]
+    assert res.mean.shape == (r, n)
+    assert loo_mean.shape == (n, emu.n_outputs)
+    assert np.all(np.asarray(loo_var) >= 0)
+    # component 0's LOO must equal the scalar loo_cv on that component
+    res0 = diagnostics.loo_cv(
+        jax.tree.map(lambda a: a[0], emu.params),
+        GPData(X=emu.X, y=emu.Z[:, 0]),
+        emu.config,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.mean[0]), np.asarray(res0.mean), rtol=1e-10
+    )
+    s = diagnostics.loo_summary_multivariate(emu)
+    assert s["n"] == n * emu.n_outputs
+    assert np.isfinite(s["rmse"])
+    # vs raw Y includes the PCA truncation error: rmse can only grow
+    s_raw = diagnostics.loo_summary_multivariate(emu, Y_true=jnp.asarray(Y))
+    assert s_raw["rmse"] >= s["rmse"] - 1e-12
+
+
+def test_reconstruct_training_outputs_roundtrip(rng):
+    """With pca_variance=1 - eps retaining everything, the retained-subspace
+    reconstruction reproduces Y to rounding."""
+    from madaiemulator_tpu.models.multivariate import pca_decompose
+
+    Y = rng.standard_normal((30, 4))
+    pca, Z = pca_decompose(jnp.asarray(Y), pca_variance=1.0 - 1e-15)
+
+    class Stub:
+        pass
+
+    emu = Stub()
+    emu.pca, emu.Z = pca, Z
+    if pca.U.shape[1] == 4:  # retained everything
+        Yr = diagnostics.reconstruct_training_outputs(emu)
+        np.testing.assert_allclose(np.asarray(Yr), Y, rtol=1e-8, atol=1e-8)
+
+
+def test_sample_multivariate_moments(rng):
+    emu, X, Y = make_multivariate(rng, n=30, t=4)
+    from madaiemulator_tpu.models.multivariate import predict_multivariate
+
+    Xq = rng.uniform(size=(8, 3))
+    m_ref, v_ref = predict_multivariate(emu, jnp.asarray(Xq))
+    S = 8000
+    draws = diagnostics.sample_multivariate_posterior(
+        emu, jnp.asarray(Xq), jax.random.key(3), S
+    )
+    assert draws.shape == (S, 8, emu.n_outputs)
+    d = np.asarray(draws)
+    sd = np.sqrt(np.asarray(v_ref))
+    np.testing.assert_allclose(
+        d.mean(axis=0), np.asarray(m_ref),
+        atol=5 * sd.max() / np.sqrt(S) + 1e-10,
+    )
+    np.testing.assert_allclose(
+        d.var(axis=0), np.asarray(v_ref),
+        rtol=0.2, atol=5e-3 * float(np.max(v_ref)) + 1e-12,
+    )
