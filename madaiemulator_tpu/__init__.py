@@ -57,6 +57,17 @@ from madaiemulator_tpu.models.multivariate import (
     fit_multivariate,
     predict_multivariate,
 )
+from madaiemulator_tpu.models.diagnostics import (
+    LOOResult,
+    loo_cv,
+    loo_cv_multivariate,
+    loo_summary,
+    loo_summary_multivariate,
+    posterior_covariance,
+    sample_multivariate_posterior,
+    sample_posterior,
+    validation_summary,
+)
 
 __version__ = "0.1.0"
 
@@ -85,5 +96,14 @@ __all__ = [
     "MultivariateEmulator",
     "fit_multivariate",
     "predict_multivariate",
+    "LOOResult",
+    "loo_cv",
+    "loo_cv_multivariate",
+    "loo_summary",
+    "loo_summary_multivariate",
+    "posterior_covariance",
+    "sample_posterior",
+    "sample_multivariate_posterior",
+    "validation_summary",
     "__version__",
 ]
