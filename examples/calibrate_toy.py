@@ -2,14 +2,16 @@
 case: MADAI-style model calibration against multivariate observables).
 
 1. "Run" an expensive simulator on a Latin-hypercube-ish design (toy here).
-2. Fit a multivariate PCA emulator (vmapped per-component GPs).
-3. Serve posterior predictions to a toy MCMC that calibrates the simulator
-   parameters against a noisy "experimental" observation.
+2. Validate the emulator with closed-form leave-one-out diagnostics.
+3. Calibrate the simulator parameters against a noisy "experimental"
+   observation with the in-graph ensemble sampler (models/calibrate.py) —
+   the whole MCMC (likelihood, emulator predict, proposals) is ONE compiled
+   device program, replacing the reference's stdin/stdout pipe to an
+   external C MCMC framework.
 
-Run: python examples/calibrate_toy.py  (CPU f64 by default; works on TPU f32)
+Run: python examples/calibrate_toy.py  (CPU f64 by default; --tpu for chip)
 """
 
-import os
 import sys
 
 import jax
@@ -28,7 +30,14 @@ import logging
 import jax.numpy as jnp
 import numpy as np
 
-from madaiemulator_tpu import GPConfig, fit_multivariate, predict_multivariate
+from madaiemulator_tpu import (
+    GPConfig,
+    calibrate,
+    fit_multivariate,
+    implausibility,
+    loo_summary_multivariate,
+)
+from madaiemulator_tpu.utils.designs import apply_scaling
 
 logging.basicConfig(level=logging.INFO, format="%(message)s")
 
@@ -61,44 +70,42 @@ def main():
     )
     print(f"emulator: {emu.n_components} PCs for {Y.shape[1]} observables")
 
+    # validate before trusting it (the reference had no tooling for this)
+    val = loo_summary_multivariate(emu)
+    print(
+        f"LOO validation: rmse {val['rmse']:.4f}, "
+        f"coverage {val['coverage']:.2f} (target {val['coverage_target']})"
+    )
+
     # "experiment": simulator at hidden truth + noise
     theta_true = np.array([1.2, 0.7, 1.5])
     sigma_exp = 0.15
     y_exp = simulator(theta_true) + rng.normal(0, sigma_exp, size=Y.shape[1])
+    exp_var = np.full(Y.shape[1], sigma_exp**2)
 
-    # toy random-walk MCMC over the emulator (this is the pipe-protocol
-    # consumer's role in the reference; here in-process and batched)
-    def log_post(thetas):  # (m, d) batched
-        mean, var = predict_multivariate(emu, jnp.asarray(thetas))
-        resid = np.asarray(mean) - y_exp
-        tot_var = np.asarray(var) + sigma_exp**2
-        return -0.5 * np.sum(resid**2 / tot_var + np.log(tot_var), axis=-1)
+    # history matching first: how much of the design box is ruled out?
+    grid = rng.uniform(0.0, 2.0, size=(4096, d))
+    I = np.asarray(
+        implausibility(
+            emu, y_exp, exp_var,
+            apply_scaling(jnp.asarray(grid, dtype=emu.X.dtype), emu.scaling),
+        )
+    )
+    print(f"history matching: {100 * (I <= 3).mean():.1f}% of the box is NROY")
 
-    n_steps, n_chains = 800, 64
-    # seed chains at the best design points (standard practice: the design
-    # is the only prior knowledge of where the posterior mass lives)
-    design_lp = log_post(X)
-    best = np.argsort(design_lp)[-8:]
-    theta = X[rng.choice(best, size=n_chains)] + rng.normal(0, 0.02, size=(n_chains, d))
-    theta = np.clip(theta, 0.0, 2.0)
-    lp = log_post(theta)
-    accepts = 0
-    for _ in range(n_steps):
-        prop = theta + rng.normal(0, 0.03, size=theta.shape)
-        prop = np.clip(prop, 0.0, 2.0)
-        lp_prop = log_post(prop)
-        u = rng.uniform(size=n_chains)
-        take = np.log(u) < (lp_prop - lp)
-        theta[take] = prop[take]
-        lp[take] = lp_prop[take]
-        accepts += take.mean()
-    post_mean = theta.mean(axis=0)
-    post_std = theta.std(axis=0)
-    print(f"acceptance: {accepts/n_steps:.2f}")
+    # full-Bayes calibration: in-graph affine-invariant ensemble sampler
+    res = calibrate(
+        jax.random.key(1), emu, y_exp, exp_var,
+        n_walkers=64, n_steps=1500, burn_in=500,
+    )
+    s = res.summary()
+    print(f"acceptance: {res.acceptance:.2f}  max R-hat: {res.rhat.max():.3f}")
     print(f"truth:          {theta_true}")
-    print(f"posterior mean: {np.round(post_mean, 3)} +- {np.round(post_std, 3)}")
-    err = np.abs(post_mean - theta_true)
-    assert np.all(err < 5 * post_std + 0.2), (err, post_std)
+    print(
+        f"posterior mean: {np.round(s['mean'], 3)} +- {np.round(s['std'], 3)}"
+    )
+    err = np.abs(s["mean"] - theta_true)
+    assert np.all(err < 5 * s["std"] + 0.2), (err, s["std"])
     print("calibration recovered the truth within uncertainty")
 
 

@@ -57,6 +57,14 @@ from madaiemulator_tpu.models.multivariate import (
     fit_multivariate,
     predict_multivariate,
 )
+from madaiemulator_tpu.models.calibrate import (
+    CalibrationResult,
+    calibrate,
+    implausibility,
+    make_log_posterior,
+    run_emcee,
+    run_rwm,
+)
 from madaiemulator_tpu.models.diagnostics import (
     LOOResult,
     loo_cv,
@@ -96,6 +104,12 @@ __all__ = [
     "MultivariateEmulator",
     "fit_multivariate",
     "predict_multivariate",
+    "CalibrationResult",
+    "calibrate",
+    "implausibility",
+    "make_log_posterior",
+    "run_emcee",
+    "run_rwm",
     "LOOResult",
     "loo_cv",
     "loo_cv_multivariate",

@@ -1,0 +1,454 @@
+"""In-process model calibration: MCMC over a trained emulator, on-device.
+
+The reference's calibration story is a *process pipe*: `interactive_mode`
+serves posterior (mean, variance) over stdin/stdout to the MADAI MCMC
+framework, one host round-trip per proposal batch (SURVEY.md §3.2 — ref:
+src/interactive_emulator.c + the external madai-stat consumer; mount empty
+this round, SURVEY.md §0). This module is the TPU-native completion of that
+workflow: the likelihood, the proposal mechanics, and the emulator's
+posterior predict all live in ONE compiled program —
+
+  * the whole chain is a `lax.scan` over steps: a 2,000-step run costs one
+    device dispatch, not 2,000 crossings of the ~25 ms relay floor;
+  * walkers are a batch axis: every log-posterior evaluation is a batched
+    cross-covariance GEMM + triangular solves on the MXU, vmapped over the
+    PCA-component axis exactly like serving;
+  * samplers are the affine-invariant ensemble ("stretch move", Goodman &
+    Weare 2010 — self-tuning, the community standard for emulator
+    posteriors) and adaptive random-walk Metropolis (Robbins-Monro step
+    adaptation toward a target acceptance rate) as the simple baseline.
+
+Chains run in the emulator's scaled [0,1]^d coordinates (isotropic
+proposals are natural there — the fitted length scales already absorbed the
+anisotropy); results are returned in natural parameter space. Convergence
+diagnostics (split-chain Gelman-Rubin R-hat, autocorrelation-based ESS) are
+computed host-side from the returned chains.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madaiemulator_tpu.models.multivariate import (
+    MultivariateEmulator,
+    _predict_components,
+    reconstruct_observables,
+)
+from madaiemulator_tpu.utils.designs import unapply_scaling
+
+
+class CalibrationResult(NamedTuple):
+    """MCMC output in NATURAL parameter space.
+
+    samples: (n_kept, n_walkers, d) post-burn-in, thinned draws
+    log_posterior: (n_kept, n_walkers)
+    acceptance: scalar — mean acceptance rate over the whole run
+    rhat: (d,) split-chain Gelman-Rubin statistic (≈1 at convergence)
+    ess: (d,) effective sample size across all kept draws
+    """
+
+    samples: np.ndarray
+    log_posterior: np.ndarray
+    acceptance: float
+    rhat: np.ndarray
+    ess: np.ndarray
+
+    def summary(self) -> Dict[str, np.ndarray]:
+        flat = self.samples.reshape(-1, self.samples.shape[-1])
+        return {
+            "mean": flat.mean(axis=0),
+            "std": flat.std(axis=0),
+            "q05": np.quantile(flat, 0.05, axis=0),
+            "q50": np.quantile(flat, 0.50, axis=0),
+            "q95": np.quantile(flat, 0.95, axis=0),
+            "rhat": self.rhat,
+            "ess": self.ess,
+            "acceptance": np.asarray(self.acceptance),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Log-posterior factory
+# ---------------------------------------------------------------------------
+
+
+def make_log_posterior(
+    emu: MultivariateEmulator,
+    y_exp,
+    exp_cov,
+    log_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """Batched log-posterior over SCALED coordinates: (W, d) -> (W,).
+
+    Gaussian measurement model marginalized over the emulator's own
+    predictive uncertainty (the standard calibration likelihood):
+
+        y_exp | theta ~ N( m(theta),  diag(v(theta)) + Sigma_exp )
+
+    where (m, v) are the emulator's observable-space posterior mean and
+    variance. `exp_cov` is either a (t,) vector of experimental variances
+    (diagonal noise — the common case; the combined covariance stays
+    diagonal and the likelihood is a fused elementwise reduction) or a full
+    (t, t) covariance (correlated systematics — a batched t x t Cholesky
+    per walker; t is small so this stays cheap).
+
+    The box prior on the scaled design cube [0,1]^d is always enforced
+    (outside the design the emulator extrapolates and must not be trusted);
+    `log_prior` adds an optional traceable log-density evaluated on NATURAL
+    coordinates on top of it. Returns -inf outside the box.
+    """
+    y_exp = jnp.asarray(y_exp, dtype=emu.X.dtype)
+    exp_cov = jnp.asarray(exp_cov, dtype=emu.X.dtype)
+    t = y_exp.shape[0]
+    if exp_cov.ndim not in (1, 2):
+        raise ValueError("exp_cov must be (t,) variances or (t, t) covariance")
+    if exp_cov.shape[0] != t or (exp_cov.ndim == 2 and exp_cov.shape[1] != t):
+        raise ValueError(f"exp_cov shape {exp_cov.shape} mismatches y_exp ({t},)")
+    log2pi = float(np.log(2.0 * np.pi))
+
+    def log_post(theta_scaled: jax.Array) -> jax.Array:
+        x = jnp.atleast_2d(theta_scaled)  # (W, d)
+        inbox = jnp.all((x >= 0.0) & (x <= 1.0), axis=-1)  # (W,)
+        # evaluate the emulator at in-box points only in spirit: clip the
+        # query (keeps the math finite everywhere) and gate with -inf below.
+        xq = jnp.clip(x, 0.0, 1.0)
+        m_pc, v_pc = _predict_components(
+            emu.states, emu.params, emu.X, emu.Z, xq, emu.config
+        )
+        mean, var = reconstruct_observables(m_pc, v_pc, emu.pca)  # (W, t)
+        resid = mean - y_exp[None, :]
+        if exp_cov.ndim == 1:
+            tot = var + exp_cov[None, :]
+            tot = jnp.maximum(tot, jnp.finfo(tot.dtype).tiny)
+            ll = -0.5 * jnp.sum(
+                resid * resid / tot + jnp.log(tot) + log2pi, axis=-1
+            )
+        else:
+            # C_w = diag(var_w) + Sigma_exp, batched Cholesky over walkers
+            C = exp_cov[None, :, :] + jax.vmap(jnp.diag)(var)  # (W, t, t)
+            L = jax.lax.linalg.cholesky(C)
+            sol = jax.lax.linalg.triangular_solve(
+                L, resid[..., None], left_side=True, lower=True
+            )[..., 0]
+            logdet = 2.0 * jnp.sum(
+                jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+            )
+            ll = -0.5 * (jnp.sum(sol * sol, axis=-1) + logdet + t * log2pi)
+        if log_prior is not None:
+            ll = ll + log_prior(unapply_scaling(xq, emu.scaling))
+        neg_inf = jnp.asarray(-jnp.inf, ll.dtype)
+        out = jnp.where(inbox, ll, neg_inf)
+        return out if theta_scaled.ndim > 1 else out[0]
+
+    return log_post
+
+
+# ---------------------------------------------------------------------------
+# Samplers (in-graph; one compiled scan per run)
+# ---------------------------------------------------------------------------
+
+
+def _accept_step(key, x, lp, x_prop, lp_prop, log_extra=0.0):
+    """Metropolis accept: returns (x', lp', accepted_mask)."""
+    w = x.shape[0]
+    log_u = jnp.log(
+        jax.random.uniform(key, (w,), dtype=lp.dtype, minval=jnp.finfo(lp.dtype).tiny)
+    )
+    ratio = lp_prop - lp + log_extra
+    # lp may be -inf only before any in-support state is found; treat a
+    # finite proposal against a -inf current state as an automatic accept.
+    ratio = jnp.where(jnp.isneginf(lp) & jnp.isfinite(lp_prop), jnp.inf, ratio)
+    acc = log_u < ratio
+    x_new = jnp.where(acc[:, None], x_prop, x)
+    lp_new = jnp.where(acc, lp_prop, lp)
+    return x_new, lp_new, acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("log_post", "n_steps", "a")
+)
+def _emcee_scan(key, log_post, x0, n_steps: int, a: float):
+    w, d = x0.shape
+    half = w // 2
+    lp0 = log_post(x0)
+
+    def stretch_half(key, movers, movers_lp, others):
+        """Goodman-Weare stretch move for one half against the other."""
+        k_z, k_pick, k_acc = jax.random.split(key, 3)
+        u = jax.random.uniform(k_z, (half,), dtype=x0.dtype)
+        z = (u * (a - 1.0) + 1.0) ** 2 / a  # g(z) ∝ 1/sqrt(z) on [1/a, a]
+        pick = jax.random.randint(k_pick, (half,), 0, half)
+        partners = others[pick]  # (half, d)
+        prop = partners + z[:, None] * (movers - partners)
+        lp_prop = log_post(prop)
+        return _accept_step(
+            k_acc, movers, movers_lp, prop, lp_prop,
+            log_extra=(d - 1) * jnp.log(z),
+        )
+
+    def step(carry, key):
+        x, lp = carry
+        kA, kB = jax.random.split(key)
+        xA, lpA = x[:half], lp[:half]
+        xB, lpB = x[half:], lp[half:]
+        xA, lpA, accA = stretch_half(kA, xA, lpA, xB)
+        xB, lpB, accB = stretch_half(kB, xB, lpB, xA)
+        x = jnp.concatenate([xA, xB], axis=0)
+        lp = jnp.concatenate([lpA, lpB], axis=0)
+        acc = jnp.concatenate([accA, accB], axis=0)
+        return (x, lp), (x, lp, jnp.mean(acc.astype(x.dtype)))
+
+    keys = jax.random.split(key, n_steps)
+    (_, _), (xs, lps, accs) = jax.lax.scan(step, (x0, lp0), keys)
+    return xs, lps, jnp.mean(accs)
+
+
+def run_emcee(
+    key: jax.Array,
+    log_post: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    n_steps: int,
+    a: float = 2.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Affine-invariant ensemble sampler; returns (chain, logp, acceptance).
+
+    chain (n_steps, W, d) / logp (n_steps, W) in the coordinates of `x0`
+    (for emulator posteriors: scaled space). W must be even and should be
+    >= 2 d + 2 so each half spans the parameter space. The entire run is
+    one compiled scan — per-step cost is one batched emulator predict.
+    """
+    x0 = jnp.asarray(x0)
+    w, d = x0.shape
+    if w % 2 or w < 4:
+        raise ValueError(f"n_walkers must be even and >= 4, got {w}")
+    if w < 2 * d + 2:
+        raise ValueError(
+            f"n_walkers={w} too few for d={d}: need >= {2 * d + 2}"
+        )
+    return _emcee_scan(key, log_post, x0, int(n_steps), float(a))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("log_post", "n_steps", "n_adapt", "target")
+)
+def _rwm_scan(key, log_post, x0, step0, n_steps: int, n_adapt: int, target: float):
+    lp0 = log_post(x0)
+    log_s0 = jnp.log(jnp.asarray(step0, x0.dtype))
+
+    def step(carry, inp):
+        x, lp, log_s = carry
+        i, key = inp
+        k_prop, k_acc = jax.random.split(key)
+        prop = x + jnp.exp(log_s) * jax.random.normal(
+            k_prop, x.shape, dtype=x.dtype
+        )
+        lp_prop = log_post(prop)
+        x, lp, acc = _accept_step(k_acc, x, lp, prop, lp_prop)
+        # Robbins-Monro on log-step toward the target acceptance rate,
+        # frozen after n_adapt steps (keeps the kept chain Markovian).
+        gamma = (i + 1.0) ** -0.6
+        adapt = (i < n_adapt).astype(x.dtype)
+        log_s = log_s + adapt * gamma * (
+            jnp.mean(acc.astype(x.dtype)) - target
+        )
+        return (x, lp, log_s), (x, lp, jnp.mean(acc.astype(x.dtype)))
+
+    keys = jax.random.split(key, n_steps)
+    idx = jnp.arange(n_steps, dtype=x0.dtype)
+    (_, _, log_s), (xs, lps, accs) = jax.lax.scan(
+        step, (x0, lp0, log_s0), (idx, keys)
+    )
+    return xs, lps, jnp.mean(accs), jnp.exp(log_s)
+
+
+def run_rwm(
+    key: jax.Array,
+    log_post: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    n_steps: int,
+    step_size: float = 0.05,
+    n_adapt: Optional[int] = None,
+    target_acceptance: float = 0.234,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Adaptive random-walk Metropolis; returns (chain, logp, acceptance,
+    final_step). Chains are independent (one proposal scale shared across
+    walkers, adapted from their pooled acceptance rate during the first
+    `n_adapt` steps — default half the run)."""
+    x0 = jnp.asarray(x0)
+    if n_adapt is None:
+        n_adapt = n_steps // 2
+    return _rwm_scan(
+        key, log_post, x0, step_size, int(n_steps), int(n_adapt),
+        float(target_acceptance),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Convergence diagnostics (host-side)
+# ---------------------------------------------------------------------------
+
+
+def gelman_rubin(chains: np.ndarray) -> np.ndarray:
+    """Split-chain R-hat per dimension. chains: (S, W, d) -> (d,)."""
+    c = np.asarray(chains, dtype=np.float64)
+    s, w, d = c.shape
+    half = s // 2
+    if half < 2:
+        return np.full(d, np.nan)
+    # split each walker chain in two -> 2W chains of length half
+    c = np.concatenate([c[:half], c[half : 2 * half]], axis=1)  # (half, 2W, d)
+    n, m = half, 2 * w
+    chain_mean = c.mean(axis=0)  # (m, d)
+    chain_var = c.var(axis=0, ddof=1)  # (m, d)
+    W_ = chain_var.mean(axis=0)
+    B = n * chain_mean.var(axis=0, ddof=1)
+    var_hat = (n - 1) / n * W_ + B / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.sqrt(var_hat / np.maximum(W_, np.finfo(np.float64).tiny))
+
+
+def effective_sample_size(chains: np.ndarray) -> np.ndarray:
+    """ESS per dimension via Geyer's initial-monotone-sequence estimator on
+    the walker-averaged autocorrelation. chains: (S, W, d) -> (d,)."""
+    c = np.asarray(chains, dtype=np.float64)
+    s, w, d = c.shape
+    if s < 4:
+        return np.full(d, float(s * w))
+    c = c - c.mean(axis=0, keepdims=True)
+    # FFT autocovariance per (walker, dim), averaged over walkers
+    nfft = 1 << (2 * s - 1).bit_length()
+    f = np.fft.rfft(c, n=nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:s].real  # (S, W, d)
+    acov /= np.arange(s, 0, -1)[:, None, None]
+    rho = acov.mean(axis=1)  # (S, d)
+    var0 = np.maximum(rho[0], np.finfo(np.float64).tiny)
+    rho = rho / var0
+    ess = np.empty(d)
+    for j in range(d):
+        # sum of adjacent pairs until a pair goes non-positive (Geyer)
+        pair = rho[: (s // 2) * 2, j].reshape(-1, 2).sum(axis=1)
+        tau = -1.0 + 2.0 * np.cumsum(np.maximum(pair, 0.0))
+        stop = np.argmax(pair <= 0.0) if np.any(pair <= 0.0) else pair.size - 1
+        tau_f = max(tau[max(stop - 1, 0)], 1e-12) if stop > 0 else max(tau[0], 1.0)
+        ess[j] = s * w / max(tau_f, 1.0)
+    return np.minimum(ess, float(s * w))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end driver
+# ---------------------------------------------------------------------------
+
+
+def init_walkers(
+    key: jax.Array,
+    emu: MultivariateEmulator,
+    log_post: Callable[[jax.Array], jax.Array],
+    n_walkers: int,
+    n_best: int = 8,
+    jitter: float = 0.02,
+) -> jax.Array:
+    """Walker starts in scaled space, clustered on the best design points.
+
+    The training design is the only prior knowledge of where posterior mass
+    lives; seeding at its highest-posterior points is the standard warm
+    start (and keeps every walker inside the box prior's support)."""
+    lp_design = log_post(emu.X)  # (N,)
+    k = min(n_best, emu.X.shape[0])
+    _, top = jax.lax.top_k(lp_design, k)
+    k_pick, k_jit = jax.random.split(key)
+    pick = jax.random.choice(k_pick, top, shape=(n_walkers,))
+    x0 = emu.X[pick] + jitter * jax.random.normal(
+        k_jit, (n_walkers, emu.X.shape[1]), dtype=emu.X.dtype
+    )
+    return jnp.clip(x0, 1e-6, 1.0 - 1e-6)
+
+
+def calibrate(
+    key: jax.Array,
+    emu: MultivariateEmulator,
+    y_exp,
+    exp_cov,
+    n_walkers: int = 64,
+    n_steps: int = 1000,
+    burn_in: Optional[int] = None,
+    thin: int = 1,
+    sampler: str = "emcee",
+    log_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
+    **sampler_kwargs,
+) -> CalibrationResult:
+    """Calibrate simulator parameters against observations `y_exp`.
+
+    One call replaces the reference's estimate → snapshot → pipe → external
+    MCMC loop: builds the marginalized Gaussian log-posterior over the
+    trained emulator, seeds `n_walkers` at the best design points, runs the
+    chosen in-graph sampler, and returns natural-space draws with R-hat /
+    ESS convergence diagnostics. `exp_cov`: (t,) variances or (t, t)
+    covariance of the measurement; `log_prior`: optional extra traceable
+    log-density on natural coordinates (the scaled design box is always
+    enforced as the support).
+    """
+    if burn_in is None:
+        burn_in = n_steps // 4
+    if not 0 <= burn_in < n_steps:
+        raise ValueError(f"burn_in={burn_in} must lie in [0, n_steps)")
+    log_post = make_log_posterior(emu, y_exp, exp_cov, log_prior=log_prior)
+    k_init, k_run = jax.random.split(jnp.asarray(key))
+    x0 = init_walkers(k_init, emu, log_post, n_walkers)
+    if sampler == "emcee":
+        chain, lps, acc = run_emcee(
+            k_run, log_post, x0, n_steps, **sampler_kwargs
+        )
+    elif sampler == "rwm":
+        chain, lps, acc, _ = run_rwm(
+            k_run, log_post, x0, n_steps, **sampler_kwargs
+        )
+    else:
+        raise ValueError(f"unknown sampler {sampler!r} (emcee|rwm)")
+    kept = np.asarray(chain)[burn_in::thin]  # (S, W, d) scaled
+    kept_lp = np.asarray(lps)[burn_in::thin]
+    natural = np.asarray(
+        unapply_scaling(
+            jnp.asarray(kept.reshape(-1, kept.shape[-1])), emu.scaling
+        )
+    ).reshape(kept.shape)
+    return CalibrationResult(
+        samples=natural,
+        log_posterior=kept_lp,
+        acceptance=float(np.asarray(acc)),
+        rhat=gelman_rubin(natural),
+        ess=effective_sample_size(natural),
+    )
+
+
+# ---------------------------------------------------------------------------
+# History matching (implausibility)
+# ---------------------------------------------------------------------------
+
+
+def implausibility(
+    emu: MultivariateEmulator, y_exp, exp_cov, thetas_scaled: jax.Array
+) -> jax.Array:
+    """Max-over-observables implausibility I(theta) for history matching.
+
+        I(theta) = max_j |m_j(theta) - y_j| / sqrt(v_j(theta) + s_j^2)
+
+    Points with I > 3 are conventionally ruled implausible (Pukelsheim's
+    3-sigma rule); iterating design refinement on the NROY ("not ruled out
+    yet") region is the wave-based history-matching loop that typically
+    precedes full-Bayes calibration on expensive simulators. Batched and
+    jittable: (W, d) scaled -> (W,)."""
+    y_exp = jnp.asarray(y_exp, dtype=emu.X.dtype)
+    exp_cov = jnp.asarray(exp_cov, dtype=emu.X.dtype)
+    s2 = jnp.diagonal(exp_cov) if exp_cov.ndim == 2 else exp_cov
+    m_pc, v_pc = _predict_components(
+        emu.states, emu.params, emu.X, emu.Z, jnp.atleast_2d(thetas_scaled),
+        emu.config,
+    )
+    mean, var = reconstruct_observables(m_pc, v_pc, emu.pca)
+    tot = jnp.maximum(var + s2[None, :], jnp.finfo(mean.dtype).tiny)
+    return jnp.max(jnp.abs(mean - y_exp[None, :]) / jnp.sqrt(tot), axis=-1)

@@ -1,0 +1,238 @@
+"""Calibration: log-posterior math vs numpy, in-graph samplers on known
+targets, end-to-end truth recovery, history-matching implausibility."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.models import calibrate
+from madaiemulator_tpu.models.multivariate import (
+    fit_multivariate,
+    predict_multivariate,
+)
+from madaiemulator_tpu.utils.config import GPConfig
+from madaiemulator_tpu.utils.designs import apply_scaling, unapply_scaling
+
+
+def simulator(theta):
+    a, b = theta[..., 0], theta[..., 1]
+    return np.stack(
+        [a * np.sin(2 * b), a + b, np.cos(b) * (1 + 0.5 * a)], axis=-1
+    )
+
+
+@pytest.fixture(scope="module")
+def toy_emulator():
+    rng = np.random.default_rng(7)
+    X = rng.uniform(0.0, 2.0, size=(48, 2))
+    Y = simulator(X) + 0.01 * rng.standard_normal((48, 3))
+    cfg = GPConfig(nparams=2, regression_order=1, n_restarts=2, max_opt_steps=30)
+    emu = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
+        pca_variance=0.999,
+    )
+    return emu, X, Y
+
+
+def test_log_posterior_matches_numpy_diag(toy_emulator):
+    emu, X, _ = toy_emulator
+    rng = np.random.default_rng(1)
+    y_exp = simulator(np.array([1.0, 0.8]))
+    s2 = np.array([0.05, 0.02, 0.03]) ** 2
+    lp_fn = calibrate.make_log_posterior(emu, y_exp, s2)
+    pts = rng.uniform(0.1, 1.9, size=(9, 2))
+    xs = apply_scaling(jnp.asarray(pts, dtype=emu.X.dtype), emu.scaling)
+    lp = np.asarray(lp_fn(xs))
+    mean, var = predict_multivariate(emu, jnp.asarray(pts, dtype=emu.X.dtype))
+    mean, var = np.asarray(mean, np.float64), np.asarray(var, np.float64)
+    tot = var + s2[None, :]
+    ref = -0.5 * np.sum(
+        (mean - y_exp) ** 2 / tot + np.log(tot) + np.log(2 * np.pi), axis=-1
+    )
+    np.testing.assert_allclose(lp, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_log_posterior_full_cov_reduces_to_diag(toy_emulator):
+    emu, _, _ = toy_emulator
+    y_exp = simulator(np.array([0.9, 1.1]))
+    s2 = np.array([0.04, 0.09, 0.01])
+    lp_diag = calibrate.make_log_posterior(emu, y_exp, s2)
+    lp_full = calibrate.make_log_posterior(emu, y_exp, np.diag(s2))
+    xs = jnp.asarray([[0.3, 0.4], [0.7, 0.6], [0.5, 0.9]], dtype=emu.X.dtype)
+    np.testing.assert_allclose(
+        np.asarray(lp_diag(xs)), np.asarray(lp_full(xs)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_log_posterior_box_and_prior(toy_emulator):
+    emu, _, _ = toy_emulator
+    y_exp = simulator(np.array([1.0, 1.0]))
+    lp_fn = calibrate.make_log_posterior(emu, y_exp, np.full(3, 0.01))
+    out = np.asarray(
+        lp_fn(jnp.asarray([[0.5, 0.5], [1.2, 0.5], [-0.1, 0.5]],
+                          dtype=emu.X.dtype))
+    )
+    assert np.isfinite(out[0]) and np.isneginf(out[1]) and np.isneginf(out[2])
+    # additive natural-space prior shifts the density by exactly its value
+    shift = -3.5
+
+    def prior(theta_nat):
+        return jnp.full(theta_nat.shape[0], shift, theta_nat.dtype)
+
+    lp_p = calibrate.make_log_posterior(
+        emu, y_exp, np.full(3, 0.01), log_prior=prior
+    )
+    x = jnp.asarray([[0.5, 0.5]], dtype=emu.X.dtype)
+    np.testing.assert_allclose(
+        float(lp_p(x)[0]) - float(lp_fn(x)[0]), shift, rtol=1e-5
+    )
+    # single-point (unbatched) call shape
+    assert np.ndim(np.asarray(lp_fn(x[0]))) == 0
+
+
+def _gauss_target(mu, cov):
+    P = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray(mu)
+
+    def lp(x):
+        r = jnp.atleast_2d(x) - mu[None, :]
+        out = -0.5 * jnp.einsum("wi,ij,wj->w", r, P, r)
+        return out if x.ndim > 1 else out[0]
+
+    return lp
+
+
+def test_emcee_recovers_gaussian(rng):
+    mu = np.array([0.4, -0.3])
+    cov = np.array([[0.30, 0.12], [0.12, 0.15]])
+    lp = _gauss_target(mu, cov)
+    x0 = jnp.asarray(rng.standard_normal((32, 2)) * 0.1)
+    chain, lps, acc = calibrate.run_emcee(jax.random.key(0), lp, x0, 1500)
+    assert chain.shape == (1500, 32, 2)
+    a = float(acc)
+    assert 0.1 < a < 0.9
+    kept = np.asarray(chain)[500:].reshape(-1, 2)
+    np.testing.assert_allclose(kept.mean(axis=0), mu, atol=0.08)
+    np.testing.assert_allclose(np.cov(kept.T), cov, atol=0.09)
+    rhat = calibrate.gelman_rubin(np.asarray(chain)[500:])
+    assert np.all(rhat < 1.1)
+
+
+def test_rwm_adapts_and_recovers(rng):
+    mu = np.array([1.0, 2.0, -1.0])
+    cov = np.diag([0.2, 0.05, 0.1])
+    lp = _gauss_target(mu, cov)
+    x0 = jnp.asarray(mu[None, :] + 0.05 * rng.standard_normal((24, 3)))
+    chain, lps, acc, step = calibrate.run_rwm(
+        jax.random.key(1), lp, x0, 2000, step_size=1.0
+    )
+    # the too-large initial step is adapted down toward the 0.234-optimal
+    # scale (~2.38/sqrt(d) * avg sd ~ 0.4 for this target)
+    assert float(step) < 0.8
+    assert 0.1 < float(acc) < 0.45
+    kept = np.asarray(chain)[1000:].reshape(-1, 3)
+    np.testing.assert_allclose(kept.mean(axis=0), mu, atol=0.1)
+    np.testing.assert_allclose(kept.var(axis=0), np.diag(cov), rtol=0.5)
+
+
+def test_accept_step_neginf_current():
+    """A finite proposal always replaces a -inf current state."""
+    x = jnp.zeros((4, 2))
+    lp = jnp.full((4,), -jnp.inf)
+    xp = jnp.ones((4, 2))
+    lpp = jnp.zeros((4,))
+    x2, lp2, acc = calibrate._accept_step(jax.random.key(0), x, lp, xp, lpp)
+    assert bool(jnp.all(acc))
+    np.testing.assert_allclose(np.asarray(x2), 1.0)
+
+
+def test_emcee_walker_validation():
+    lp = lambda x: jnp.zeros(x.shape[0]) if x.ndim > 1 else 0.0
+    with pytest.raises(ValueError):
+        calibrate.run_emcee(jax.random.key(0), lp, jnp.zeros((5, 2)), 10)
+    with pytest.raises(ValueError):
+        calibrate.run_emcee(jax.random.key(0), lp, jnp.zeros((4, 3)), 10)
+
+
+def test_diagnostics_iid_vs_correlated(rng):
+    iid = rng.standard_normal((400, 8, 2))
+    rhat = calibrate.gelman_rubin(iid)
+    np.testing.assert_allclose(rhat, 1.0, atol=0.05)
+    ess = calibrate.effective_sample_size(iid)
+    assert np.all(ess > 0.5 * 400 * 8)
+    # AR(1) with rho=0.95: tau ~ (1+rho)/(1-rho) = 39 -> ESS far below S*W
+    ar = np.empty((400, 8, 1))
+    ar[0] = rng.standard_normal((8, 1))
+    for tstep in range(1, 400):
+        ar[tstep] = 0.95 * ar[tstep - 1] + np.sqrt(1 - 0.95**2) * rng.standard_normal((8, 1))
+    ess_ar = calibrate.effective_sample_size(ar)
+    assert ess_ar[0] < 0.25 * 400 * 8
+    # diverged chains (different means) -> rhat >> 1
+    div = rng.standard_normal((200, 4, 1)) * 0.1
+    div[:, :2] += 5.0
+    assert calibrate.gelman_rubin(div)[0] > 2.0
+
+
+def test_calibrate_end_to_end(toy_emulator):
+    emu, X, Y = toy_emulator
+    rng = np.random.default_rng(5)
+    theta_true = np.array([1.2, 0.7])
+    sigma = 0.05
+    y_exp = simulator(theta_true) + rng.normal(0, sigma, size=3)
+    res = calibrate.calibrate(
+        jax.random.key(2), emu, y_exp, np.full(3, sigma**2),
+        n_walkers=32, n_steps=600, burn_in=200,
+    )
+    assert res.samples.shape == (400, 32, 2)
+    s = res.summary()
+    err = np.abs(s["mean"] - theta_true)
+    assert np.all(err < 5 * s["std"] + 0.15), (s["mean"], s["std"])
+    assert np.all(res.rhat < 1.3)
+    assert np.all(res.ess > 50)
+    assert 0.05 < res.acceptance < 0.95
+    # natural-space samples stay inside the design box
+    assert res.samples.min() >= X.min() - 1e-6
+    assert res.samples.max() <= X.max() + 1e-6
+    # rwm path runs too (short smoke)
+    res2 = calibrate.calibrate(
+        jax.random.key(3), emu, y_exp, np.full(3, sigma**2),
+        n_walkers=16, n_steps=120, burn_in=40, sampler="rwm",
+        step_size=0.05,
+    )
+    assert res2.samples.shape[0] == 80
+    with pytest.raises(ValueError):
+        calibrate.calibrate(
+            jax.random.key(0), emu, y_exp, np.full(3, sigma**2),
+            n_steps=10, burn_in=10,
+        )
+    with pytest.raises(ValueError):
+        calibrate.calibrate(
+            jax.random.key(0), emu, y_exp, np.full(3, sigma**2),
+            sampler="nuts",
+        )
+
+
+def test_implausibility(toy_emulator):
+    emu, X, _ = toy_emulator
+    theta_true = np.array([1.0, 1.0])
+    y_exp = simulator(theta_true)
+    s2 = np.full(3, 0.03**2)
+    pts = np.stack([theta_true, np.array([0.1, 1.9])])
+    xs = apply_scaling(jnp.asarray(pts, dtype=emu.X.dtype), emu.scaling)
+    I = np.asarray(calibrate.implausibility(emu, y_exp, s2, xs))
+    assert I.shape == (2,)
+    assert I[0] < 3.0  # truth is not ruled out
+    assert I[1] > 3.0  # a far corner is implausible
+    # full-cov form uses its diagonal
+    I2 = np.asarray(calibrate.implausibility(emu, y_exp, np.diag(s2), xs))
+    np.testing.assert_allclose(I, I2, rtol=1e-6)
+
+
+def test_exp_cov_validation(toy_emulator):
+    emu, _, _ = toy_emulator
+    y = np.zeros(3)
+    with pytest.raises(ValueError):
+        calibrate.make_log_posterior(emu, y, np.zeros((3, 3, 3)))
+    with pytest.raises(ValueError):
+        calibrate.make_log_posterior(emu, y, np.zeros(4))
