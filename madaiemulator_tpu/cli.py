@@ -29,6 +29,13 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
     interactive_emulator print_thetas <state_file>
         prints the fitted per-component hyperparameters (natural space).
 
+    interactive_emulator calibrate <state_file> <experiment_file>
+        samples the parameter posterior given experimental observations —
+        in-process and in ONE compiled device program (models/calibrate.py),
+        where the reference piped every proposal batch to an external MCMC.
+        Prints a per-parameter summary (mean, 90% interval, R-hat, ESS) to
+        stderr and posterior draws to --output (default stdout).
+
 The math runs through the same jit paths as the library API; the CLI is a
 thin shell. Training defaults to float64 on CPU for reference-grade
 numerics; pass --dtype=float32 to fit on an accelerator.
@@ -157,6 +164,37 @@ def _build_parser() -> argparse.ArgumentParser:
 
     pt = sub.add_parser("print_thetas", help="print fitted hyperparameters")
     pt.add_argument("state_file")
+
+    cal = sub.add_parser(
+        "calibrate",
+        help="MCMC-calibrate parameters against observed data (in-process)",
+        description=(
+            "Sample the parameter posterior given experimental observations "
+            "using the trained emulator, entirely in-process (the reference "
+            "delegated this to an external MCMC over the interactive_mode "
+            "pipe). The whole chain runs as one compiled device program. "
+            "The experiment file format is: first line <noutputs>, then one "
+            "'<value> <variance>' row per observable in snapshot output "
+            "order ('#' comments allowed)."
+        ),
+    )
+    cal.add_argument("state_file")
+    cal.add_argument("experiment_file")
+    cal.add_argument("--n_walkers", type=int, default=64)
+    cal.add_argument("--n_steps", type=int, default=1000)
+    cal.add_argument("--burn_in", type=int, default=None,
+                     help="steps discarded (default: n_steps/4)")
+    cal.add_argument("--thin", type=int, default=1)
+    cal.add_argument("--sampler", choices=["emcee", "rwm"], default="emcee")
+    cal.add_argument("--seed", type=int, default=0)
+    cal.add_argument("--dtype", choices=["float64", "float32"],
+                     default="float64")
+    cal.add_argument(
+        "--output", default="-", metavar="PATH",
+        help="posterior samples destination ('-' = stdout): one draw per "
+        "row, nparams columns, '#' header",
+    )
+    cal.add_argument("--quiet", action="store_true")
     return p
 
 
@@ -413,6 +451,72 @@ def cmd_interactive_mode(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    dtype = _setup_jax(args.dtype)
+    import jax
+
+    from madaiemulator_tpu.io.experiment import read_experiment_file
+    from madaiemulator_tpu.io.snapshot import read_snapshot_auto
+    from madaiemulator_tpu.models.calibrate import calibrate
+
+    emu, param_names, output_names = read_snapshot_auto(
+        args.state_file, dtype=dtype
+    )
+    try:
+        y_exp, exp_var = read_experiment_file(args.experiment_file)
+    except ValueError as e:
+        print(f"error: bad experiment file: {e}", file=sys.stderr)
+        return 2
+    if y_exp.shape[0] != len(output_names):
+        print(
+            f"error: experiment file has {y_exp.shape[0]} observable(s) but "
+            f"the snapshot produces {len(output_names)}",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        res = calibrate(
+            jax.random.key(args.seed), emu, y_exp, exp_var,
+            n_walkers=args.n_walkers, n_steps=args.n_steps,
+            burn_in=args.burn_in, thin=args.thin, sampler=args.sampler,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    s = res.summary()
+    if not args.quiet:
+        print(
+            f"calibrate: {res.samples.shape[0] * res.samples.shape[1]} "
+            f"draws ({res.samples.shape[1]} walkers x "
+            f"{res.samples.shape[0]} kept steps), acceptance "
+            f"{res.acceptance:.3f}",
+            file=sys.stderr,
+        )
+        for j, name in enumerate(param_names):
+            print(
+                f"  {name}: {s['mean'][j]:.6g} +- {s['std'][j]:.3g}  "
+                f"[{s['q05'][j]:.6g}, {s['q95'][j]:.6g}]  "
+                f"rhat={res.rhat[j]:.3f} ess={res.ess[j]:.0f}",
+                file=sys.stderr,
+            )
+        if res.rhat.max() > 1.1:
+            print(
+                "warning: max R-hat > 1.1 — chains may not have converged; "
+                "increase --n_steps",
+                file=sys.stderr,
+            )
+    flat = res.samples.reshape(-1, res.samples.shape[-1])
+    dest = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        dest.write("# posterior samples: " + " ".join(param_names) + "\n")
+        for row in flat:
+            dest.write(" ".join(f"{v:.17g}" for v in row) + "\n")
+    finally:
+        if dest is not sys.stdout:
+            dest.close()
+    return 0
+
+
 def cmd_print_thetas(args) -> int:
     _setup_jax("float64")
     from madaiemulator_tpu.io.snapshot import read_snapshot_auto
@@ -436,6 +540,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_interactive_mode(args)
     if args.command == "print_thetas":
         return cmd_print_thetas(args)
+    if args.command == "calibrate":
+        return cmd_calibrate(args)
     raise AssertionError(args.command)
 
 

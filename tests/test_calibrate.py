@@ -236,3 +236,91 @@ def test_exp_cov_validation(toy_emulator):
         calibrate.make_log_posterior(emu, y, np.zeros((3, 3, 3)))
     with pytest.raises(ValueError):
         calibrate.make_log_posterior(emu, y, np.zeros(4))
+
+
+# ---------------------------------------------------------------------------
+# Experiment file + CLI subcommand
+# ---------------------------------------------------------------------------
+
+
+def test_experiment_file_round_trip(tmp_path):
+    import io as _io
+
+    from madaiemulator_tpu.io.experiment import (
+        read_experiment_file,
+        write_experiment_file,
+    )
+
+    path = str(tmp_path / "exp.txt")
+    vals = np.array([1.5, -0.25, 3.0])
+    var = np.array([0.01, 0.04, 0.0225])
+    write_experiment_file(path, vals, var)
+    v2, s2 = read_experiment_file(path)
+    np.testing.assert_array_equal(v2, vals)
+    np.testing.assert_array_equal(s2, var)
+    # comments + whitespace tolerated; errors rejected
+    v3, s3 = read_experiment_file(
+        _io.StringIO("# obs\n2\n1.0 0.5  \n -2.0\t0.25\n")
+    )
+    np.testing.assert_array_equal(v3, [1.0, -2.0])
+    with pytest.raises(ValueError):
+        read_experiment_file(_io.StringIO("2\n1.0 0.5\n"))  # truncated
+    with pytest.raises(ValueError):
+        read_experiment_file(_io.StringIO("1\n1.0 0.0\n"))  # zero variance
+    with pytest.raises(ValueError):
+        read_experiment_file(_io.StringIO("0\n"))
+    with pytest.raises(ValueError):
+        write_experiment_file(path, [1.0], [0.1, 0.2])
+
+
+def test_cli_calibrate_end_to_end(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    from madaiemulator_tpu.io.experiment import write_experiment_file
+    from madaiemulator_tpu.io.modelfile import write_model_file
+
+    rng = np.random.default_rng(11)
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.txt"
+    exp = tmp_path / "exp.txt"
+    out = tmp_path / "samples.txt"
+    X = rng.uniform(0.0, 2.0, size=(40, 2))
+    Y = simulator(X)
+    write_model_file(str(model), X, Y, ["a", "b"], ["o1", "o2", "o3"])
+    cli = [_sys.executable, "-m", "madaiemulator_tpu.cli"]
+    r = subprocess.run(
+        cli + ["estimate_thetas", str(model), str(state),
+               "--regression_order=1", "--restarts=2", "--steps=30",
+               "--quiet"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    theta_true = np.array([1.0, 0.8])
+    sigma = 0.05
+    write_experiment_file(
+        str(exp), simulator(theta_true), np.full(3, sigma**2)
+    )
+    r = subprocess.run(
+        cli + ["calibrate", str(state), str(exp), "--n_walkers=16",
+               "--n_steps=300", "--burn_in=100", f"--output={out}"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "acceptance" in r.stderr and "rhat=" in r.stderr
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("# posterior samples: a b")
+    draws = np.asarray([[float(v) for v in l.split()] for l in lines[1:]])
+    assert draws.shape == (200 * 16, 2)
+    err = np.abs(draws.mean(axis=0) - theta_true)
+    assert np.all(err < 5 * draws.std(axis=0) + 0.15), (
+        draws.mean(axis=0), draws.std(axis=0))
+
+    # mismatched observable count is a clean error, not a traceback
+    write_experiment_file(str(exp), [1.0, 2.0], [0.1, 0.1])
+    r = subprocess.run(
+        cli + ["calibrate", str(state), str(exp)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2
+    assert "error:" in r.stderr and "Traceback" not in r.stderr
