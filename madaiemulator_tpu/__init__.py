@@ -65,6 +65,11 @@ from madaiemulator_tpu.models.calibrate import (
     run_emcee,
     run_rwm,
 )
+from madaiemulator_tpu.models.design import (
+    DesignProposal,
+    active_variance_design,
+    nroy_wave_design,
+)
 from madaiemulator_tpu.models.diagnostics import (
     LOOResult,
     loo_cv,
@@ -110,6 +115,9 @@ __all__ = [
     "make_log_posterior",
     "run_emcee",
     "run_rwm",
+    "DesignProposal",
+    "active_variance_design",
+    "nroy_wave_design",
     "LOOResult",
     "loo_cv",
     "loo_cv_multivariate",

@@ -1,0 +1,187 @@
+"""Sequential (adaptive) experimental design over a trained emulator.
+
+The reference's workflow starts from a fixed space-filling design (Latin
+hypercube — utils/designs.py) and never revisits it; every further
+simulator run is chosen by hand. This module closes the loop TPU-first:
+given a fitted emulator, choose the next batch of simulator runs by
+
+  * **active variance learning** (`active_variance_design`): put new runs
+    where the emulator is least certain — greedy batch selection from a
+    space-filling candidate pool, scored by total predictive variance and
+    spaced by a maximin distance factor so a batch does not collapse onto
+    one uncertainty peak;
+  * **history-matching waves** (`nroy_wave_design`): put new runs inside
+    the NROY ("not ruled out yet") region — candidates are screened by the
+    implausibility statistic (models/calibrate.py) and the batch is chosen
+    maximin space-filling *within* NROY. Iterating simulate → refit →
+    rescreen is the classic wave design that shrinks the viable parameter
+    region before a full-Bayes calibration.
+
+Everything hot is one jit-compiled program per call: candidate scoring is
+the emulator's batched predict (cross-covariance GEMMs on the MXU over the
+whole pool at once) and the greedy batch selection is a `lax.fori_loop`
+over running minimum distances — no Python loop over candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madaiemulator_tpu.models.multivariate import (
+    MultivariateEmulator,
+    _predict_components,
+    reconstruct_observables,
+)
+from madaiemulator_tpu.utils.designs import latin_hypercube, unapply_scaling
+
+
+class DesignProposal(NamedTuple):
+    """A proposed batch of new simulator runs.
+
+    points: (n_new, d) NATURAL-space parameter points to run next
+    scores: (n_new,) the acquisition value of each pick (selection order)
+    pool_fraction_viable: scalar — fraction of the candidate pool passing
+        the screen (1.0 for pure variance designs; the NROY fraction for
+        history-matching waves — the number to watch shrink across waves)
+    """
+
+    points: np.ndarray
+    scores: np.ndarray
+    pool_fraction_viable: float
+
+
+def _greedy_maximin(
+    points: jax.Array, weights: jax.Array, n_new: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy weighted-maximin batch selection, in-graph.
+
+    Picks argmax(weight), then repeatedly argmax(weight * min-sq-distance
+    to everything already picked). Zero-weight candidates are never picked
+    while any positive-weight candidate remains; a picked point's distance
+    factor drops to 0 so it cannot repeat. Returns (indices, pick scores).
+    """
+    p, d = points.shape
+
+    def body(i, state):
+        mind, sel, scr = state
+        dist_factor = jnp.where(i == 0, 1.0, mind)
+        score = weights * dist_factor
+        idx = jnp.argmax(score)
+        d2 = jnp.sum((points - points[idx]) ** 2, axis=1)
+        mind = jnp.minimum(mind, d2)
+        sel = sel.at[i].set(idx.astype(sel.dtype))
+        scr = scr.at[i].set(score[idx])
+        return mind, sel, scr
+
+    mind0 = jnp.full((p,), float(d), points.dtype)  # max sq-dist on [0,1]^d
+    sel0 = jnp.zeros((n_new,), jnp.int32)
+    scr0 = jnp.zeros((n_new,), points.dtype)
+    _, sel, scr = jax.lax.fori_loop(0, n_new, body, (mind0, sel0, scr0))
+    return sel, scr
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_new"))
+def _variance_select(emu_states, emu_params, X, Z, pca, config, pool, n_new):
+    m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool, config)
+    _, var = reconstruct_observables(m_pc, v_pc, pca)  # (P, t)
+    # normalize per-observable by its training-output scale so no single
+    # large-magnitude observable dominates the acquisition
+    w = jnp.maximum(pca.ystd.astype(var.dtype), jnp.finfo(var.dtype).tiny)
+    total_var = jnp.sum(var / (w[None, :] ** 2), axis=-1)  # (P,)
+    return _greedy_maximin(pool, total_var, n_new)
+
+
+def active_variance_design(
+    key: jax.Array,
+    emu: MultivariateEmulator,
+    n_new: int,
+    pool_size: int = 4096,
+    pool: Optional[jax.Array] = None,
+) -> DesignProposal:
+    """Next `n_new` simulator runs by batch active learning (max variance).
+
+    A Latin-hypercube candidate pool over the scaled design cube (or a
+    caller-supplied `pool`, scaled coords) is scored by total normalized
+    predictive variance in one batched predict; the batch is then chosen
+    greedily with a maximin spacing factor. Returns natural-space points.
+    """
+    if pool is None:
+        pool = latin_hypercube(key, pool_size, emu.X.shape[1], dtype=emu.X.dtype)
+    pool = jnp.asarray(pool, dtype=emu.X.dtype)
+    sel, scr = _variance_select(
+        emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config, pool,
+        int(n_new),
+    )
+    pts = unapply_scaling(pool[sel], emu.scaling)
+    return DesignProposal(
+        points=np.asarray(pts),
+        scores=np.asarray(scr),
+        pool_fraction_viable=1.0,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_new", "threshold")
+)
+def _nroy_select(
+    emu_states, emu_params, X, Z, pca, config, y_exp, exp_var, pool,
+    n_new, threshold,
+):
+    m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool, config)
+    mean, var = reconstruct_observables(m_pc, v_pc, pca)  # (P, t)
+    tot = jnp.maximum(var + exp_var[None, :], jnp.finfo(mean.dtype).tiny)
+    imp = jnp.max(jnp.abs(mean - y_exp[None, :]) / jnp.sqrt(tot), axis=-1)
+    viable = imp <= threshold
+    frac = jnp.mean(viable.astype(pool.dtype))
+    # inside NROY: pure space-filling (weight 1); outside: weight 0 unless
+    # NOTHING is viable, in which case fall back to least-implausible-first
+    any_viable = jnp.any(viable)
+    w_viable = viable.astype(pool.dtype)
+    w_fallback = 1.0 / (1.0 + imp)
+    weights = jnp.where(any_viable, w_viable, w_fallback)
+    sel, scr = _greedy_maximin(pool, weights, n_new)
+    return sel, scr, frac, imp
+
+
+def nroy_wave_design(
+    key: jax.Array,
+    emu: MultivariateEmulator,
+    y_exp,
+    exp_var,
+    n_new: int,
+    threshold: float = 3.0,
+    pool_size: int = 8192,
+    pool: Optional[jax.Array] = None,
+) -> DesignProposal:
+    """Next wave of simulator runs for history matching.
+
+    Screens a space-filling candidate pool by implausibility I(theta)
+    (max-observable, 3-sigma rule by default) and picks `n_new` maximin
+    space-filling points INSIDE the NROY region — the design that most
+    efficiently improves the emulator exactly where the data still allows
+    the simulator to live. If the pool contains no viable point (the wave
+    has converged, or the threshold is tight), falls back to the
+    least-implausible points and reports pool_fraction_viable=0.
+    """
+    if pool is None:
+        pool = latin_hypercube(key, pool_size, emu.X.shape[1], dtype=emu.X.dtype)
+    pool = jnp.asarray(pool, dtype=emu.X.dtype)
+    exp_var = jnp.asarray(exp_var, emu.X.dtype)
+    if exp_var.ndim == 2:
+        exp_var = jnp.diagonal(exp_var)
+    sel, scr, frac, _ = _nroy_select(
+        emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config,
+        jnp.asarray(y_exp, emu.X.dtype), exp_var, pool,
+        int(n_new), float(threshold),
+    )
+    pts = unapply_scaling(pool[sel], emu.scaling)
+    return DesignProposal(
+        points=np.asarray(pts),
+        scores=np.asarray(scr),
+        pool_fraction_viable=float(frac),
+    )
