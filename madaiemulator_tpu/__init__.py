@@ -63,6 +63,7 @@ from madaiemulator_tpu.models.calibrate import (
     implausibility,
     make_log_posterior,
     run_emcee,
+    run_parallel_tempering,
     run_rwm,
 )
 from madaiemulator_tpu.models.design import (
@@ -114,6 +115,7 @@ __all__ = [
     "implausibility",
     "make_log_posterior",
     "run_emcee",
+    "run_parallel_tempering",
     "run_rwm",
     "DesignProposal",
     "active_variance_design",

@@ -185,7 +185,11 @@ def _build_parser() -> argparse.ArgumentParser:
     cal.add_argument("--burn_in", type=int, default=None,
                      help="steps discarded (default: n_steps/4)")
     cal.add_argument("--thin", type=int, default=1)
-    cal.add_argument("--sampler", choices=["emcee", "rwm"], default="emcee")
+    cal.add_argument(
+        "--sampler", choices=["emcee", "pt", "rwm"], default="emcee",
+        help="'pt' = parallel tempering (use when R-hat stays high: "
+        "multimodal posteriors from emulator-uncertainty havens)",
+    )
     cal.add_argument("--seed", type=int, default=0)
     cal.add_argument("--dtype", choices=["float64", "float32"],
                      default="float64")

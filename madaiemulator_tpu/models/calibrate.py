@@ -288,6 +288,138 @@ def run_rwm(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("log_post", "n_steps", "a")
+)
+def _pt_scan(key, log_post, x0, betas, n_steps: int, a: float):
+    """Parallel-tempered ensemble scan. x0: (K, W, d), betas: (K,) with
+    betas[0] == 1 (the cold rung whose chain is returned)."""
+    k_rungs, w, d = x0.shape
+    half = w // 2
+    lp0 = log_post(x0.reshape(-1, d)).reshape(k_rungs, w)  # UNtempered
+
+    def stretch_half(key, movers, movers_lp, others):
+        """Tempered stretch move, vmapped over rungs via one flat predict.
+        movers/others: (K, half, d); movers_lp: (K, half)."""
+        k_z, k_pick, k_acc = jax.random.split(key, 3)
+        u = jax.random.uniform(k_z, (k_rungs, half), dtype=x0.dtype)
+        z = (u * (a - 1.0) + 1.0) ** 2 / a
+        pick = jax.random.randint(k_pick, (k_rungs, half), 0, half)
+        partners = jnp.take_along_axis(others, pick[..., None], axis=1)
+        prop = partners + z[..., None] * (movers - partners)
+        lp_prop = log_post(prop.reshape(-1, d)).reshape(k_rungs, half)
+        log_u = jnp.log(
+            jax.random.uniform(
+                k_acc, (k_rungs, half), dtype=lp_prop.dtype,
+                minval=jnp.finfo(lp_prop.dtype).tiny,
+            )
+        )
+        ratio = (d - 1) * jnp.log(z) + betas[:, None] * (lp_prop - movers_lp)
+        ratio = jnp.where(
+            jnp.isneginf(movers_lp) & jnp.isfinite(lp_prop), jnp.inf, ratio
+        )
+        acc = log_u < ratio
+        movers = jnp.where(acc[..., None], prop, movers)
+        movers_lp = jnp.where(acc, lp_prop, movers_lp)
+        return movers, movers_lp, acc
+
+    def step(carry, inp):
+        x, lp = carry
+        i, key = inp
+        kA, kB, k_su = jax.random.split(key, 3)
+        xA, lpA, accA = stretch_half(kA, x[:, :half], lp[:, :half], x[:, half:])
+        xB, lpB, accB = stretch_half(kB, x[:, half:], lp[:, half:], xA)
+        x = jnp.concatenate([xA, xB], axis=1)
+        lp = jnp.concatenate([lpA, lpB], axis=1)
+        acc = jnp.concatenate([accA, accB], axis=1)
+        # replica exchange between adjacent rungs, walker-wise, alternating
+        # even/odd pairs each step (detailed-balance-preserving sweep)
+        delta_beta = betas[:-1] - betas[1:]  # (K-1,)
+        delta_lp = lp[1:] - lp[:-1]  # (K-1, W)
+        swap_ratio = delta_beta[:, None] * delta_lp
+        # -inf - -inf = NaN: never swap two out-of-support walkers
+        swap_ratio = jnp.where(jnp.isnan(swap_ratio), -jnp.inf, swap_ratio)
+        log_u = jnp.log(
+            jax.random.uniform(
+                k_su, swap_ratio.shape, dtype=lp.dtype,
+                minval=jnp.finfo(lp.dtype).tiny,
+            )
+        )
+        parity = jnp.asarray(i % 2, jnp.int32)
+        pair_on = (jnp.arange(k_rungs - 1) % 2) == parity  # (K-1,)
+        do_swap = (log_u < swap_ratio) & pair_on[:, None]  # (K-1, W)
+        # build the permutation: rung k swaps with k+1 where do_swap
+        up = jnp.pad(do_swap, ((0, 1), (0, 0)))  # swap with rung below me
+        dn = jnp.pad(do_swap, ((1, 0), (0, 0)))  # swap with rung above me
+        x_next = jnp.roll(x, -1, axis=0)
+        x_prev = jnp.roll(x, 1, axis=0)
+        lp_next = jnp.roll(lp, -1, axis=0)
+        lp_prev = jnp.roll(lp, 1, axis=0)
+        x = jnp.where(up[..., None], x_next, jnp.where(dn[..., None], x_prev, x))
+        lp = jnp.where(up, lp_next, jnp.where(dn, lp_prev, lp))
+        swap_frac = jnp.sum(do_swap.astype(x.dtype)) / jnp.maximum(
+            jnp.sum(pair_on.astype(x.dtype)) * w, 1.0
+        )
+        return (x, lp), (
+            x[0], lp[0], jnp.mean(acc[0].astype(x.dtype)), swap_frac
+        )
+
+    keys = jax.random.split(key, n_steps)
+    idx = jnp.arange(n_steps)
+    (_, _), (xs, lps, accs, swaps) = jax.lax.scan(
+        step, (x0, lp0), (idx, keys)
+    )
+    return xs, lps, jnp.mean(accs), jnp.mean(swaps)
+
+
+def run_parallel_tempering(
+    key: jax.Array,
+    log_post: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    n_steps: int,
+    n_rungs: int = 6,
+    beta_min: float = 0.05,
+    a: float = 2.0,
+    init_spread: float = 0.1,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Replica-exchange ensemble sampler for multimodal posteriors.
+
+    `n_rungs` tempered copies of the ensemble run the stretch move against
+    log-densities beta_k * log_post (beta geometric from 1 to `beta_min`);
+    adjacent rungs exchange walkers Metropolis-style each step. Hot rungs
+    roam between modes the cold rung cannot cross, and exchanges carry
+    those states down — the standard fix for the mode-trapping that
+    emulator calibration exhibits wherever high-predictive-variance
+    regions preserve posterior mass (see docs/ROUND3.md).
+
+    x0 is the (W, d) COLD start; hotter rungs start at x0 plus Gaussian
+    jitter of scale `init_spread` (they decorrelate within their own rung
+    quickly). Returns (cold chain (n_steps, W, d), cold logp, cold in-rung
+    acceptance, swap acceptance). Cost per step ~ n_rungs x one ensemble
+    step, still a single compiled scan with all K*W walkers in each batched
+    predict.
+    """
+    x0 = jnp.asarray(x0)
+    w, d = x0.shape
+    if w % 2 or w < max(4, 2 * d + 2):
+        raise ValueError(
+            f"n_walkers={w} must be even and >= {max(4, 2 * d + 2)}"
+        )
+    if n_rungs < 2:
+        raise ValueError("n_rungs must be >= 2 (use run_emcee for 1)")
+    betas = jnp.asarray(
+        np.geomspace(1.0, beta_min, n_rungs), dtype=x0.dtype
+    )
+    keys = jax.random.split(jnp.asarray(key), 2)
+    jit0 = jax.random.normal(
+        keys[0], (n_rungs - 1, w, d), dtype=x0.dtype
+    ) * init_spread
+    x0_k = jnp.concatenate(
+        [x0[None], x0[None] + jit0], axis=0
+    )  # (K, W, d)
+    return _pt_scan(keys[1], log_post, x0_k, betas, int(n_steps), float(a))
+
+
 # ---------------------------------------------------------------------------
 # Convergence diagnostics (host-side)
 # ---------------------------------------------------------------------------
@@ -403,12 +535,16 @@ def calibrate(
         chain, lps, acc = run_emcee(
             k_run, log_post, x0, n_steps, **sampler_kwargs
         )
+    elif sampler == "pt":
+        chain, lps, acc, _swap = run_parallel_tempering(
+            k_run, log_post, x0, n_steps, **sampler_kwargs
+        )
     elif sampler == "rwm":
         chain, lps, acc, _ = run_rwm(
             k_run, log_post, x0, n_steps, **sampler_kwargs
         )
     else:
-        raise ValueError(f"unknown sampler {sampler!r} (emcee|rwm)")
+        raise ValueError(f"unknown sampler {sampler!r} (emcee|pt|rwm)")
     kept = np.asarray(chain)[burn_in::thin]  # (S, W, d) scaled
     kept_lp = np.asarray(lps)[burn_in::thin]
     natural = np.asarray(

@@ -324,3 +324,85 @@ def test_cli_calibrate_end_to_end(tmp_path):
     )
     assert r.returncode == 2
     assert "error:" in r.stderr and "Traceback" not in r.stderr
+
+
+# ---------------------------------------------------------------------------
+# Parallel tempering
+# ---------------------------------------------------------------------------
+
+
+def _bimodal_target(sep=4.0, sd=0.25):
+    """Equal-weight 1D Gaussian mixture at +-sep/2: far modes a cold
+    ensemble cannot cross."""
+    mus = jnp.asarray([-sep / 2, sep / 2])
+
+    def lp(x):
+        x2 = jnp.atleast_2d(x)
+        comp = -0.5 * ((x2[:, 0:1] - mus[None, :]) / sd) ** 2
+        out = jax.scipy.special.logsumexp(comp, axis=1)
+        return out if x.ndim > 1 else out[0]
+
+    return lp
+
+
+def test_pt_mixes_bimodal_where_emcee_cannot(rng):
+    lp = _bimodal_target()
+    # ALL walkers start in the left mode
+    x0 = jnp.asarray(-2.0 + 0.1 * rng.standard_normal((16, 1)))
+    chain_e, _, _ = calibrate.run_emcee(jax.random.key(0), lp, x0, 2000)
+    frac_e = float((np.asarray(chain_e)[1000:] > 0).mean())
+    chain_pt, lps, acc, swap = calibrate.run_parallel_tempering(
+        jax.random.key(0), lp, x0, 2000, n_rungs=6, beta_min=0.02,
+        init_spread=1.5,
+    )
+    frac_pt = float((np.asarray(chain_pt)[1000:] > 0).mean())
+    # stretch moves alone cannot carry the whole ensemble across; replica
+    # exchange must populate the right mode near its true 50% weight
+    assert frac_e < 0.1, frac_e
+    assert 0.25 < frac_pt < 0.75, frac_pt
+    assert 0.0 < float(swap) < 1.0
+    assert 0.05 < float(acc) < 0.95
+
+
+def test_pt_unbiased_on_unimodal(rng):
+    """Swaps must not distort a unimodal target: the cold chain stays an
+    exact sampler."""
+    mu = np.array([0.5, -0.2])
+    cov = np.array([[0.2, 0.05], [0.05, 0.1]])
+    lp = _gauss_target(mu, cov)
+    x0 = jnp.asarray(mu[None, :] + 0.2 * rng.standard_normal((24, 2)))
+    chain, _, acc, swap = calibrate.run_parallel_tempering(
+        jax.random.key(1), lp, x0, 1500, n_rungs=4, init_spread=0.5
+    )
+    kept = np.asarray(chain)[500:].reshape(-1, 2)
+    np.testing.assert_allclose(kept.mean(axis=0), mu, atol=0.08)
+    np.testing.assert_allclose(np.cov(kept.T), cov, atol=0.09)
+    assert float(swap) > 0.05  # rungs genuinely exchange
+
+
+def test_pt_validation():
+    lp = lambda x: jnp.zeros(x.shape[0]) if x.ndim > 1 else 0.0
+    with pytest.raises(ValueError):
+        calibrate.run_parallel_tempering(
+            jax.random.key(0), lp, jnp.zeros((16, 2)), 10, n_rungs=1
+        )
+    with pytest.raises(ValueError):
+        calibrate.run_parallel_tempering(
+            jax.random.key(0), lp, jnp.zeros((5, 2)), 10
+        )
+
+
+def test_calibrate_with_pt(toy_emulator):
+    emu, X, Y = toy_emulator
+    rng = np.random.default_rng(6)
+    theta_true = np.array([1.1, 0.9])
+    y_exp = simulator(theta_true) + rng.normal(0, 0.05, size=3)
+    res = calibrate.calibrate(
+        jax.random.key(4), emu, y_exp, np.full(3, 0.05**2),
+        n_walkers=16, n_steps=300, burn_in=100, sampler="pt",
+        n_rungs=4,
+    )
+    assert res.samples.shape == (200, 16, 2)
+    s = res.summary()
+    err = np.abs(s["mean"] - theta_true)
+    assert np.all(err < 5 * s["std"] + 0.2), (s["mean"], s["std"])
