@@ -190,6 +190,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="'pt' = parallel tempering (use when R-hat stays high: "
         "multimodal posteriors from emulator-uncertainty havens)",
     )
+    cal.add_argument(
+        "--discrepancy", action="store_true",
+        help="sample a Kennedy-O'Hagan model-discrepancy scale jointly "
+        "with the parameters (absorbs simulator bias; reported as a "
+        "fraction of each observable's training std dev)",
+    )
     cal.add_argument("--seed", type=int, default=0)
     cal.add_argument("--dtype", choices=["float64", "float32"],
                      default="float64")
@@ -483,6 +489,7 @@ def cmd_calibrate(args) -> int:
             jax.random.key(args.seed), emu, y_exp, exp_var,
             n_walkers=args.n_walkers, n_steps=args.n_steps,
             burn_in=args.burn_in, thin=args.thin, sampler=args.sampler,
+            discrepancy=args.discrepancy,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -501,6 +508,16 @@ def cmd_calibrate(args) -> int:
                 f"  {name}: {s['mean'][j]:.6g} +- {s['std'][j]:.3g}  "
                 f"[{s['q05'][j]:.6g}, {s['q95'][j]:.6g}]  "
                 f"rhat={res.rhat[j]:.3f} ess={res.ess[j]:.0f}",
+                file=sys.stderr,
+            )
+        if res.discrepancy is not None:
+            dflat = res.discrepancy.reshape(-1)
+            print(
+                f"  discrepancy scale (x output std): "
+                f"{dflat.mean():.4g} +- {dflat.std():.3g}  "
+                f"[{np.quantile(dflat, 0.05):.4g}, "
+                f"{np.quantile(dflat, 0.95):.4g}]  "
+                f"rhat={res.rhat[-1]:.3f} ess={res.ess[-1]:.0f}",
                 file=sys.stderr,
             )
         if res.rhat.max() > 1.1:
@@ -538,14 +555,24 @@ def cmd_print_thetas(args) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = _build_parser().parse_args(argv)
-    if args.command == "estimate_thetas":
-        return cmd_estimate_thetas(args)
-    if args.command == "interactive_mode":
-        return cmd_interactive_mode(args)
-    if args.command == "print_thetas":
-        return cmd_print_thetas(args)
-    if args.command == "calibrate":
-        return cmd_calibrate(args)
+    try:
+        if args.command == "estimate_thetas":
+            return cmd_estimate_thetas(args)
+        if args.command == "interactive_mode":
+            return cmd_interactive_mode(args)
+        if args.command == "print_thetas":
+            return cmd_print_thetas(args)
+        if args.command == "calibrate":
+            return cmd_calibrate(args)
+    except BrokenPipeError:
+        # the pipe consumer went away (e.g. `| head`, or the MCMC driver
+        # exited) — the conventional quiet SIGPIPE exit, not a traceback.
+        # Detach stdout so interpreter shutdown doesn't re-raise on flush.
+        try:
+            sys.stdout.close()
+        except BrokenPipeError:
+            pass
+        return 141
     raise AssertionError(args.command)
 
 

@@ -48,8 +48,12 @@ class CalibrationResult(NamedTuple):
     samples: (n_kept, n_walkers, d) post-burn-in, thinned draws
     log_posterior: (n_kept, n_walkers)
     acceptance: scalar — mean acceptance rate over the whole run
-    rhat: (d,) split-chain Gelman-Rubin statistic (≈1 at convergence)
-    ess: (d,) effective sample size across all kept draws
+    rhat: (d[+1],) split-chain Gelman-Rubin statistic (≈1 at convergence);
+        when a discrepancy scale was sampled its R-hat is the last entry
+    ess: (d[+1],) effective sample size across all kept draws
+    discrepancy: (n_kept, n_walkers) posterior draws of the sampled
+        model-discrepancy scale (fraction of each observable's training
+        standard deviation), or None when calibrated without one
     """
 
     samples: np.ndarray
@@ -57,6 +61,7 @@ class CalibrationResult(NamedTuple):
     acceptance: float
     rhat: np.ndarray
     ess: np.ndarray
+    discrepancy: Optional[np.ndarray] = None
 
     def summary(self) -> Dict[str, np.ndarray]:
         flat = self.samples.reshape(-1, self.samples.shape[-1])
@@ -82,13 +87,15 @@ def make_log_posterior(
     y_exp,
     exp_cov,
     log_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
+    discrepancy: bool = False,
+    discrepancy_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
 ) -> Callable[[jax.Array], jax.Array]:
-    """Batched log-posterior over SCALED coordinates: (W, d) -> (W,).
+    """Batched log-posterior over SCALED coordinates: (W, d[+1]) -> (W,).
 
     Gaussian measurement model marginalized over the emulator's own
     predictive uncertainty (the standard calibration likelihood):
 
-        y_exp | theta ~ N( m(theta),  diag(v(theta)) + Sigma_exp )
+        y_exp | theta ~ N( m(theta),  diag(v(theta)) + Sigma_exp [+ D(s)] )
 
     where (m, v) are the emulator's observable-space posterior mean and
     variance. `exp_cov` is either a (t,) vector of experimental variances
@@ -97,10 +104,21 @@ def make_log_posterior(
     (t, t) covariance (correlated systematics — a batched t x t Cholesky
     per walker; t is small so this stays cheap).
 
-    The box prior on the scaled design cube [0,1]^d is always enforced
-    (outside the design the emulator extrapolates and must not be trusted);
-    `log_prior` adds an optional traceable log-density evaluated on NATURAL
-    coordinates on top of it. Returns -inf outside the box.
+    `discrepancy=True` turns on a Kennedy-O'Hagan-style MODEL DISCREPANCY
+    scale sampled jointly with theta: the walker state grows one trailing
+    coordinate s = log(sigma_delta), and D(s) = exp(2 s) * diag(ystd^2)
+    inflates the covariance by a discrepancy of sigma_delta training
+    standard deviations on every observable. When the simulator is biased,
+    exp(s) absorbs the bias instead of letting the theta posterior
+    overconcentrate on a wrong value. `discrepancy_prior` is a traceable
+    log-density on s (default: Normal(log 0.05, 1.5) — weakly informative,
+    proper, so switching the term on never yields an improper posterior).
+
+    The box prior on the scaled design cube [0,1]^d is always enforced on
+    the theta block (outside the design the emulator extrapolates and must
+    not be trusted); s is unconstrained. `log_prior` adds an optional
+    traceable log-density evaluated on NATURAL theta coordinates on top.
+    Returns -inf outside the box.
     """
     y_exp = jnp.asarray(y_exp, dtype=emu.X.dtype)
     exp_cov = jnp.asarray(exp_cov, dtype=emu.X.dtype)
@@ -110,9 +128,17 @@ def make_log_posterior(
     if exp_cov.shape[0] != t or (exp_cov.ndim == 2 and exp_cov.shape[1] != t):
         raise ValueError(f"exp_cov shape {exp_cov.shape} mismatches y_exp ({t},)")
     log2pi = float(np.log(2.0 * np.pi))
+    d_theta = emu.X.shape[1]
+    ystd2 = (emu.pca.ystd.astype(emu.X.dtype)) ** 2  # (t,)
+    if discrepancy_prior is None:
+        _loc, _scale = float(np.log(0.05)), 1.5
+
+        def discrepancy_prior(s):
+            return -0.5 * ((s - _loc) / _scale) ** 2
 
     def log_post(theta_scaled: jax.Array) -> jax.Array:
-        x = jnp.atleast_2d(theta_scaled)  # (W, d)
+        x_full = jnp.atleast_2d(theta_scaled)  # (W, d[+1])
+        x = x_full[:, :d_theta]
         inbox = jnp.all((x >= 0.0) & (x <= 1.0), axis=-1)  # (W,)
         # evaluate the emulator at in-box points only in spirit: clip the
         # query (keeps the math finite everywhere) and gate with -inf below.
@@ -121,6 +147,9 @@ def make_log_posterior(
             emu.states, emu.params, emu.X, emu.Z, xq, emu.config
         )
         mean, var = reconstruct_observables(m_pc, v_pc, emu.pca)  # (W, t)
+        if discrepancy:
+            s = x_full[:, d_theta]  # (W,)
+            var = var + jnp.exp(2.0 * s)[:, None] * ystd2[None, :]
         resid = mean - y_exp[None, :]
         if exp_cov.ndim == 1:
             tot = var + exp_cov[None, :]
@@ -141,6 +170,8 @@ def make_log_posterior(
             ll = -0.5 * (jnp.sum(sol * sol, axis=-1) + logdet + t * log2pi)
         if log_prior is not None:
             ll = ll + log_prior(unapply_scaling(xq, emu.scaling))
+        if discrepancy:
+            ll = ll + discrepancy_prior(x_full[:, d_theta])
         neg_inf = jnp.asarray(-jnp.inf, ll.dtype)
         out = jnp.where(inbox, ll, neg_inf)
         return out if theta_scaled.ndim > 1 else out[0]
@@ -151,6 +182,24 @@ def make_log_posterior(
 # ---------------------------------------------------------------------------
 # Samplers (in-graph; one compiled scan per run)
 # ---------------------------------------------------------------------------
+
+
+def _shard_walkers(x0, mesh, axis_name=None, axis=0):
+    """Partition the walker axis of `x0` over a device mesh.
+
+    Every log-posterior evaluation is batched over walkers, so sharding
+    that axis data-parallelizes the emulator's cross-covariance GEMMs over
+    chips; GSPMD inserts the gather the stretch move's cross-half partner
+    lookup needs. The emulator arrays captured in the log_post closure are
+    jit constants and replicate automatically."""
+    if mesh is None:
+        return x0
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    name = axis_name or mesh.axis_names[0]
+    spec = [None] * x0.ndim
+    spec[axis] = name
+    return jax.device_put(x0, NamedSharding(mesh, PartitionSpec(*spec)))
 
 
 def _accept_step(key, x, lp, x_prop, lp_prop, log_extra=0.0):
@@ -214,6 +263,8 @@ def run_emcee(
     x0: jax.Array,
     n_steps: int,
     a: float = 2.0,
+    mesh=None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Affine-invariant ensemble sampler; returns (chain, logp, acceptance).
 
@@ -221,6 +272,8 @@ def run_emcee(
     (for emulator posteriors: scaled space). W must be even and should be
     >= 2 d + 2 so each half spans the parameter space. The entire run is
     one compiled scan — per-step cost is one batched emulator predict.
+    `mesh` shards the walker axis over devices (see `_shard_walkers`);
+    results are identical to the single-device run.
     """
     x0 = jnp.asarray(x0)
     w, d = x0.shape
@@ -230,6 +283,7 @@ def run_emcee(
         raise ValueError(
             f"n_walkers={w} too few for d={d}: need >= {2 * d + 2}"
         )
+    x0 = _shard_walkers(x0, mesh, axis_name)
     return _emcee_scan(key, log_post, x0, int(n_steps), float(a))
 
 
@@ -274,12 +328,14 @@ def run_rwm(
     step_size: float = 0.05,
     n_adapt: Optional[int] = None,
     target_acceptance: float = 0.234,
+    mesh=None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Adaptive random-walk Metropolis; returns (chain, logp, acceptance,
     final_step). Chains are independent (one proposal scale shared across
     walkers, adapted from their pooled acceptance rate during the first
     `n_adapt` steps — default half the run)."""
-    x0 = jnp.asarray(x0)
+    x0 = _shard_walkers(jnp.asarray(x0), mesh, axis_name)
     if n_adapt is None:
         n_adapt = n_steps // 2
     return _rwm_scan(
@@ -381,6 +437,8 @@ def run_parallel_tempering(
     beta_min: float = 0.05,
     a: float = 2.0,
     init_spread: float = 0.1,
+    mesh=None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Replica-exchange ensemble sampler for multimodal posteriors.
 
@@ -417,6 +475,7 @@ def run_parallel_tempering(
     x0_k = jnp.concatenate(
         [x0[None], x0[None] + jit0], axis=0
     )  # (K, W, d)
+    x0_k = _shard_walkers(x0_k, mesh, axis_name, axis=1)
     return _pt_scan(keys[1], log_post, x0_k, betas, int(n_steps), float(a))
 
 
@@ -483,21 +542,38 @@ def init_walkers(
     n_walkers: int,
     n_best: int = 8,
     jitter: float = 0.02,
+    extra0: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Walker starts in scaled space, clustered on the best design points.
 
     The training design is the only prior knowledge of where posterior mass
     lives; seeding at its highest-posterior points is the standard warm
-    start (and keeps every walker inside the box prior's support)."""
-    lp_design = log_post(emu.X)  # (N,)
+    start (and keeps every walker inside the box prior's support). `extra0`
+    appends unconstrained trailing coordinates (e.g. the sampled
+    discrepancy log-scale) initialized at the given values plus jitter."""
+    if extra0 is not None:
+        extra0 = jnp.asarray(extra0, emu.X.dtype).reshape(-1)  # (e,)
+        X_score = jnp.concatenate(
+            [emu.X, jnp.broadcast_to(extra0, (emu.X.shape[0],) + extra0.shape)],
+            axis=1,
+        )
+    else:
+        X_score = emu.X
+    lp_design = log_post(X_score)  # (N,)
     k = min(n_best, emu.X.shape[0])
     _, top = jax.lax.top_k(lp_design, k)
-    k_pick, k_jit = jax.random.split(key)
+    k_pick, k_jit, k_ex = jax.random.split(key, 3)
     pick = jax.random.choice(k_pick, top, shape=(n_walkers,))
     x0 = emu.X[pick] + jitter * jax.random.normal(
         k_jit, (n_walkers, emu.X.shape[1]), dtype=emu.X.dtype
     )
-    return jnp.clip(x0, 1e-6, 1.0 - 1e-6)
+    x0 = jnp.clip(x0, 1e-6, 1.0 - 1e-6)
+    if extra0 is not None:
+        ex = extra0[None, :] + 0.3 * jax.random.normal(
+            k_ex, (n_walkers, extra0.shape[0]), dtype=emu.X.dtype
+        )
+        x0 = jnp.concatenate([x0, ex], axis=1)
+    return x0
 
 
 def calibrate(
@@ -511,6 +587,8 @@ def calibrate(
     thin: int = 1,
     sampler: str = "emcee",
     log_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
+    discrepancy: bool = False,
+    discrepancy_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
     **sampler_kwargs,
 ) -> CalibrationResult:
     """Calibrate simulator parameters against observations `y_exp`.
@@ -522,15 +600,27 @@ def calibrate(
     ESS convergence diagnostics. `exp_cov`: (t,) variances or (t, t)
     covariance of the measurement; `log_prior`: optional extra traceable
     log-density on natural coordinates (the scaled design box is always
-    enforced as the support).
+    enforced as the support). `discrepancy=True` samples a
+    Kennedy-O'Hagan-style model-discrepancy scale jointly with theta (see
+    `make_log_posterior`); its draws come back in `result.discrepancy` as
+    fractions of each observable's training standard deviation, and its
+    R-hat/ESS are the last entries of the diagnostics vectors.
+
+    Multi-chip: pass `mesh=<jax.sharding.Mesh>` in `sampler_kwargs` to
+    shard the walker axis over devices (every sampler supports it); the
+    chain is identical to the single-device run.
     """
     if burn_in is None:
         burn_in = n_steps // 4
     if not 0 <= burn_in < n_steps:
         raise ValueError(f"burn_in={burn_in} must lie in [0, n_steps)")
-    log_post = make_log_posterior(emu, y_exp, exp_cov, log_prior=log_prior)
+    log_post = make_log_posterior(
+        emu, y_exp, exp_cov, log_prior=log_prior, discrepancy=discrepancy,
+        discrepancy_prior=discrepancy_prior,
+    )
     k_init, k_run = jax.random.split(jnp.asarray(key))
-    x0 = init_walkers(k_init, emu, log_post, n_walkers)
+    extra0 = jnp.asarray([np.log(0.05)]) if discrepancy else None
+    x0 = init_walkers(k_init, emu, log_post, n_walkers, extra0=extra0)
     if sampler == "emcee":
         chain, lps, acc = run_emcee(
             k_run, log_post, x0, n_steps, **sampler_kwargs
@@ -545,19 +635,28 @@ def calibrate(
         )
     else:
         raise ValueError(f"unknown sampler {sampler!r} (emcee|pt|rwm)")
-    kept = np.asarray(chain)[burn_in::thin]  # (S, W, d) scaled
+    kept = np.asarray(chain)[burn_in::thin]  # (S, W, d[+1]) scaled
     kept_lp = np.asarray(lps)[burn_in::thin]
+    d_theta = emu.X.shape[1]
+    theta_kept = kept[..., :d_theta]
     natural = np.asarray(
         unapply_scaling(
-            jnp.asarray(kept.reshape(-1, kept.shape[-1])), emu.scaling
+            jnp.asarray(theta_kept.reshape(-1, d_theta)), emu.scaling
         )
-    ).reshape(kept.shape)
+    ).reshape(theta_kept.shape)
+    disc = np.exp(kept[..., d_theta]) if discrepancy else None
+    diag_chain = (
+        np.concatenate([natural, disc[..., None]], axis=-1)
+        if discrepancy
+        else natural
+    )
     return CalibrationResult(
         samples=natural,
         log_posterior=kept_lp,
         acceptance=float(np.asarray(acc)),
-        rhat=gelman_rubin(natural),
-        ess=effective_sample_size(natural),
+        rhat=gelman_rubin(diag_chain),
+        ess=effective_sample_size(diag_chain),
+        discrepancy=disc,
     )
 
 

@@ -316,6 +316,19 @@ def test_cli_calibrate_end_to_end(tmp_path):
     assert np.all(err < 5 * draws.std(axis=0) + 0.15), (
         draws.mean(axis=0), draws.std(axis=0))
 
+    # --discrepancy reports the sampled scale and still writes theta draws
+    r = subprocess.run(
+        cli + ["calibrate", str(state), str(exp), "--n_walkers=16",
+               "--n_steps=150", "--burn_in=50", "--discrepancy",
+               f"--output={out}"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "discrepancy scale" in r.stderr
+    lines = out.read_text().splitlines()
+    draws = np.asarray([[float(v) for v in l.split()] for l in lines[1:]])
+    assert draws.shape == (100 * 16, 2)
+
     # mismatched observable count is a clean error, not a traceback
     write_experiment_file(str(exp), [1.0, 2.0], [0.1, 0.1])
     r = subprocess.run(
@@ -406,3 +419,148 @@ def test_calibrate_with_pt(toy_emulator):
     s = res.summary()
     err = np.abs(s["mean"] - theta_true)
     assert np.all(err < 5 * s["std"] + 0.2), (s["mean"], s["std"])
+
+
+# ---------------------------------------------------------------------------
+# Kennedy-O'Hagan model discrepancy
+# ---------------------------------------------------------------------------
+
+
+def test_log_posterior_discrepancy_math(toy_emulator):
+    """lp with a sampled discrepancy log-scale s equals the plain diag lp
+    with exp_cov inflated by exp(2s)*ystd^2, plus the default s prior."""
+    emu, _, _ = toy_emulator
+    y_exp = simulator(np.array([1.0, 0.8]))
+    s2 = np.array([0.05, 0.02, 0.03]) ** 2
+    s_val = float(np.log(0.12))
+    ystd2 = np.asarray(emu.pca.ystd, np.float64) ** 2
+    lp_disc = calibrate.make_log_posterior(emu, y_exp, s2, discrepancy=True)
+    lp_plain = calibrate.make_log_posterior(
+        emu, y_exp, s2 + np.exp(2 * s_val) * ystd2
+    )
+    theta = jnp.asarray([[0.4, 0.6], [0.7, 0.3]], dtype=emu.X.dtype)
+    x_aug = jnp.concatenate(
+        [theta, jnp.full((2, 1), s_val, dtype=emu.X.dtype)], axis=1
+    )
+    prior = -0.5 * ((s_val - np.log(0.05)) / 1.5) ** 2
+    np.testing.assert_allclose(
+        np.asarray(lp_disc(x_aug)),
+        np.asarray(lp_plain(theta)) + prior,
+        rtol=1e-5, atol=1e-6,
+    )
+    # box gate still applies to the theta block only; s is unconstrained
+    bad = jnp.asarray([[1.3, 0.5, s_val]], dtype=emu.X.dtype)
+    ok = jnp.asarray([[0.5, 0.5, 7.0]], dtype=emu.X.dtype)
+    assert np.isneginf(np.asarray(lp_disc(bad))[0])
+    assert np.isfinite(np.asarray(lp_disc(ok))[0])
+    # custom prior is honored
+    lp_custom = calibrate.make_log_posterior(
+        emu, y_exp, s2, discrepancy=True,
+        discrepancy_prior=lambda s: jnp.full_like(s, -2.5),
+    )
+    np.testing.assert_allclose(
+        np.asarray(lp_custom(x_aug)),
+        np.asarray(lp_plain(theta)) - 2.5,
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_calibrate_discrepancy_absorbs_bias(toy_emulator):
+    """A biased simulator: without a discrepancy term the posterior
+    overconcentrates; with one, the sampled scale detects the bias and the
+    theta posterior honestly widens."""
+    emu, X, _ = toy_emulator
+    rng = np.random.default_rng(13)
+    theta_true = np.array([1.1, 0.9])
+    sigma = 0.02
+    bias = np.array([0.30, -0.25, 0.20])  # >> exp noise
+    y_exp = simulator(theta_true) + bias + rng.normal(0, sigma, size=3)
+    kwargs = dict(n_walkers=32, n_steps=800, burn_in=300)
+    res_plain = calibrate.calibrate(
+        jax.random.key(4), emu, y_exp, np.full(3, sigma**2), **kwargs
+    )
+    res_disc = calibrate.calibrate(
+        jax.random.key(4), emu, y_exp, np.full(3, sigma**2),
+        discrepancy=True, **kwargs,
+    )
+    assert res_plain.discrepancy is None
+    assert res_disc.discrepancy is not None
+    assert res_disc.discrepancy.shape == res_disc.log_posterior.shape
+    # diagnostics gain the discrepancy entry
+    assert res_disc.rhat.shape == (3,) and res_plain.rhat.shape == (2,)
+    assert res_disc.ess.shape == (3,)
+    # the sampled scale finds a discrepancy well above the tiny exp noise:
+    # bias is ~0.2-0.3 in output units, i.e. a sizable fraction of ystd
+    d_med = float(np.median(res_disc.discrepancy))
+    ystd = np.asarray(emu.pca.ystd, np.float64)
+    bias_frac = float(np.mean(np.abs(bias) / ystd))
+    assert d_med > 0.3 * bias_frac, (d_med, bias_frac)
+    assert d_med < 5.0 * bias_frac, (d_med, bias_frac)
+    # and the theta posterior is wider than the overconfident plain run
+    assert np.all(
+        res_disc.samples.reshape(-1, 2).std(axis=0)
+        >= res_plain.samples.reshape(-1, 2).std(axis=0)
+    )
+    # samples remain natural-space and in the design box
+    assert res_disc.samples.shape[-1] == 2
+    assert res_disc.samples.min() >= X.min() - 1e-6
+    assert res_disc.samples.max() <= X.max() + 1e-6
+
+
+def test_calibrate_discrepancy_pt_smoke(toy_emulator):
+    """discrepancy composes with the parallel-tempering sampler."""
+    emu, _, _ = toy_emulator
+    y_exp = simulator(np.array([1.0, 0.8]))
+    res = calibrate.calibrate(
+        jax.random.key(6), emu, y_exp, np.full(3, 0.05**2),
+        n_walkers=16, n_steps=150, burn_in=50, sampler="pt",
+        discrepancy=True, n_rungs=3,
+    )
+    assert res.discrepancy is not None and np.all(res.discrepancy > 0)
+    assert res.samples.shape[-1] == 2 and res.rhat.shape == (3,)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded walkers (multi-device)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_walkers_match_single_device(toy_emulator):
+    """Sharding the walker axis over an 8-device mesh changes the device
+    layout, not the chain: every sampler reproduces its unsharded run."""
+    from jax.sharding import Mesh
+
+    emu, _, _ = toy_emulator
+    y_exp = simulator(np.array([1.0, 0.8]))
+    lp = calibrate.make_log_posterior(emu, y_exp, np.full(3, 0.05**2))
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("walkers",))
+    x0 = calibrate.init_walkers(jax.random.key(9), emu, lp, 16)
+
+    c0, l0, a0 = calibrate.run_emcee(jax.random.key(1), lp, x0, 60)
+    c1, l1, a1 = calibrate.run_emcee(jax.random.key(1), lp, x0, 60, mesh=mesh)
+    assert len(c1.sharding.device_set) > 1 or len(jax.devices()) == 1
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(a0), float(a1), rtol=1e-6)
+
+    p0 = calibrate.run_parallel_tempering(
+        jax.random.key(2), lp, x0, 40, n_rungs=3
+    )
+    p1 = calibrate.run_parallel_tempering(
+        jax.random.key(2), lp, x0, 40, n_rungs=3, mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(p0[0]), np.asarray(p1[0]),
+                               rtol=2e-5, atol=1e-6)
+
+    r0 = calibrate.run_rwm(jax.random.key(3), lp, x0, 50)
+    r1 = calibrate.run_rwm(jax.random.key(3), lp, x0, 50, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r0[0]), np.asarray(r1[0]),
+                               rtol=2e-5, atol=1e-6)
+
+    # and through the calibrate() driver via sampler kwargs
+    res = calibrate.calibrate(
+        jax.random.key(4), emu, y_exp, np.full(3, 0.05**2),
+        n_walkers=16, n_steps=60, burn_in=20, mesh=mesh,
+    )
+    assert res.samples.shape == (40, 16, 2)
+    assert np.all(np.isfinite(res.samples))
