@@ -64,7 +64,14 @@ class CalibrationResult(NamedTuple):
     discrepancy: Optional[np.ndarray] = None
 
     def summary(self) -> Dict[str, np.ndarray]:
+        """Per-coordinate posterior statistics. When a discrepancy scale
+        was sampled, its statistics are appended as the LAST entry of every
+        vector so all keys stay index-aligned with `rhat`/`ess`."""
         flat = self.samples.reshape(-1, self.samples.shape[-1])
+        if self.discrepancy is not None:
+            flat = np.concatenate(
+                [flat, self.discrepancy.reshape(-1, 1)], axis=1
+            )
         return {
             "mean": flat.mean(axis=0),
             "std": flat.std(axis=0),
@@ -334,7 +341,9 @@ def run_rwm(
     """Adaptive random-walk Metropolis; returns (chain, logp, acceptance,
     final_step). Chains are independent (one proposal scale shared across
     walkers, adapted from their pooled acceptance rate during the first
-    `n_adapt` steps — default half the run)."""
+    `n_adapt` steps — default half the run; the `calibrate()` driver
+    instead passes n_adapt=burn_in so every kept draw is post-adaptation,
+    i.e. from the frozen, Markovian kernel)."""
     x0 = _shard_walkers(jnp.asarray(x0), mesh, axis_name)
     if n_adapt is None:
         n_adapt = n_steps // 2
@@ -521,11 +530,14 @@ def effective_sample_size(chains: np.ndarray) -> np.ndarray:
     rho = rho / var0
     ess = np.empty(d)
     for j in range(d):
-        # sum of adjacent pairs until a pair goes non-positive (Geyer)
+        # sum of adjacent pairs until a pair goes non-positive (Geyer); if
+        # every pair stays positive the whole window contributes (the
+        # slowly-mixing case must not get its tail truncated, or ESS is
+        # overreported exactly when the convergence warning matters)
         pair = rho[: (s // 2) * 2, j].reshape(-1, 2).sum(axis=1)
         tau = -1.0 + 2.0 * np.cumsum(np.maximum(pair, 0.0))
-        stop = np.argmax(pair <= 0.0) if np.any(pair <= 0.0) else pair.size - 1
-        tau_f = max(tau[max(stop - 1, 0)], 1e-12) if stop > 0 else max(tau[0], 1.0)
+        stop = np.argmax(pair <= 0.0) if np.any(pair <= 0.0) else pair.size
+        tau_f = max(tau[stop - 1], 1e-12) if stop > 0 else max(tau[0], 1.0)
         ess[j] = s * w / max(tau_f, 1.0)
     return np.minimum(ess, float(s * w))
 
@@ -614,6 +626,11 @@ def calibrate(
         burn_in = n_steps // 4
     if not 0 <= burn_in < n_steps:
         raise ValueError(f"burn_in={burn_in} must lie in [0, n_steps)")
+    if sampler == "rwm":
+        # adapt only during burn-in: run_rwm's own default (n_steps // 2)
+        # would leave step-size adaptation running into the kept draws,
+        # making the kept chain non-Markovian
+        sampler_kwargs.setdefault("n_adapt", burn_in)
     log_post = make_log_posterior(
         emu, y_exp, exp_cov, log_prior=log_prior, discrepancy=discrepancy,
         discrepancy_prior=discrepancy_prior,
@@ -665,6 +682,18 @@ def calibrate(
 # ---------------------------------------------------------------------------
 
 
+def implausibility_from_moments(
+    mean: jax.Array, var: jax.Array, y_exp: jax.Array, s2: jax.Array
+) -> jax.Array:
+    """I = max_j |mean_j - y_j| / sqrt(var_j + s2_j) from predictive
+    moments. The single definition of the implausibility statistic —
+    `implausibility` and the NROY design screen (models/design.py) both
+    call it, so the screen can never diverge from the reported statistic.
+    mean/var: (W, t); y_exp/s2: (t,); returns (W,). Traceable."""
+    tot = jnp.maximum(var + s2[None, :], jnp.finfo(mean.dtype).tiny)
+    return jnp.max(jnp.abs(mean - y_exp[None, :]) / jnp.sqrt(tot), axis=-1)
+
+
 def implausibility(
     emu: MultivariateEmulator, y_exp, exp_cov, thetas_scaled: jax.Array
 ) -> jax.Array:
@@ -685,5 +714,4 @@ def implausibility(
         emu.config,
     )
     mean, var = reconstruct_observables(m_pc, v_pc, emu.pca)
-    tot = jnp.maximum(var + s2[None, :], jnp.finfo(mean.dtype).tiny)
-    return jnp.max(jnp.abs(mean - y_exp[None, :]) / jnp.sqrt(tot), axis=-1)
+    return implausibility_from_moments(mean, var, y_exp, s2)

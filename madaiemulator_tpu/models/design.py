@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from madaiemulator_tpu.models.calibrate import implausibility_from_moments
 from madaiemulator_tpu.models.multivariate import (
     MultivariateEmulator,
     _predict_components,
@@ -134,16 +135,20 @@ def _nroy_select(
 ):
     m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool, config)
     mean, var = reconstruct_observables(m_pc, v_pc, pca)  # (P, t)
-    tot = jnp.maximum(var + exp_var[None, :], jnp.finfo(mean.dtype).tiny)
-    imp = jnp.max(jnp.abs(mean - y_exp[None, :]) / jnp.sqrt(tot), axis=-1)
+    imp = implausibility_from_moments(mean, var, y_exp, exp_var)
     viable = imp <= threshold
     frac = jnp.mean(viable.astype(pool.dtype))
-    # inside NROY: pure space-filling (weight 1); outside: weight 0 unless
-    # NOTHING is viable, in which case fall back to least-implausible-first
-    any_viable = jnp.any(viable)
+    # inside NROY: pure space-filling (weight 1); outside: a small
+    # least-implausible-first fallback weight. The blend (rather than a
+    # hard 0/1 switch) matters when 0 < #viable < n_new: once every viable
+    # candidate is picked their distance factor is 0, and with 0/1 weights
+    # every remaining greedy score would tie at 0 — argmax would then
+    # return duplicate copies of pool[0]. With the blend the remaining
+    # picks fall through to well-spaced least-implausible points; eps is
+    # small enough that a viable candidate beats every fallback one.
     w_viable = viable.astype(pool.dtype)
     w_fallback = 1.0 / (1.0 + imp)
-    weights = jnp.where(any_viable, w_viable, w_fallback)
+    weights = w_viable + 1e-6 * w_fallback
     sel, scr = _greedy_maximin(pool, weights, n_new)
     return sel, scr, frac, imp
 

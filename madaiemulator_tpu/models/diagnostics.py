@@ -83,6 +83,25 @@ def _projected_precision_diag(st: GPPosteriorState) -> jax.Array:
     return cinv_diag - jnp.sum(W * Z.T, axis=1)
 
 
+def _loo_from_state(st: GPPosteriorState, y: jax.Array) -> LOOResult:
+    """LOO predictions from an existing factorization state (no refactor)."""
+    pdiag = _projected_precision_diag(st)
+    # SPD C + full-rank H (N > p) guarantee pdiag > 0; the floor only
+    # guards the gated-failure branch (ok=False) from dividing by ~0.
+    tiny = jnp.asarray(jnp.finfo(pdiag.dtype).tiny, pdiag.dtype)
+    pdiag = jnp.maximum(pdiag, tiny)
+    resid = st.alpha / pdiag
+    var = 1.0 / pdiag
+    nan = jnp.asarray(jnp.nan, pdiag.dtype)
+    return LOOResult(
+        mean=jnp.where(st.ok, y - resid, nan),
+        variance=jnp.where(st.ok, var, nan),
+        residual=jnp.where(st.ok, resid, nan),
+        standardized=jnp.where(st.ok, resid / jnp.sqrt(var), nan),
+        ok=st.ok,
+    )
+
+
 def loo_cv(
     params: GPParams, data: GPData, config: GPConfig
 ) -> LOOResult:
@@ -94,22 +113,7 @@ def loo_cv(
     N-refit loop in tests/test_diagnostics.py. jit-able and vmappable
     over a component/ensemble axis.
     """
-    st = _factor(data, params, config)
-    pdiag = _projected_precision_diag(st)
-    # SPD C + full-rank H (N > p) guarantee pdiag > 0; the floor only
-    # guards the gated-failure branch (ok=False) from dividing by ~0.
-    tiny = jnp.asarray(jnp.finfo(pdiag.dtype).tiny, pdiag.dtype)
-    pdiag = jnp.maximum(pdiag, tiny)
-    resid = st.alpha / pdiag
-    var = 1.0 / pdiag
-    nan = jnp.asarray(jnp.nan, pdiag.dtype)
-    return LOOResult(
-        mean=jnp.where(st.ok, data.y - resid, nan),
-        variance=jnp.where(st.ok, var, nan),
-        residual=jnp.where(st.ok, resid, nan),
-        standardized=jnp.where(st.ok, resid / jnp.sqrt(var), nan),
-        ok=st.ok,
-    )
+    return _loo_from_state(_factor(data, params, config), data.y)
 
 
 def validation_summary(
@@ -140,8 +144,12 @@ def validation_summary(
         "standardized_std": float(np.std(zed)),
         "coverage": float(np.mean(np.abs(zed) <= zcrit)),
         "coverage_target": float(interval),
+        # use the floored std (not the raw variance) so an exact-zero
+        # variance (e.g. nugget-free interpolation at a training point)
+        # cannot emit -inf / a numpy warning while the other summaries
+        # degrade gracefully
         "log_pseudo_likelihood": float(
-            np.sum(-0.5 * np.log(2.0 * np.pi * var) - 0.5 * zed**2)
+            np.sum(-0.5 * np.log(2.0 * np.pi) - np.log(std) - 0.5 * zed**2)
         ),
     }
 
@@ -216,7 +224,11 @@ def posterior_covariance(
         cov = cov + jnp.exp(params.log_nugget) * jnp.eye(
             Xs.shape[0], dtype=cov.dtype
         )
-    return mean, cov
+    # a state whose factorization failed (ok=False) carries placeholder
+    # factors — the algebra above would return a confidently-wrong matrix;
+    # gate to NaN so downstream draws are visibly invalid, matching loo_cv
+    nan = jnp.asarray(jnp.nan, mean.dtype)
+    return jnp.where(state.ok, mean, nan), jnp.where(state.ok, cov, nan)
 
 
 def sample_posterior(
@@ -263,10 +275,21 @@ def loo_cv_multivariate(emu) -> Tuple[LOOResult, jax.Array, jax.Array]:
     """
     from madaiemulator_tpu.models.multivariate import reconstruct_observables
 
-    def one(p, z):
-        return loo_cv(p, GPData(X=emu.X, y=z), emu.config)
+    # reuse the emulator's OWN factorization states rather than refactoring
+    # with the base-config jitter: a component the serve-time jitter rescue
+    # saved (multivariate._vmapped_states) would refactor non-SPD here and
+    # NaN out, and the states already hold everything the Dubrule identity
+    # needs — this validates exactly the model being served, at zero extra
+    # factorization cost. Matrix-free emulators (build_states=False loads)
+    # carry no states; they refactor densely as before.
+    states = getattr(emu, "states", None)
+    if states is not None:
+        res = jax.vmap(_loo_from_state)(states, emu.Z.T)  # fields (r, N)
+    else:
+        def one(p, z):
+            return loo_cv(p, GPData(X=emu.X, y=z), emu.config)
 
-    res = jax.vmap(one)(emu.params, emu.Z.T)  # fields (r, N)
+        res = jax.vmap(one)(emu.params, emu.Z.T)  # fields (r, N)
     loo_mean, loo_var = reconstruct_observables(
         res.mean, res.variance, emu.pca
     )  # (N, t) each
@@ -295,7 +318,15 @@ def loo_summary_multivariate(
     truncation error in the residuals (its variance is NOT in the emulator's
     error bars, so expect coverage to drop if truncation is material).
     """
-    _, loo_mean, loo_var = loo_cv_multivariate(emu)
+    res, loo_mean, loo_var = loo_cv_multivariate(emu)
+    ok = np.asarray(res.ok)
+    if not ok.all():
+        bad = np.flatnonzero(~ok).tolist()
+        raise ValueError(
+            f"LOO unavailable: component(s) {bad} have no valid "
+            "factorization (non-SPD even after the jitter rescue) — their "
+            "LOO fields are NaN and would silently poison the summary"
+        )
     if Y_true is None:
         Y_true = reconstruct_training_outputs(emu)
     return validation_summary(loo_mean, loo_var, Y_true, **kw)

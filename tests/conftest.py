@@ -39,3 +39,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The full suite compiles hundreds of distinct XLA CPU programs in one
+    process; keeping them all live has produced a segfault inside LLVM
+    JIT compilation deep into the run (observed in backend_compile_and_load
+    during test_native.py after ~190 tests — not reproducible in
+    isolation). Per-module cache clearing bounds the live-executable
+    footprint; each module still shares compilations internally, so the
+    suite-wide slowdown is minutes, not a per-test recompile storm.
+    """
+    yield
+    jax.clear_caches()

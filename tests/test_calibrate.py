@@ -564,3 +564,98 @@ def test_sharded_walkers_match_single_device(toy_emulator):
     )
     assert res.samples.shape == (40, 16, 2)
     assert np.all(np.isfinite(res.samples))
+
+
+def test_summary_aligned_with_discrepancy(toy_emulator):
+    """summary() vectors stay index-aligned with rhat/ess when a
+    discrepancy scale is sampled: its stats are the appended last entry."""
+    emu, _, _ = toy_emulator
+    y_exp = simulator(np.array([1.0, 0.8]))
+    res = calibrate.calibrate(
+        jax.random.key(7), emu, y_exp, np.full(3, 0.05**2),
+        n_walkers=16, n_steps=120, burn_in=40, discrepancy=True,
+    )
+    s = res.summary()
+    d1 = emu.X.shape[1] + 1
+    for k in ("mean", "std", "q05", "q50", "q95", "rhat", "ess"):
+        assert s[k].shape == (d1,), (k, s[k].shape)
+    np.testing.assert_allclose(
+        s["mean"][-1], res.discrepancy.reshape(-1).mean(), rtol=1e-12
+    )
+    # without discrepancy the vectors stay (d,)
+    res0 = calibrate.calibrate(
+        jax.random.key(7), emu, y_exp, np.full(3, 0.05**2),
+        n_walkers=16, n_steps=120, burn_in=40,
+    )
+    assert res0.summary()["mean"].shape == (emu.X.shape[1],)
+
+
+def test_ess_matches_independent_geyer_reference():
+    """effective_sample_size agrees with a direct O(S^2) Geyer
+    initial-positive-sequence implementation — including the boundary case
+    where every autocorrelation pair stays positive through the window
+    (regression: the last positive pair was dropped, inflating ESS exactly
+    for slowly-mixing chains)."""
+    rng = np.random.default_rng(3)
+    s, w = 16, 512
+
+    def reference_ess(c):
+        c = c - c.mean(axis=0, keepdims=True)
+        # unbiased-normalized autocovariance averaged over walkers
+        rho = np.empty(s)
+        for k in range(s):
+            prods = c[: s - k, :, 0] * c[k:, :, 0]
+            rho[k] = prods.sum() / ((s - k) * c.shape[1])
+        rho /= max(rho[0], np.finfo(np.float64).tiny)
+        pair = rho[: (s // 2) * 2].reshape(-1, 2).sum(axis=1)
+        tau = -1.0
+        for p in pair:
+            if p <= 0:
+                break
+            tau += 2.0 * p
+        tau = max(tau, 1.0)
+        return min(s * w / tau, s * w)
+
+    # white noise: truncates at the first noisy pair
+    white = rng.standard_normal((s, w, 1))
+    got = calibrate.effective_sample_size(white)[0]
+    assert np.isclose(got, reference_ess(white), rtol=1e-10), got
+    # strong AR(1): every pair positive through the window, the full tail
+    # must count
+    phi = 0.9
+    ar = np.empty((s, w, 1))
+    ar[0] = rng.standard_normal((w, 1))
+    for t in range(1, s):
+        ar[t] = phi * ar[t - 1] + np.sqrt(1 - phi**2) * rng.standard_normal(
+            (w, 1)
+        )
+    got = calibrate.effective_sample_size(ar)[0]
+    want = reference_ess(ar)
+    assert np.isclose(got, want, rtol=1e-10), (got, want)
+    assert want < 0.5 * s * w  # the case is actually slow-mixing
+
+
+def test_calibrate_rwm_freezes_adaptation_at_burnin(toy_emulator, monkeypatch):
+    """calibrate(sampler='rwm') adapts the step size only during burn-in so
+    every kept draw comes from the frozen (Markovian) kernel; an explicit
+    n_adapt still wins."""
+    emu, _, _ = toy_emulator
+    y_exp = simulator(np.array([1.0, 0.8]))
+    captured = {}
+    orig = calibrate.run_rwm
+
+    def spy(key, lp, x0, n_steps, **kw):
+        captured.update(kw)
+        return orig(key, lp, x0, n_steps, **kw)
+
+    monkeypatch.setattr(calibrate, "run_rwm", spy)
+    calibrate.calibrate(
+        jax.random.key(8), emu, y_exp, np.full(3, 0.05**2),
+        sampler="rwm", n_walkers=8, n_steps=60, burn_in=20,
+    )
+    assert captured["n_adapt"] == 20
+    calibrate.calibrate(
+        jax.random.key(8), emu, y_exp, np.full(3, 0.05**2),
+        sampler="rwm", n_walkers=8, n_steps=60, burn_in=20, n_adapt=5,
+    )
+    assert captured["n_adapt"] == 5

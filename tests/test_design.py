@@ -151,3 +151,43 @@ def test_wave_loop_shrinks_nroy(rng):
     )
     assert prop2.pool_fraction_viable <= frac0 * 1.5 + 0.02, (
         frac0, prop2.pool_fraction_viable)
+
+
+def test_nroy_partial_viable_no_duplicates(rng):
+    """0 < #viable < n_new: the viable points are picked first and the
+    remaining picks fall through to DISTINCT well-spaced least-implausible
+    points (regression: 0/1 weights made every post-viable greedy score tie
+    at 0, so argmax returned duplicate copies of pool[0])."""
+    X = rng.uniform(0.0, 2.0, size=(40, 2))
+    emu = fit_emu(X, rng)
+    y_exp = simulator(np.array([1.1, 0.6]))
+    exp_var = np.full(3, 0.05**2)
+    pool = jax.random.uniform(jax.random.key(11), (512, 2), dtype=emu.X.dtype)
+    xs_pool = pool  # already scaled coords
+    I_pool = np.asarray(implausibility(emu, y_exp, exp_var, xs_pool))
+    # threshold admitting exactly the 2 least-implausible pool points
+    srt = np.sort(I_pool)
+    thr = float(0.5 * (srt[1] + srt[2]))
+    prop = design.nroy_wave_design(
+        jax.random.key(5), emu, y_exp, exp_var, n_new=6, pool=pool,
+        threshold=thr,
+    )
+    assert np.isclose(prop.pool_fraction_viable, 2.0 / 512.0)
+    pts = prop.points
+    assert pts.shape == (6, 2)
+    # no duplicate picks
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    assert d2.min() > 1e-10, pts
+    # both viable pool points are in the batch
+    viable_idx = np.argsort(I_pool)[:2]
+    sel_scaled = np.asarray(
+        apply_scaling(jnp.asarray(pts, emu.X.dtype), emu.scaling)
+    )
+    for i in viable_idx:
+        gap = ((sel_scaled - np.asarray(pool)[i]) ** 2).sum(-1).min()
+        assert gap < 1e-10, (i, gap)
+    # the fall-through picks favor low implausibility vs the pool at large
+    I_sel = np.asarray(implausibility(emu, y_exp, exp_var,
+                                      jnp.asarray(sel_scaled, emu.X.dtype)))
+    assert I_sel.mean() < np.median(I_pool)
