@@ -36,6 +36,20 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
         Prints a per-parameter summary (mean, 90% interval, R-hat, ESS) to
         stderr and posterior draws to --output (default stdout).
 
+    interactive_emulator validate <state_file> [--model_file=M]
+        leave-one-out cross-validation of a trained emulator
+        (models/diagnostics.py: closed-form Dubrule identity — one
+        factorization, no N refits; the reference had no validation
+        tooling). Prints rmse / coverage / standardized-residual moments;
+        --output writes the per-point LOO table.
+
+    interactive_emulator design <state_file> [--method=variance|nroy]
+        proposes the next batch of simulator runs over the trained
+        emulator (models/design.py): 'variance' = batch active learning
+        at the emulator's uncertainty peaks; 'nroy' = a history-matching
+        wave inside the not-ruled-out-yet region (needs
+        --experiment_file). Points print in natural parameter space.
+
 The math runs through the same jit paths as the library API; the CLI is a
 thin shell. Training defaults to float64 on CPU for reference-grade
 numerics; pass --dtype=float32 to fit on an accelerator.
@@ -205,6 +219,77 @@ def _build_parser() -> argparse.ArgumentParser:
         "row, nparams columns, '#' header",
     )
     cal.add_argument("--quiet", action="store_true")
+
+    val = sub.add_parser(
+        "validate",
+        help="leave-one-out validation of a trained emulator",
+        description=(
+            "Closed-form leave-one-out cross-validation of the emulator in "
+            "the state file (Dubrule identity: one factorization per "
+            "component, no refits). By default residuals are scored "
+            "against the retained-PCA reconstruction of the training "
+            "outputs (GP error only); pass --model_file to score against "
+            "the raw training outputs, which additionally exposes PCA "
+            "truncation error (not covered by the emulator's error bars, "
+            "so coverage drops if truncation is material)."
+        ),
+    )
+    val.add_argument("state_file")
+    val.add_argument(
+        "--model_file", default=None, metavar="PATH",
+        help="the training model file; residuals then include PCA "
+        "truncation error",
+    )
+    val.add_argument(
+        "--interval", type=float, default=0.95,
+        help="central credible interval for the coverage metric",
+    )
+    val.add_argument(
+        "--output", default=None, metavar="PATH",
+        help="write the per-point LOO table (loo mean, loo variance, "
+        "truth per observable; '#' header)",
+    )
+    val.add_argument("--dtype", choices=["float64", "float32"],
+                     default="float64")
+
+    des = sub.add_parser(
+        "design",
+        help="propose the next batch of simulator runs",
+        description=(
+            "Sequential experimental design over the trained emulator. "
+            "--method=variance places runs at the emulator's largest "
+            "normalized predictive variance (batch active learning); "
+            "--method=nroy places a history-matching wave inside the "
+            "not-ruled-out-yet region screened by the implausibility "
+            "statistic against --experiment_file observations. Both pick "
+            "a greedy weighted-maximin batch from a Latin-hypercube "
+            "candidate pool in one compiled device program. Points are "
+            "written in natural parameter space, one row per run."
+        ),
+    )
+    des.add_argument("state_file")
+    des.add_argument(
+        "--method", choices=["variance", "nroy"], default="variance")
+    des.add_argument(
+        "--experiment_file", default=None, metavar="PATH",
+        help="observations for --method=nroy (calibrate's format)",
+    )
+    des.add_argument("--n_new", type=int, default=8,
+                     help="batch size: number of runs to propose")
+    des.add_argument("--pool_size", type=int, default=4096,
+                     help="Latin-hypercube candidate pool size")
+    des.add_argument(
+        "--threshold", type=float, default=3.0,
+        help="nroy: implausibility cutoff (3 = classic 3-sigma rule)",
+    )
+    des.add_argument("--seed", type=int, default=0)
+    des.add_argument("--dtype", choices=["float64", "float32"],
+                     default="float64")
+    des.add_argument(
+        "--output", default="-", metavar="PATH",
+        help="proposed points destination ('-' = stdout)",
+    )
+    des.add_argument("--quiet", action="store_true")
     return p
 
 
@@ -538,6 +623,153 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    dtype = _setup_jax(args.dtype)
+    import jax.numpy as jnp
+
+    from madaiemulator_tpu.io.snapshot import read_snapshot_auto
+    from madaiemulator_tpu.models.diagnostics import (
+        loo_cv_multivariate,
+        reconstruct_training_outputs,
+        validation_summary,
+    )
+
+    emu, param_names, output_names = read_snapshot_auto(
+        args.state_file, dtype=dtype
+    )
+    Y_true = None
+    if args.model_file is not None:
+        from madaiemulator_tpu.io.modelfile import read_model_file
+
+        mf = read_model_file(args.model_file)
+        if mf.Y.shape != (emu.X.shape[0], len(output_names)):
+            print(
+                f"error: model file holds {mf.Y.shape} outputs but the "
+                f"snapshot was trained on "
+                f"{(emu.X.shape[0], len(output_names))}",
+                file=sys.stderr,
+            )
+            return 2
+        Y_true = jnp.asarray(mf.Y, dtype=dtype)
+    try:
+        res, loo_mean, loo_var = loo_cv_multivariate(emu)
+        ok = np.asarray(res.ok)
+        if not ok.all():
+            raise ValueError(
+                f"component(s) {np.flatnonzero(~ok).tolist()} have no "
+                "valid factorization"
+            )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    if Y_true is None:
+        Y_true = reconstruct_training_outputs(emu)
+    s = validation_summary(loo_mean, loo_var, Y_true, interval=args.interval)
+    basis = (
+        "raw training outputs (incl. PCA truncation error)"
+        if args.model_file is not None
+        else "retained-PCA reconstruction (GP error only)"
+    )
+    print(f"# LOO validation vs {basis}: N={emu.X.shape[0]}, "
+          f"t={len(output_names)}, r={emu.n_components}")
+    for k, v in s.items():
+        print(f"{k} {v:.17g}")
+    if args.output is not None:
+        lm = np.asarray(loo_mean)
+        lv = np.asarray(loo_var)
+        yt = np.asarray(Y_true)
+        with open(args.output, "w") as f:
+            f.write(
+                "# per-point LOO: "
+                + " ".join(f"loo_mean_{s_}" for s_ in output_names)
+                + " "
+                + " ".join(f"loo_variance_{s_}" for s_ in output_names)
+                + " "
+                + " ".join(f"true_{s_}" for s_ in output_names)
+                + "\n"
+            )
+            for i in range(lm.shape[0]):
+                row = np.concatenate([lm[i], lv[i], yt[i]])
+                f.write(" ".join(f"{v:.17g}" for v in row) + "\n")
+    return 0
+
+
+def cmd_design(args) -> int:
+    dtype = _setup_jax(args.dtype)
+    import jax
+
+    from madaiemulator_tpu.io.snapshot import read_snapshot_auto
+    from madaiemulator_tpu.models.design import (
+        active_variance_design,
+        nroy_wave_design,
+    )
+
+    emu, param_names, output_names = read_snapshot_auto(
+        args.state_file, dtype=dtype
+    )
+    key = jax.random.key(args.seed)
+    if args.method == "nroy":
+        if args.experiment_file is None:
+            print(
+                "error: --method=nroy needs --experiment_file "
+                "(the observations that define implausibility)",
+                file=sys.stderr,
+            )
+            return 2
+        from madaiemulator_tpu.io.experiment import read_experiment_file
+
+        try:
+            y_exp, exp_var = read_experiment_file(args.experiment_file)
+        except ValueError as e:
+            print(f"error: bad experiment file: {e}", file=sys.stderr)
+            return 2
+        if y_exp.shape[0] != len(output_names):
+            print(
+                f"error: experiment file has {y_exp.shape[0]} "
+                f"observable(s) but the snapshot produces "
+                f"{len(output_names)}",
+                file=sys.stderr,
+            )
+            return 2
+        prop = nroy_wave_design(
+            key, emu, y_exp, exp_var, n_new=args.n_new,
+            threshold=args.threshold, pool_size=args.pool_size,
+        )
+        if not args.quiet:
+            print(
+                f"design: NROY wave, {100.0 * prop.pool_fraction_viable:.2f}%"
+                f" of the {args.pool_size}-point pool not ruled out at "
+                f"I <= {args.threshold:g}",
+                file=sys.stderr,
+            )
+            if prop.pool_fraction_viable == 0.0:
+                print(
+                    "warning: nothing in the pool is viable — the wave has "
+                    "converged or the threshold is tight; proposing "
+                    "least-implausible points instead",
+                    file=sys.stderr,
+                )
+    else:
+        prop = active_variance_design(
+            key, emu, n_new=args.n_new, pool_size=args.pool_size,
+        )
+        if not args.quiet:
+            print(
+                f"design: active-variance batch of {args.n_new} from a "
+                f"{args.pool_size}-point pool",
+                file=sys.stderr,
+            )
+    dest = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        dest.write("# proposed runs: " + " ".join(param_names) + "\n")
+        for row in prop.points:
+            dest.write(" ".join(f"{v:.17g}" for v in row) + "\n")
+    finally:
+        if dest is not sys.stdout:
+            dest.close()
+    return 0
+
+
 def cmd_print_thetas(args) -> int:
     _setup_jax("float64")
     from madaiemulator_tpu.io.snapshot import read_snapshot_auto
@@ -564,6 +796,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             return cmd_print_thetas(args)
         if args.command == "calibrate":
             return cmd_calibrate(args)
+        if args.command == "validate":
+            return cmd_validate(args)
+        if args.command == "design":
+            return cmd_design(args)
     except BrokenPipeError:
         # the pipe consumer went away (e.g. `| head`, or the MCMC driver
         # exited) — the conventional quiet SIGPIPE exit, not a traceback.

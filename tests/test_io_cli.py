@@ -351,3 +351,126 @@ def test_cli_unknown_covariance_errors(rng, tmp_path):
     )
     assert r.returncode == 2
     assert "covariance_fn" in r.stderr
+
+
+def _fit_mv_cli(tmp_path, rng):
+    """Fit a 3-observable emulator through the CLI; returns paths + data."""
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.txt"
+    X = rng.uniform(0.0, 2.0, size=(40, 2))
+    Y = np.stack(
+        [
+            np.sin(X[:, 0]) * np.cos(X[:, 1]),
+            X[:, 0] + X[:, 1] ** 2,
+            np.exp(-X[:, 0]) + 0.5 * X[:, 1],
+        ],
+        axis=1,
+    )
+    write_model_file(str(model), X, Y, ["a", "b"], ["o1", "o2", "o3"])
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(state),
+               "--regression_order=1", "--restarts=2", "--steps=30",
+               "--pca_variance=0.999", "--quiet"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    return model, state, X, Y
+
+
+def test_cli_validate(rng, tmp_path):
+    """`validate` prints the LOO calibration summary; --model_file scores
+    against raw outputs; --output writes the per-point table."""
+    model, state, X, Y = _fit_mv_cli(tmp_path, rng)
+    r = subprocess.run(
+        CLI + ["validate", str(state)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    got = dict(
+        l.split() for l in r.stdout.splitlines() if l and not l.startswith("#")
+    )
+    for k in ("n", "rmse", "coverage", "standardized_std",
+              "log_pseudo_likelihood"):
+        assert k in got, (k, r.stdout)
+    assert int(float(got["n"])) == X.shape[0] * Y.shape[1]
+    assert float(got["rmse"]) < 0.5  # smooth 40-pt problem: LOO tracks truth
+    assert "GP error only" in r.stdout
+
+    table = tmp_path / "loo.txt"
+    r = subprocess.run(
+        CLI + ["validate", str(state), f"--model_file={model}",
+               f"--output={table}", "--interval=0.9"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "truncation" in r.stdout
+    got2 = dict(
+        l.split() for l in r.stdout.splitlines() if l and not l.startswith("#")
+    )
+    assert float(got2["coverage_target"]) == 0.9
+    lines = table.read_text().splitlines()
+    assert lines[0].startswith("# per-point LOO: loo_mean_o1")
+    rows = [l.split() for l in lines[1:]]
+    assert len(rows) == X.shape[0] and len(rows[0]) == 3 * Y.shape[1]
+    lv = np.asarray([[float(v) for v in row] for row in rows])
+    assert np.all(lv[:, 3:6] >= 0)  # LOO variances
+    # the truth columns are the raw Y when --model_file is given
+    np.testing.assert_allclose(lv[:, 6:9], Y, rtol=1e-12)
+
+
+def test_cli_design_variance_and_nroy(rng, tmp_path):
+    """`design` proposes natural-space batches; nroy needs an experiment
+    file and reports the viable pool fraction."""
+    from madaiemulator_tpu.io.experiment import write_experiment_file
+
+    model, state, X, Y = _fit_mv_cli(tmp_path, rng)
+    r = subprocess.run(
+        CLI + ["design", str(state), "--n_new=4", "--pool_size=512"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "active-variance" in r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "# proposed runs: a b"
+    pts = np.asarray([[float(v) for v in l.split()] for l in lines[1:]])
+    assert pts.shape == (4, 2)
+    # natural space: inside the training design's bounding box
+    assert np.all(pts >= X.min(axis=0) - 1e-9)
+    assert np.all(pts <= X.max(axis=0) + 1e-9)
+    # distinct points
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    assert d2.min() > 1e-12
+
+    # nroy without observations is a clean usage error
+    r = subprocess.run(
+        CLI + ["design", str(state), "--method=nroy"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2
+    assert "experiment_file" in r.stderr and "Traceback" not in r.stderr
+
+    exp = tmp_path / "exp.txt"
+    theta_true = np.array([1.0, 0.8])
+    y_exp = np.array(
+        [
+            np.sin(theta_true[0]) * np.cos(theta_true[1]),
+            theta_true[0] + theta_true[1] ** 2,
+            np.exp(-theta_true[0]) + 0.5 * theta_true[1],
+        ]
+    )
+    write_experiment_file(str(exp), y_exp, np.full(3, 0.05**2))
+    out = tmp_path / "wave.txt"
+    r = subprocess.run(
+        CLI + ["design", str(state), "--method=nroy",
+               f"--experiment_file={exp}", "--n_new=6", "--pool_size=1024",
+               f"--output={out}"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "NROY wave" in r.stderr and "%" in r.stderr
+    lines = out.read_text().splitlines()
+    pts = np.asarray([[float(v) for v in l.split()] for l in lines[1:]])
+    assert pts.shape == (6, 2)
+    assert np.all(pts >= X.min(axis=0) - 1e-9)
+    assert np.all(pts <= X.max(axis=0) + 1e-9)
