@@ -50,6 +50,10 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
         wave inside the not-ruled-out-yet region (needs
         --experiment_file). Points print in natural parameter space.
 
+    interactive_emulator convert <in_state> <out_state>
+        re-encodes a snapshot between the text and .npz formats (chosen
+        by the output extension); payload-identical, exact f64 round trip.
+
 The math runs through the same jit paths as the library API; the CLI is a
 thin shell. Training defaults to float64 on CPU for reference-grade
 numerics; pass --dtype=float32 to fit on an accelerator.
@@ -290,6 +294,20 @@ def _build_parser() -> argparse.ArgumentParser:
         help="proposed points destination ('-' = stdout)",
     )
     des.add_argument("--quiet", action="store_true")
+
+    cvt = sub.add_parser(
+        "convert",
+        help="convert a state file between the text and npz formats",
+        description=(
+            "Re-encode a trained snapshot (text <-> .npz, chosen by the "
+            "output extension). The payload is identical — text stores "
+            "%.17g so f64 round-trips exactly — letting large fits saved "
+            "as .npz be served by text-only consumers (the C++ Emulator, "
+            "madai_query) and vice versa."
+        ),
+    )
+    cvt.add_argument("in_state")
+    cvt.add_argument("out_state")
     return p
 
 
@@ -770,6 +788,30 @@ def cmd_design(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    _setup_jax("float64")
+    from madaiemulator_tpu.io.snapshot import (
+        read_snapshot_auto,
+        write_snapshot_auto,
+    )
+
+    # container-only load: conversion re-encodes the payload and must not
+    # pay (or require memory for) the serve-time factorizations
+    emu, param_names, output_names = read_snapshot_auto(
+        args.in_state, build_states=False
+    )
+    write_snapshot_auto(
+        args.out_state, emu, param_names=param_names,
+        output_names=output_names,
+    )
+    print(
+        f"wrote {args.out_state}: {emu.n_components} component(s), "
+        f"N={emu.X.shape[0]}, d={emu.X.shape[1]}, t={len(output_names)}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_print_thetas(args) -> int:
     _setup_jax("float64")
     from madaiemulator_tpu.io.snapshot import read_snapshot_auto
@@ -800,6 +842,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             return cmd_validate(args)
         if args.command == "design":
             return cmd_design(args)
+        if args.command == "convert":
+            return cmd_convert(args)
     except BrokenPipeError:
         # the pipe consumer went away (e.g. `| head`, or the MCMC driver
         # exited) — the conventional quiet SIGPIPE exit, not a traceback.

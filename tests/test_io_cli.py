@@ -474,3 +474,37 @@ def test_cli_design_variance_and_nroy(rng, tmp_path):
     assert pts.shape == (6, 2)
     assert np.all(pts >= X.min(axis=0) - 1e-9)
     assert np.all(pts <= X.max(axis=0) + 1e-9)
+
+
+def test_cli_convert_round_trip(rng, tmp_path):
+    """convert re-encodes text <-> npz exactly (text stores %.17g, so the
+    text -> npz -> text round trip is byte-identical) and the converted
+    snapshot serves identical predictions."""
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.txt"
+    _make_model_file(model, rng)
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(state), "--restarts=2",
+               "--steps=30", "--quiet"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    npz = tmp_path / "state.npz"
+    back = tmp_path / "state2.txt"
+    for src, dst in ((state, npz), (npz, back)):
+        r = subprocess.run(
+            CLI + ["convert", str(src), str(dst)],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "wrote" in r.stderr
+    assert state.read_text() == back.read_text()
+    out = []
+    for s in (state, npz):
+        r = subprocess.run(
+            CLI + ["interactive_mode", str(s)],
+            input="0.3\n", capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+        out.append(r.stdout.splitlines()[5:])
+    assert out[0] == out[1]
