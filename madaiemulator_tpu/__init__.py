@@ -72,6 +72,8 @@ from madaiemulator_tpu.models.design import (
     nroy_wave_design,
 )
 from madaiemulator_tpu.models.diagnostics import (
+    holdout_cv_multivariate,
+    holdout_summary_multivariate,
     LOOResult,
     loo_cv,
     loo_cv_multivariate,
@@ -121,6 +123,8 @@ __all__ = [
     "active_variance_design",
     "nroy_wave_design",
     "LOOResult",
+    "holdout_cv_multivariate",
+    "holdout_summary_multivariate",
     "loo_cv",
     "loo_cv_multivariate",
     "loo_summary",

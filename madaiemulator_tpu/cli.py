@@ -41,7 +41,9 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
         (models/diagnostics.py: closed-form Dubrule identity — one
         factorization, no N refits; the reference had no validation
         tooling). Prints rmse / coverage / standardized-residual moments;
-        --output writes the per-point LOO table.
+        --output writes the per-point LOO table. At N past dense HBM use
+        --matrix_free --holdout=M (held-out block predicted through the
+        PCG serving path; no dense factorization anywhere).
 
     interactive_emulator design <state_file> [--method=variance|nroy]
         proposes the next batch of simulator runs over the trained
@@ -255,6 +257,25 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     val.add_argument("--dtype", choices=["float64", "float32"],
                      default="float64")
+    val.add_argument(
+        "--holdout", type=int, default=None, metavar="M",
+        help="holdout validation instead of closed-form LOO: hold out M "
+        "training points, rebuild the (matrix-free) serving state on the "
+        "rest, predict the held-out block. The validation route at N past "
+        "dense HBM (combine with --matrix_free)",
+    )
+    val.add_argument(
+        "--matrix_free", action="store_true",
+        help="never build dense factorizations (N past dense-HBM scale); "
+        "requires --holdout (closed-form LOO needs diag(C^-1), a "
+        "dense-only quantity)",
+    )
+    val.add_argument("--seed", type=int, default=0,
+                     help="holdout: PRNG seed for the held-out subset")
+    val.add_argument("--rank", type=int, default=64,
+                     help="holdout: preconditioner rank")
+    val.add_argument("--cg_tol", type=float, default=1e-6)
+    val.add_argument("--cg_max_iters", type=int, default=256)
 
     des = sub.add_parser(
         "design",
@@ -294,6 +315,16 @@ def _build_parser() -> argparse.ArgumentParser:
         help="proposed points destination ('-' = stdout)",
     )
     des.add_argument("--quiet", action="store_true")
+    des.add_argument(
+        "--matrix_free", action="store_true",
+        help="score the candidate pool through the matrix-free (PCG) "
+        "serving path instead of dense factorizations — the route at N "
+        "past dense-HBM scale",
+    )
+    des.add_argument("--rank", type=int, default=64,
+                     help="matrix-free: preconditioner rank")
+    des.add_argument("--cg_tol", type=float, default=1e-6)
+    des.add_argument("--cg_max_iters", type=int, default=256)
 
     cvt = sub.add_parser(
         "convert",
@@ -643,17 +674,26 @@ def cmd_calibrate(args) -> int:
 
 def cmd_validate(args) -> int:
     dtype = _setup_jax(args.dtype)
+    import jax
     import jax.numpy as jnp
 
     from madaiemulator_tpu.io.snapshot import read_snapshot_auto
     from madaiemulator_tpu.models.diagnostics import (
+        holdout_cv_multivariate,
         loo_cv_multivariate,
         reconstruct_training_outputs,
         validation_summary,
     )
 
+    if args.matrix_free and args.holdout is None:
+        print(
+            "error: --matrix_free requires --holdout M (closed-form LOO "
+            "needs diag(C^-1), a dense-only quantity)",
+            file=sys.stderr,
+        )
+        return 2
     emu, param_names, output_names = read_snapshot_auto(
-        args.state_file, dtype=dtype
+        args.state_file, dtype=dtype, build_states=not args.matrix_free
     )
     Y_true = None
     if args.model_file is not None:
@@ -670,25 +710,39 @@ def cmd_validate(args) -> int:
             return 2
         Y_true = jnp.asarray(mf.Y, dtype=dtype)
     try:
-        res, loo_mean, loo_var = loo_cv_multivariate(emu)
-        ok = np.asarray(res.ok)
-        if not ok.all():
-            raise ValueError(
-                f"component(s) {np.flatnonzero(~ok).tolist()} have no "
-                "valid factorization"
+        if args.holdout is not None:
+            idx, loo_mean, loo_var = holdout_cv_multivariate(
+                emu, jax.random.key(args.seed), args.holdout,
+                rank=args.rank, cg_tol=args.cg_tol,
+                cg_max_iters=args.cg_max_iters,
             )
+        else:
+            idx = None
+            res, loo_mean, loo_var = loo_cv_multivariate(emu)
+            ok = np.asarray(res.ok)
+            if not ok.all():
+                raise ValueError(
+                    f"component(s) {np.flatnonzero(~ok).tolist()} have no "
+                    "valid factorization"
+                )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     if Y_true is None:
         Y_true = reconstruct_training_outputs(emu)
+    if idx is not None:
+        Y_true = jnp.asarray(Y_true)[idx]
     s = validation_summary(loo_mean, loo_var, Y_true, interval=args.interval)
     basis = (
         "raw training outputs (incl. PCA truncation error)"
         if args.model_file is not None
         else "retained-PCA reconstruction (GP error only)"
     )
-    print(f"# LOO validation vs {basis}: N={emu.X.shape[0]}, "
+    kind = (
+        f"holdout({args.holdout}) validation" if idx is not None
+        else "LOO validation"
+    )
+    print(f"# {kind} vs {basis}: N={emu.X.shape[0]}, "
           f"t={len(output_names)}, r={emu.n_components}")
     for k, v in s.items():
         print(f"{k} {v:.17g}")
@@ -723,7 +777,12 @@ def cmd_design(args) -> int:
     )
 
     emu, param_names, output_names = read_snapshot_auto(
-        args.state_file, dtype=dtype
+        args.state_file, dtype=dtype, build_states=not args.matrix_free
+    )
+    iter_kwargs = (
+        dict(rank=args.rank, cg_tol=args.cg_tol,
+             cg_max_iters=args.cg_max_iters)
+        if args.matrix_free else {}
     )
     key = jax.random.key(args.seed)
     if args.method == "nroy":
@@ -752,6 +811,7 @@ def cmd_design(args) -> int:
         prop = nroy_wave_design(
             key, emu, y_exp, exp_var, n_new=args.n_new,
             threshold=args.threshold, pool_size=args.pool_size,
+            **iter_kwargs,
         )
         if not args.quiet:
             print(
@@ -770,6 +830,7 @@ def cmd_design(args) -> int:
     else:
         prop = active_variance_design(
             key, emu, n_new=args.n_new, pool_size=args.pool_size,
+            **iter_kwargs,
         )
         if not args.quiet:
             print(

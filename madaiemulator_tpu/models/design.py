@@ -97,12 +97,31 @@ def _variance_select(emu_states, emu_params, X, Z, pca, config, pool, n_new):
     return _greedy_maximin(pool, total_var, n_new)
 
 
+def _pool_moments_iterative(emu, pool: jax.Array, states, iter_kwargs):
+    """Observable-space (mean, var) over a scaled candidate pool for a
+    matrix-free (no dense states) emulator; the acquisition math downstream
+    is identical to the dense path's."""
+    from madaiemulator_tpu.models.multivariate import (
+        predict_multivariate_iterative,
+    )
+
+    return predict_multivariate_iterative(
+        emu, unapply_scaling(pool, emu.scaling), states=states,
+        **(iter_kwargs or {}),
+    )
+
+
+_greedy_maximin_jit = jax.jit(_greedy_maximin, static_argnames=("n_new",))
+
+
 def active_variance_design(
     key: jax.Array,
     emu: MultivariateEmulator,
     n_new: int,
     pool_size: int = 4096,
     pool: Optional[jax.Array] = None,
+    states=None,
+    **iter_kwargs,
 ) -> DesignProposal:
     """Next `n_new` simulator runs by batch active learning (max variance).
 
@@ -110,14 +129,27 @@ def active_variance_design(
     caller-supplied `pool`, scaled coords) is scored by total normalized
     predictive variance in one batched predict; the batch is then chosen
     greedily with a maximin spacing factor. Returns natural-space points.
+
+    Also accepts an IterativeMultivariateEmulator (matrix-free, N past
+    dense HBM): pool moments then come from the PCG serving path — pass
+    `states` from precompute_iterative_multivariate to reuse the training
+    solves across waves; iter_kwargs forward to the iterative predict.
     """
     if pool is None:
         pool = latin_hypercube(key, pool_size, emu.X.shape[1], dtype=emu.X.dtype)
     pool = jnp.asarray(pool, dtype=emu.X.dtype)
-    sel, scr = _variance_select(
-        emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config, pool,
-        int(n_new),
-    )
+    if getattr(emu, "states", None) is not None:
+        sel, scr = _variance_select(
+            emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config, pool,
+            int(n_new),
+        )
+    else:
+        _, var = _pool_moments_iterative(emu, pool, states, iter_kwargs)
+        w = jnp.maximum(
+            emu.pca.ystd.astype(var.dtype), jnp.finfo(var.dtype).tiny
+        )
+        total_var = jnp.sum(var / (w[None, :] ** 2), axis=-1)
+        sel, scr = _greedy_maximin_jit(pool, total_var, n_new=int(n_new))
     pts = unapply_scaling(pool[sel], emu.scaling)
     return DesignProposal(
         points=np.asarray(pts),
@@ -162,6 +194,8 @@ def nroy_wave_design(
     threshold: float = 3.0,
     pool_size: int = 8192,
     pool: Optional[jax.Array] = None,
+    states=None,
+    **iter_kwargs,
 ) -> DesignProposal:
     """Next wave of simulator runs for history matching.
 
@@ -172,6 +206,9 @@ def nroy_wave_design(
     the simulator to live. If the pool contains no viable point (the wave
     has converged, or the threshold is tight), falls back to the
     least-implausible points and reports pool_fraction_viable=0.
+
+    Also accepts an IterativeMultivariateEmulator (matrix-free) — see
+    active_variance_design for the `states` / iter_kwargs contract.
     """
     if pool is None:
         pool = latin_hypercube(key, pool_size, emu.X.shape[1], dtype=emu.X.dtype)
@@ -179,11 +216,20 @@ def nroy_wave_design(
     exp_var = jnp.asarray(exp_var, emu.X.dtype)
     if exp_var.ndim == 2:
         exp_var = jnp.diagonal(exp_var)
-    sel, scr, frac, _ = _nroy_select(
-        emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config,
-        jnp.asarray(y_exp, emu.X.dtype), exp_var, pool,
-        int(n_new), float(threshold),
-    )
+    y_exp = jnp.asarray(y_exp, emu.X.dtype)
+    if getattr(emu, "states", None) is not None:
+        sel, scr, frac, _ = _nroy_select(
+            emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config,
+            y_exp, exp_var, pool, int(n_new), float(threshold),
+        )
+    else:
+        mean, var = _pool_moments_iterative(emu, pool, states, iter_kwargs)
+        imp = implausibility_from_moments(mean, var, y_exp, exp_var)
+        viable = imp <= threshold
+        frac = jnp.mean(viable.astype(pool.dtype))
+        # same blended weights as _nroy_select (see comment there)
+        weights = viable.astype(pool.dtype) + 1e-6 / (1.0 + imp)
+        sel, scr = _greedy_maximin_jit(pool, weights, n_new=int(n_new))
     pts = unapply_scaling(pool[sel], emu.scaling)
     return DesignProposal(
         points=np.asarray(pts),

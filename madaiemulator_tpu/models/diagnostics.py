@@ -332,6 +332,86 @@ def loo_summary_multivariate(
     return validation_summary(loo_mean, loo_var, Y_true, **kw)
 
 
+def holdout_cv_multivariate(
+    emu,
+    key: jax.Array,
+    n_holdout: int,
+    rank: int = 64,
+    cg_tol: float = 1e-6,
+    cg_max_iters: int = 256,
+    jitter: Optional[float] = None,
+    query_chunk: int = 1024,
+    row_chunk: int = 2048,
+) -> Tuple[np.ndarray, jax.Array, jax.Array]:
+    """Held-out validation at matrix-free scale: (indices, mean, var).
+
+    Exact LOO (loo_cv_multivariate) needs diag(C^-1) — a dense-only
+    quantity. Past dense-HBM N the standard substitute is holdout
+    validation: sample `n_holdout` training points, rebuild the matrix-free
+    serving state on the remaining N-m points (training SOLVES only —
+    hyperparameters stay fixed, exactly like LOO's convention), and predict
+    the held-out block. Works for both IterativeMultivariateEmulator and
+    dense MultivariateEmulator (same per-component engine either way); cost
+    is one preconditioner + PCG training solve per component on N-m points
+    plus one predict.
+
+    Returns (held-out indices (m,), observable-space mean (m, t),
+    variance (m, t)).
+    """
+    from madaiemulator_tpu.models.iterative import (
+        precompute_iterative_predictor,
+        predict_iterative_from_state,
+    )
+    from madaiemulator_tpu.models.multivariate import reconstruct_observables
+
+    N = emu.X.shape[0]
+    if not 0 < n_holdout < N:
+        raise ValueError(f"n_holdout={n_holdout} must lie in (0, {N})")
+    perm = np.asarray(jax.device_get(jax.random.permutation(key, N)))
+    hold, keep = perm[:n_holdout], perm[n_holdout:]
+    Xk, Xh = emu.X[keep], emu.X[hold]
+    ms, vs = [], []
+    for i in range(emu.n_components):
+        p = jax.tree.map(lambda a: a[i], emu.params)
+        d = GPData(X=Xk, y=emu.Z[keep, i])
+        st = precompute_iterative_predictor(
+            p, d, emu.config, rank=rank, cg_tol=cg_tol,
+            cg_max_iters=cg_max_iters, jitter=jitter, row_chunk=row_chunk,
+        )
+        m_i, v_i = predict_iterative_from_state(
+            st, d, Xh, query_chunk=query_chunk, row_chunk=row_chunk,
+        )
+        ms.append(m_i)
+        vs.append(v_i)
+    mean, var = reconstruct_observables(
+        jnp.stack(ms), jnp.stack(vs), emu.pca
+    )  # (m, t)
+    return hold, mean, var
+
+
+def holdout_summary_multivariate(
+    emu,
+    key: jax.Array,
+    n_holdout: int,
+    Y_true: Optional[jax.Array] = None,
+    interval: float = 0.95,
+    **kw,
+) -> Dict[str, float]:
+    """Observable-space holdout calibration summary (matrix-free scale).
+
+    Y_true semantics match loo_summary_multivariate: defaults to the
+    retained-subspace reconstruction (GP error only); pass the raw (N, t)
+    training Y to include PCA truncation error. kw forwards to
+    holdout_cv_multivariate (rank, cg_tol, cg_max_iters, jitter,
+    query_chunk, row_chunk).
+    """
+    hold, mean, var = holdout_cv_multivariate(emu, key, n_holdout, **kw)
+    if Y_true is None:
+        Y_true = reconstruct_training_outputs(emu)
+    Y_true = jnp.asarray(Y_true)[hold]
+    return validation_summary(mean, var, Y_true, interval=interval)
+
+
 def sample_multivariate_posterior(
     emu, Xs_raw: jax.Array, key: jax.Array, num_samples: int
 ) -> jax.Array:

@@ -191,3 +191,36 @@ def test_nroy_partial_viable_no_duplicates(rng):
     I_sel = np.asarray(implausibility(emu, y_exp, exp_var,
                                       jnp.asarray(sel_scaled, emu.X.dtype)))
     assert I_sel.mean() < np.median(I_pool)
+
+
+def test_design_matrix_free_matches_dense(rng):
+    """Both acquisitions accept an IterativeMultivariateEmulator: at tight
+    CG tolerance the matrix-free pool moments reproduce the dense ones, so
+    the selected batches are identical."""
+    from madaiemulator_tpu.models.multivariate import (
+        IterativeMultivariateEmulator,
+    )
+
+    X = rng.uniform(0.0, 1.0, size=(40, 2))
+    emu = fit_emu(X, rng)
+    it = IterativeMultivariateEmulator(
+        scaling=emu.scaling, X=emu.X, Z=emu.Z, pca=emu.pca,
+        params=emu.params, config=emu.config,
+    )
+    pool = jax.random.uniform(jax.random.key(3), (256, 2), dtype=emu.X.dtype)
+    kw = dict(rank=16, cg_tol=1e-12, cg_max_iters=512)
+    pd = design.active_variance_design(jax.random.key(1), emu, n_new=5, pool=pool)
+    pi = design.active_variance_design(
+        jax.random.key(1), it, n_new=5, pool=pool, **kw
+    )
+    np.testing.assert_allclose(pi.points, pd.points, rtol=1e-7, atol=1e-9)
+    y_exp = simulator(np.array([0.6, 0.4]))
+    exp_var = np.full(3, 0.05**2)
+    pdn = design.nroy_wave_design(
+        jax.random.key(2), emu, y_exp, exp_var, n_new=5, pool=pool
+    )
+    pin = design.nroy_wave_design(
+        jax.random.key(2), it, y_exp, exp_var, n_new=5, pool=pool, **kw
+    )
+    np.testing.assert_allclose(pin.points, pdn.points, rtol=1e-7, atol=1e-9)
+    assert np.isclose(pin.pool_fraction_viable, pdn.pool_fraction_viable)

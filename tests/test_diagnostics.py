@@ -310,3 +310,72 @@ def test_loo_multivariate_validates_served_states(rng):
     np.testing.assert_allclose(
         np.asarray(res2.mean), np.asarray(res.mean), rtol=1e-7, atol=1e-9
     )
+
+
+def test_holdout_cv_matches_dense_subset_predictions(rng):
+    """Matrix-free holdout validation == dense predict-from-subset at tight
+    CG tolerance: the held-out moments are the same math, solved
+    iteratively. Exercised through an IterativeMultivariateEmulator (no
+    dense states anywhere on the path)."""
+    from madaiemulator_tpu.models.multivariate import (
+        IterativeMultivariateEmulator,
+        reconstruct_observables,
+    )
+
+    emu, X, Y = make_multivariate(rng, n=30, t=4)
+    it = IterativeMultivariateEmulator(
+        scaling=emu.scaling, X=emu.X, Z=emu.Z, pca=emu.pca,
+        params=emu.params, config=emu.config,
+    )
+    hold, mean, var = diagnostics.holdout_cv_multivariate(
+        it, jax.random.key(0), 6, rank=16, cg_tol=1e-12, cg_max_iters=512,
+    )
+    assert hold.shape == (6,) and len(np.unique(hold)) == 6
+    keep = np.setdiff1d(np.arange(30), hold)
+    ms, vs = [], []
+    for i in range(emu.n_components):
+        p = jax.tree.map(lambda a: a[i], emu.params)
+        sub = GPData(X=emu.X[keep], y=emu.Z[keep, i])
+        st = _factor(sub, p, emu.config)
+        m_i, v_i = predict_from_precomputed(
+            st, p, sub, emu.X[hold], emu.config
+        )
+        ms.append(m_i)
+        vs.append(v_i)
+    mean_ref, var_ref = reconstruct_observables(
+        jnp.stack(ms), jnp.stack(vs), emu.pca
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(mean_ref), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(var), np.asarray(var_ref), rtol=1e-4, atol=1e-10
+    )
+
+
+def test_holdout_summary_multivariate(rng):
+    """Summary scores the held-out block only; Y_true=raw includes PCA
+    truncation; bad n_holdout rejected."""
+    from madaiemulator_tpu.models.multivariate import (
+        IterativeMultivariateEmulator,
+    )
+
+    emu, X, Y = make_multivariate(rng, n=30, t=4)
+    it = IterativeMultivariateEmulator(
+        scaling=emu.scaling, X=emu.X, Z=emu.Z, pca=emu.pca,
+        params=emu.params, config=emu.config,
+    )
+    s = diagnostics.holdout_summary_multivariate(
+        it, jax.random.key(1), 5, rank=16, cg_tol=1e-10, cg_max_iters=512,
+    )
+    assert s["n"] == 5 * 4
+    assert np.isfinite(s["rmse"]) and np.isfinite(s["log_pseudo_likelihood"])
+    s2 = diagnostics.holdout_summary_multivariate(
+        it, jax.random.key(1), 5, Y_true=jnp.asarray(Y),
+        rank=16, cg_tol=1e-10, cg_max_iters=512,
+    )
+    assert s2["n"] == 5 * 4 and np.isfinite(s2["rmse"])
+    with pytest.raises(ValueError, match="n_holdout"):
+        diagnostics.holdout_cv_multivariate(it, jax.random.key(0), 0)
+    with pytest.raises(ValueError, match="n_holdout"):
+        diagnostics.holdout_cv_multivariate(it, jax.random.key(0), 30)

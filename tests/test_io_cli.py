@@ -508,3 +508,54 @@ def test_cli_convert_round_trip(rng, tmp_path):
         assert r.returncode == 0, r.stderr
         out.append(r.stdout.splitlines()[5:])
     assert out[0] == out[1]
+
+
+def test_cli_validate_design_matrix_free(rng, tmp_path):
+    """--matrix_free routes validate (--holdout) and design through the
+    iterative path end to end on an iterative-fit .npz snapshot."""
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.npz"
+    X = rng.uniform(0.0, 2.0, size=(40, 2))
+    Y = np.stack(
+        [np.sin(X[:, 0]) * np.cos(X[:, 1]), X[:, 0] + X[:, 1] ** 2], axis=1
+    )
+    write_model_file(str(model), X, Y, ["a", "b"], ["o1", "o2"])
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(state),
+               "--fit_method=iterative", "--regression_order=1",
+               "--restarts=2", "--steps=25", "--pca_variance=0.999",
+               "--rank=16", "--quiet"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        CLI + ["validate", str(state), "--matrix_free", "--holdout=8",
+               "--rank=16"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "holdout(8) validation" in r.stdout
+    got = dict(
+        l.split() for l in r.stdout.splitlines() if l and not l.startswith("#")
+    )
+    assert int(float(got["n"])) == 8 * 2
+    assert float(got["rmse"]) < 0.5
+    # LOO without --holdout under --matrix_free is a clean usage error
+    r = subprocess.run(
+        CLI + ["validate", str(state), "--matrix_free"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "--holdout" in r.stderr
+    r = subprocess.run(
+        CLI + ["design", str(state), "--matrix_free", "--n_new=3",
+               "--pool_size=128", "--rank=16"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    pts = np.asarray(
+        [[float(v) for v in l.split()]
+         for l in r.stdout.splitlines() if not l.startswith("#")]
+    )
+    assert pts.shape == (3, 2)
+    assert np.all(pts >= X.min(axis=0) - 1e-9)
+    assert np.all(pts <= X.max(axis=0) + 1e-9)
