@@ -225,6 +225,16 @@ def _build_parser() -> argparse.ArgumentParser:
         "row, nparams columns, '#' header",
     )
     cal.add_argument("--quiet", action="store_true")
+    cal.add_argument(
+        "--matrix_free", action="store_true",
+        help="calibrate a matrix-free snapshot in-graph: walker moments "
+        "come from the cached PCG serving state (GEMM-only Woodbury "
+        "variance) — the route at N past dense HBM",
+    )
+    cal.add_argument("--rank", type=int, default=64,
+                     help="matrix-free: preconditioner rank")
+    cal.add_argument("--cg_tol", type=float, default=1e-6)
+    cal.add_argument("--cg_max_iters", type=int, default=256)
 
     val = sub.add_parser(
         "validate",
@@ -604,8 +614,18 @@ def cmd_calibrate(args) -> int:
     from madaiemulator_tpu.models.calibrate import calibrate
 
     emu, param_names, output_names = read_snapshot_auto(
-        args.state_file, dtype=dtype
+        args.state_file, dtype=dtype, build_states=not args.matrix_free
     )
+    states = None
+    if args.matrix_free:
+        from madaiemulator_tpu.models.multivariate import (
+            precompute_iterative_multivariate,
+        )
+
+        states = precompute_iterative_multivariate(
+            emu, rank=args.rank, cg_tol=args.cg_tol,
+            cg_max_iters=args.cg_max_iters,
+        )
     try:
         y_exp, exp_var = read_experiment_file(args.experiment_file)
     except ValueError as e:
@@ -623,7 +643,7 @@ def cmd_calibrate(args) -> int:
             jax.random.key(args.seed), emu, y_exp, exp_var,
             n_walkers=args.n_walkers, n_steps=args.n_steps,
             burn_in=args.burn_in, thin=args.thin, sampler=args.sampler,
-            discrepancy=args.discrepancy,
+            discrepancy=args.discrepancy, states=states,
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

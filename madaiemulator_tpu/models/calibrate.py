@@ -96,6 +96,8 @@ def make_log_posterior(
     log_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
     discrepancy: bool = False,
     discrepancy_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
+    states=None,
+    variance_method: str = "precond",
 ) -> Callable[[jax.Array], jax.Array]:
     """Batched log-posterior over SCALED coordinates: (W, d[+1]) -> (W,).
 
@@ -126,6 +128,20 @@ def make_log_posterior(
     not be trusted); s is unconstrained. `log_prior` adds an optional
     traceable log-density evaluated on NATURAL theta coordinates on top.
     Returns -inf outside the box.
+
+    Matrix-free emulators (IterativeMultivariateEmulator, N past dense
+    HBM) are calibrated in-graph too: pass `states` from
+    precompute_iterative_multivariate and every walker-batch moment
+    evaluation becomes cached-state GEMMs — mean exactly as served, and
+    (default `variance_method="precond"`) the preconditioner's Woodbury
+    variance, which is PCG-free so the whole chain still compiles to one
+    scan. The precond variance is a LOWER bound on the emulator's
+    predictive variance (tightens with preconditioner rank), so the
+    marginalized likelihood is slightly overconfident about the emulator —
+    acceptable for MCMC where emulator variance is a smoothing term;
+    `variance_method="exact"` runs the per-step PCG solve instead (small-N
+    only: wide-RHS PCG at large N is both slow inside a chain and a known
+    TPU-worker crash trigger, docs/ROUND3.md).
     """
     y_exp = jnp.asarray(y_exp, dtype=emu.X.dtype)
     exp_cov = jnp.asarray(exp_cov, dtype=emu.X.dtype)
@@ -137,6 +153,38 @@ def make_log_posterior(
     log2pi = float(np.log(2.0 * np.pi))
     d_theta = emu.X.shape[1]
     ystd2 = (emu.pca.ystd.astype(emu.X.dtype)) ** 2  # (t,)
+
+    if getattr(emu, "states", None) is not None:
+
+        def moments(xq):
+            m_pc, v_pc = _predict_components(
+                emu.states, emu.params, emu.X, emu.Z, xq, emu.config
+            )
+            return reconstruct_observables(m_pc, v_pc, emu.pca)
+
+    else:
+        if states is None:
+            raise ValueError(
+                "matrix-free calibration needs the serving cache: pass "
+                "states=precompute_iterative_multivariate(emu, ...)"
+            )
+        from madaiemulator_tpu.models.gp import GPData
+        from madaiemulator_tpu.models.iterative import (
+            predict_iterative_from_state,
+        )
+
+        def moments(xq):
+            ms, vs = [], []
+            for i in range(emu.n_components):
+                m_i, v_i = predict_iterative_from_state(
+                    states[i], GPData(X=emu.X, y=emu.Z[:, i]), xq,
+                    query_chunk=4096, variance_method=variance_method,
+                )
+                ms.append(m_i)
+                vs.append(v_i)
+            return reconstruct_observables(
+                jnp.stack(ms), jnp.stack(vs), emu.pca
+            )
     if discrepancy_prior is None:
         _loc, _scale = float(np.log(0.05)), 1.5
 
@@ -150,10 +198,7 @@ def make_log_posterior(
         # evaluate the emulator at in-box points only in spirit: clip the
         # query (keeps the math finite everywhere) and gate with -inf below.
         xq = jnp.clip(x, 0.0, 1.0)
-        m_pc, v_pc = _predict_components(
-            emu.states, emu.params, emu.X, emu.Z, xq, emu.config
-        )
-        mean, var = reconstruct_observables(m_pc, v_pc, emu.pca)  # (W, t)
+        mean, var = moments(xq)  # (W, t)
         if discrepancy:
             s = x_full[:, d_theta]  # (W,)
             var = var + jnp.exp(2.0 * s)[:, None] * ystd2[None, :]
@@ -563,20 +608,31 @@ def init_walkers(
     start (and keeps every walker inside the box prior's support). `extra0`
     appends unconstrained trailing coordinates (e.g. the sampled
     discrepancy log-scale) initialized at the given values plus jitter."""
+    k_sub, key = jax.random.split(jnp.asarray(key))
+    N = emu.X.shape[0]
+    score_cap = 2048
+    if N > score_cap:
+        # scoring every design point costs an (N, t) moments pass — at
+        # matrix-free N that is an N x N cross-covariance; a random subset
+        # locates high-posterior seeds just as well
+        sub = jax.random.choice(k_sub, N, shape=(score_cap,), replace=False)
+        X_seed = emu.X[sub]
+    else:
+        X_seed = emu.X
     if extra0 is not None:
         extra0 = jnp.asarray(extra0, emu.X.dtype).reshape(-1)  # (e,)
         X_score = jnp.concatenate(
-            [emu.X, jnp.broadcast_to(extra0, (emu.X.shape[0],) + extra0.shape)],
+            [X_seed, jnp.broadcast_to(extra0, (X_seed.shape[0],) + extra0.shape)],
             axis=1,
         )
     else:
-        X_score = emu.X
-    lp_design = log_post(X_score)  # (N,)
-    k = min(n_best, emu.X.shape[0])
+        X_score = X_seed
+    lp_design = log_post(X_score)  # (n_score,)
+    k = min(n_best, X_seed.shape[0])
     _, top = jax.lax.top_k(lp_design, k)
     k_pick, k_jit, k_ex = jax.random.split(key, 3)
     pick = jax.random.choice(k_pick, top, shape=(n_walkers,))
-    x0 = emu.X[pick] + jitter * jax.random.normal(
+    x0 = X_seed[pick] + jitter * jax.random.normal(
         k_jit, (n_walkers, emu.X.shape[1]), dtype=emu.X.dtype
     )
     x0 = jnp.clip(x0, 1e-6, 1.0 - 1e-6)
@@ -601,6 +657,8 @@ def calibrate(
     log_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
     discrepancy: bool = False,
     discrepancy_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
+    states=None,
+    variance_method: str = "precond",
     **sampler_kwargs,
 ) -> CalibrationResult:
     """Calibrate simulator parameters against observations `y_exp`.
@@ -621,6 +679,13 @@ def calibrate(
     Multi-chip: pass `mesh=<jax.sharding.Mesh>` in `sampler_kwargs` to
     shard the walker axis over devices (every sampler supports it); the
     chain is identical to the single-device run.
+
+    Matrix-free: an IterativeMultivariateEmulator calibrates in-graph too —
+    the serving cache is built once (auto, or pass `states` to reuse one)
+    and each step's walker-batch moments are cached-state GEMMs with the
+    PCG-free Woodbury variance (see make_log_posterior on
+    `variance_method`). The reference's pipe architecture is the only
+    alternative at this N, and it pays two host round-trips per step.
     """
     if burn_in is None:
         burn_in = n_steps // 4
@@ -631,9 +696,16 @@ def calibrate(
         # would leave step-size adaptation running into the kept draws,
         # making the kept chain non-Markovian
         sampler_kwargs.setdefault("n_adapt", burn_in)
+    if getattr(emu, "states", None) is None and states is None:
+        from madaiemulator_tpu.models.multivariate import (
+            precompute_iterative_multivariate,
+        )
+
+        states = precompute_iterative_multivariate(emu)
     log_post = make_log_posterior(
         emu, y_exp, exp_cov, log_prior=log_prior, discrepancy=discrepancy,
-        discrepancy_prior=discrepancy_prior,
+        discrepancy_prior=discrepancy_prior, states=states,
+        variance_method=variance_method,
     )
     k_init, k_run = jax.random.split(jnp.asarray(key))
     extra0 = jnp.asarray([np.log(0.05)]) if discrepancy else None

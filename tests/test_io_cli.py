@@ -559,3 +559,27 @@ def test_cli_validate_design_matrix_free(rng, tmp_path):
     assert pts.shape == (3, 2)
     assert np.all(pts >= X.min(axis=0) - 1e-9)
     assert np.all(pts <= X.max(axis=0) + 1e-9)
+    # in-graph calibration through the matrix-free serving cache
+    from madaiemulator_tpu.io.experiment import write_experiment_file
+
+    exp = tmp_path / "exp.txt"
+    th = np.array([1.0, 0.8])
+    write_experiment_file(
+        str(exp),
+        [np.sin(th[0]) * np.cos(th[1]), th[0] + th[1] ** 2],
+        np.full(2, 0.05**2),
+    )
+    r = subprocess.run(
+        CLI + ["calibrate", str(state), str(exp), "--matrix_free",
+               "--rank=16", "--n_walkers=12", "--n_steps=200",
+               "--burn_in=80", "--output=-"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "acceptance" in r.stderr
+    draws = np.asarray(
+        [[float(v) for v in l.split()]
+         for l in r.stdout.splitlines() if not l.startswith("#")]
+    )
+    assert draws.shape == (120 * 12, 2)
+    assert np.all(np.abs(draws.mean(axis=0) - th) < 0.3), draws.mean(axis=0)
