@@ -767,7 +767,8 @@ def implausibility_from_moments(
 
 
 def implausibility(
-    emu: MultivariateEmulator, y_exp, exp_cov, thetas_scaled: jax.Array
+    emu: MultivariateEmulator, y_exp, exp_cov, thetas_scaled: jax.Array,
+    states=None,
 ) -> jax.Array:
     """Max-over-observables implausibility I(theta) for history matching.
 
@@ -777,13 +778,23 @@ def implausibility(
     3-sigma rule); iterating design refinement on the NROY ("not ruled out
     yet") region is the wave-based history-matching loop that typically
     precedes full-Bayes calibration on expensive simulators. Batched and
-    jittable: (W, d) scaled -> (W,)."""
+    jittable: (W, d) scaled -> (W,). Matrix-free emulators screen through
+    the PCG serving path (pass `states` to reuse a cache across waves)."""
     y_exp = jnp.asarray(y_exp, dtype=emu.X.dtype)
     exp_cov = jnp.asarray(exp_cov, dtype=emu.X.dtype)
     s2 = jnp.diagonal(exp_cov) if exp_cov.ndim == 2 else exp_cov
-    m_pc, v_pc = _predict_components(
-        emu.states, emu.params, emu.X, emu.Z, jnp.atleast_2d(thetas_scaled),
-        emu.config,
-    )
-    mean, var = reconstruct_observables(m_pc, v_pc, emu.pca)
+    xq = jnp.atleast_2d(thetas_scaled)
+    if getattr(emu, "states", None) is not None:
+        m_pc, v_pc = _predict_components(
+            emu.states, emu.params, emu.X, emu.Z, xq, emu.config
+        )
+        mean, var = reconstruct_observables(m_pc, v_pc, emu.pca)
+    else:
+        from madaiemulator_tpu.models.multivariate import (
+            predict_multivariate_iterative,
+        )
+
+        mean, var = predict_multivariate_iterative(
+            emu, unapply_scaling(xq, emu.scaling), states=states
+        )
     return implausibility_from_moments(mean, var, y_exp, s2)

@@ -736,3 +736,24 @@ def test_calibrate_matrix_free_recovers_truth(toy_emulator):
     assert np.all(np.isfinite(res.samples))
     err = np.abs(res.samples.reshape(-1, 2).mean(axis=0) - theta_true)
     assert np.all(err < 0.25), (res.samples.mean(axis=(0, 1)), res.rhat)
+
+
+def test_implausibility_matrix_free_matches_dense(toy_emulator):
+    emu, X, _ = toy_emulator
+    it = _iterative_twin(emu)
+    from madaiemulator_tpu.models.multivariate import (
+        precompute_iterative_multivariate,
+    )
+
+    y_exp = simulator(np.array([1.0, 0.8]))
+    s2 = np.full(3, 0.05**2)
+    rng = np.random.default_rng(4)
+    xs = jnp.asarray(rng.uniform(0.05, 0.95, size=(10, 2)), emu.X.dtype)
+    I_dense = calibrate.implausibility(emu, y_exp, s2, xs)
+    st = precompute_iterative_multivariate(
+        it, rank=emu.X.shape[0], cg_tol=1e-12, cg_max_iters=1024
+    )
+    I_iter = calibrate.implausibility(it, y_exp, s2, xs, states=st)
+    np.testing.assert_allclose(
+        np.asarray(I_iter), np.asarray(I_dense), rtol=1e-5, atol=1e-6
+    )
