@@ -74,6 +74,8 @@ from madaiemulator_tpu.models.design import (
 from madaiemulator_tpu.models.diagnostics import (
     holdout_cv_multivariate,
     holdout_summary_multivariate,
+    posterior_covariance_iterative,
+    sample_multivariate_posterior_iterative,
     LOOResult,
     loo_cv,
     loo_cv_multivariate,
@@ -125,6 +127,8 @@ __all__ = [
     "LOOResult",
     "holdout_cv_multivariate",
     "holdout_summary_multivariate",
+    "posterior_covariance_iterative",
+    "sample_multivariate_posterior_iterative",
     "loo_cv",
     "loo_cv_multivariate",
     "loo_summary",

@@ -412,6 +412,101 @@ def holdout_summary_multivariate(
     return validation_summary(mean, var, Y_true, interval=interval)
 
 
+def posterior_covariance_iterative(
+    state, data: GPData, Xs: jax.Array, col_chunk: int = 128
+) -> Tuple[jax.Array, jax.Array]:
+    """Matrix-free posterior mean (m,) + FULL covariance (m, m).
+
+    Same algebra as `posterior_covariance` but every N-dimensional solve
+    goes through the cached IterativePosteriorState's PCG instead of a
+    dense factorization: Sigma = K** − K*ᵀ C⁻¹K* + Gᵀ A⁻¹ G with
+    G = Hsᵀ − CiHᵀ K*. Only the m x m result is materialized — the N-side
+    never builds an N x N buffer, so joint draws work at N past dense HBM.
+    The C⁻¹K* solve runs `col_chunk` right-hand sides at a time (wide-RHS
+    PCG is a known TPU-worker crash trigger at large N — docs/ROUND3.md).
+    """
+    from madaiemulator_tpu.models.iterative import _matvec_for, pcg_solve
+
+    params, config = state.params, state.config
+    Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
+    Hs = regression_basis(Xs, config.regression_order)  # (m, p)
+    hi = jax.lax.Precision.HIGHEST
+    mean = jnp.dot(Hs, state.beta) + jnp.dot(
+        Ks.T, state.alpha, precision=hi
+    )
+    mv = _matvec_for(params, data, config, None, 2048)
+    m = Xs.shape[0]
+    chunk = min(col_chunk, m)
+    pad = (-m) % chunk
+    Ksp = jnp.pad(Ks, ((0, 0), (0, pad))) if pad else Ks
+
+    def solve_cols(B):
+        S, _, _ = pcg_solve(
+            mv, B, state.pre, tol=state.cg_tol,
+            max_iters=state.cg_max_iters,
+        )
+        return S
+
+    CiKs = jax.lax.map(
+        solve_cols, jnp.moveaxis(Ksp.reshape(Ks.shape[0], -1, chunk), 1, 0)
+    )  # (n_chunks, N, chunk)
+    CiKs = jnp.moveaxis(CiKs, 0, 1).reshape(Ks.shape[0], -1)[:, :m]
+    Kss = kernels.cross_covariance(Xs, Xs, params, config)
+    cov = Kss - jnp.dot(Ks.T, CiKs, preferred_element_type=Ks.dtype,
+                        precision=hi)
+    G = Hs.T - jnp.dot(state.CiH.T, Ks, precision=hi)  # (p, m)
+    W = jax.lax.linalg.triangular_solve(
+        state.LA, G, left_side=True, lower=True
+    )
+    cov = cov + jnp.dot(W.T, W, preferred_element_type=W.dtype, precision=hi)
+    cov = 0.5 * (cov + cov.T)
+    if config.predict_variance_includes_nugget:
+        cov = cov + jnp.exp(params.log_nugget) * jnp.eye(m, dtype=cov.dtype)
+    return mean, cov
+
+
+def sample_multivariate_posterior_iterative(
+    emu, states, Xs_raw: jax.Array, key: jax.Array, num_samples: int,
+    col_chunk: int = 128,
+) -> jax.Array:
+    """Matrix-free joint observable-space posterior draws: (S, m, t).
+
+    The matrix-free twin of `sample_multivariate_posterior`: per-PC
+    posterior covariances come from posterior_covariance_iterative (cached
+    serving states, PCG solves), the m x m eigh-based sampling and the PCA
+    rotation are identical. Keep m to a few thousand (the draw itself is
+    O(m^3)); N is unconstrained by dense memory.
+    """
+    from madaiemulator_tpu.utils.designs import apply_scaling
+
+    Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=emu.X.dtype), emu.scaling)
+    keys = jax.random.split(key, emu.n_components)
+    Zs = []
+    for i in range(emu.n_components):
+        mean, cov = posterior_covariance_iterative(
+            states[i], GPData(X=emu.X, y=emu.Z[:, i]), Xs,
+            col_chunk=col_chunk,
+        )
+        lam, U = jnp.linalg.eigh(cov)
+        scale = jnp.sqrt(jnp.maximum(lam, 0.0))
+        z = jax.random.normal(
+            keys[i], (num_samples, Xs.shape[0]), dtype=mean.dtype
+        )
+        Zs.append(
+            mean[None, :] + jnp.dot(
+                z * scale[None, :], U.T,
+                preferred_element_type=mean.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    Zs = jnp.stack(Zs)  # (r, S, m)
+    pca = emu.pca
+    sqrt_lam = jnp.sqrt(pca.eigenvalues.astype(Zs.dtype))
+    U = pca.U.astype(Zs.dtype)
+    Y = jnp.einsum("rsm,jr->smj", Zs * sqrt_lam[:, None, None], U)
+    return pca.ymean[None, None, :] + Y * pca.ystd[None, None, :]
+
+
 def sample_multivariate_posterior(
     emu, Xs_raw: jax.Array, key: jax.Array, num_samples: int
 ) -> jax.Array:

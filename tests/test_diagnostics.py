@@ -379,3 +379,68 @@ def test_holdout_summary_multivariate(rng):
         diagnostics.holdout_cv_multivariate(it, jax.random.key(0), 0)
     with pytest.raises(ValueError, match="n_holdout"):
         diagnostics.holdout_cv_multivariate(it, jax.random.key(0), 30)
+
+
+def test_posterior_covariance_iterative_matches_dense(rng):
+    """Matrix-free posterior covariance over a query block == the dense one
+    at tight CG tolerance (same algebra, PCG solves instead of a
+    factorization); col_chunk padding path exercised with m % chunk != 0."""
+    from madaiemulator_tpu.models.iterative import (
+        precompute_iterative_predictor,
+    )
+
+    cfg, data, p = make_problem(rng, n=24, d=2)
+    st_dense = _factor(data, p, cfg)
+    Xq = jnp.asarray(rng.uniform(size=(7, 2)))
+    m_ref, c_ref = diagnostics.posterior_covariance(
+        st_dense, p, data, Xq, cfg
+    )
+    st_it = precompute_iterative_predictor(
+        p, data, cfg, rank=12, cg_tol=1e-12, cg_max_iters=512
+    )
+    m_it, c_it = diagnostics.posterior_covariance_iterative(
+        st_it, data, Xq, col_chunk=3
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_it), np.asarray(m_ref), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_it), np.asarray(c_ref), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_sample_multivariate_posterior_iterative_moments(rng):
+    """Matrix-free joint draws reproduce the emulator's own predictive
+    moments (through an IterativeMultivariateEmulator and its serving
+    cache — no dense states anywhere)."""
+    from madaiemulator_tpu.models.multivariate import (
+        IterativeMultivariateEmulator,
+        precompute_iterative_multivariate,
+        predict_multivariate,
+    )
+    from madaiemulator_tpu.utils.designs import unapply_scaling
+
+    emu, X, Y = make_multivariate(rng, n=25, t=4)
+    it = IterativeMultivariateEmulator(
+        scaling=emu.scaling, X=emu.X, Z=emu.Z, pca=emu.pca,
+        params=emu.params, config=emu.config,
+    )
+    states = precompute_iterative_multivariate(
+        it, rank=16, cg_tol=1e-12, cg_max_iters=512
+    )
+    Xq_scaled = jnp.asarray(rng.uniform(0.1, 0.9, size=(6, 3)))
+    Xq = unapply_scaling(Xq_scaled, emu.scaling)
+    draws = diagnostics.sample_multivariate_posterior_iterative(
+        it, states, Xq, jax.random.key(2), 4000, col_chunk=4
+    )
+    assert draws.shape == (4000, 6, 4)
+    m_ref, v_ref = predict_multivariate(emu, Xq)
+    d = np.asarray(draws)
+    np.testing.assert_allclose(
+        d.mean(axis=0), np.asarray(m_ref), rtol=5e-2,
+        atol=3e-2 * float(np.max(np.abs(np.asarray(m_ref)))),
+    )
+    np.testing.assert_allclose(
+        d.var(axis=0), np.asarray(v_ref),
+        rtol=0.2, atol=5e-3 * float(np.max(np.asarray(v_ref))) + 1e-12,
+    )
