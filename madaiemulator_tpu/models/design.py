@@ -100,14 +100,23 @@ def _variance_select(emu_states, emu_params, X, Z, pca, config, pool, n_new):
 def _pool_moments_iterative(emu, pool: jax.Array, states, iter_kwargs):
     """Observable-space (mean, var) over a scaled candidate pool for a
     matrix-free (no dense states) emulator; the acquisition math downstream
-    is identical to the dense path's."""
+    is identical to the dense path's.
+
+    Defaults to the PCG-free Woodbury variance: a pool is thousands of
+    points, and a pool-wide exact-PCG variance solve is both slow and the
+    documented wide-RHS TPU-worker crash trigger (it took down an N=32k
+    4096-point screen). Acquisition only RANKS points, so the lower-bound
+    variance is the right default; pass variance_method="exact" to
+    override at small N.
+    """
     from madaiemulator_tpu.models.multivariate import (
         predict_multivariate_iterative,
     )
 
+    kw = dict(iter_kwargs or {})
+    kw.setdefault("variance_method", "precond")
     return predict_multivariate_iterative(
-        emu, unapply_scaling(pool, emu.scaling), states=states,
-        **(iter_kwargs or {}),
+        emu, unapply_scaling(pool, emu.scaling), states=states, **kw
     )
 
 

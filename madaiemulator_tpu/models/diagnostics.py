@@ -340,10 +340,15 @@ def holdout_cv_multivariate(
     cg_tol: float = 1e-6,
     cg_max_iters: int = 256,
     jitter: Optional[float] = None,
-    query_chunk: int = 1024,
+    query_chunk: int = 128,
     row_chunk: int = 2048,
 ) -> Tuple[np.ndarray, jax.Array, jax.Array]:
     """Held-out validation at matrix-free scale: (indices, mean, var).
+
+    Validation needs the CALIBRATED (exact-PCG) variance, so the holdout
+    predict keeps variance_method="exact" but runs it `query_chunk`=128
+    right-hand sides at a time — wide-RHS PCG is the documented TPU-worker
+    crash family at large N (docs/ROUND3.md).
 
     Exact LOO (loo_cv_multivariate) needs diag(C^-1) — a dense-only
     quantity. Past dense-HBM N the standard substitute is holdout

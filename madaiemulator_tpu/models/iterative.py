@@ -849,11 +849,15 @@ def predict_iterative(
     with_variance: bool = True,
     jitter: Optional[float] = None,
     state: Optional[IterativePosteriorState] = None,
+    variance_method: str = "exact",
+    row_chunk: int = 2048,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Posterior mean (and optionally variance) with no N x N buffer.
 
     mean = h(x*)^T beta + k*^T alpha with alpha from PCG; variance uses one
-    PCG solve per query chunk (k*^T C^-1 k*) plus the GLS correction.
+    PCG solve per query chunk (k*^T C^-1 k*) plus the GLS correction
+    (variance_method="precond" swaps the PCG for the preconditioner's
+    Woodbury lower bound — see predict_iterative_from_state).
 
     One-shot convenience wrapper: builds the serving cache and answers one
     batch. Repeated callers (pipe serving, MCMC) should build the cache
@@ -865,8 +869,10 @@ def predict_iterative(
     if state is None:
         state = precompute_iterative_predictor(
             params, data, config, rank=rank, cg_tol=cg_tol,
-            cg_max_iters=cg_max_iters, jitter=jitter,
+            cg_max_iters=cg_max_iters, jitter=jitter, row_chunk=row_chunk,
         )
     return predict_iterative_from_state(
-        state, data, Xs, query_chunk=query_chunk, with_variance=with_variance
+        state, data, Xs, query_chunk=query_chunk,
+        with_variance=with_variance, variance_method=variance_method,
+        row_chunk=row_chunk,
     )

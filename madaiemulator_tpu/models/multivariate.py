@@ -458,9 +458,17 @@ def predict_multivariate_iterative(
     for i in range(r):
         d = GPData(X=emu.X, y=emu.Z[:, i])
         if states is not None:
-            chunk = iter_kwargs.get("query_chunk", 1024)
+            # forward the serving knobs the from-state path understands —
+            # in particular variance_method: silently dropping it once made
+            # a pool screen run a 1024-wide-RHS PCG (the TPU-worker crash
+            # family) when the caller had asked for the PCG-free path
+            state_kw = {
+                k: v for k, v in iter_kwargs.items()
+                if k in ("query_chunk", "with_variance", "variance_method",
+                         "row_chunk")
+            }
             m_i, v_i = predict_iterative_from_state(
-                states[i], d, Xs, query_chunk=chunk
+                states[i], d, Xs, **state_kw
             )
         else:
             p = jax.tree.map(lambda a: a[i], emu.params)

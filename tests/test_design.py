@@ -208,12 +208,22 @@ def test_design_matrix_free_matches_dense(rng):
         params=emu.params, config=emu.config,
     )
     pool = jax.random.uniform(jax.random.key(3), (256, 2), dtype=emu.X.dtype)
-    kw = dict(rank=16, cg_tol=1e-12, cg_max_iters=512)
+    # exact-PCG variance for the parity pin (the default is the PCG-free
+    # precond lower bound, exercised separately below)
+    kw = dict(rank=16, cg_tol=1e-12, cg_max_iters=512,
+              variance_method="exact")
     pd = design.active_variance_design(jax.random.key(1), emu, n_new=5, pool=pool)
     pi = design.active_variance_design(
         jax.random.key(1), it, n_new=5, pool=pool, **kw
     )
     np.testing.assert_allclose(pi.points, pd.points, rtol=1e-7, atol=1e-9)
+    # the default (precond variance) also yields a full-rank-identical
+    # batch: at rank == N the preconditioner IS the covariance
+    kw_full = dict(rank=40, cg_tol=1e-12, cg_max_iters=512)
+    pp = design.active_variance_design(
+        jax.random.key(1), it, n_new=5, pool=pool, **kw_full
+    )
+    np.testing.assert_allclose(pp.points, pd.points, rtol=1e-6, atol=1e-8)
     y_exp = simulator(np.array([0.6, 0.4]))
     exp_var = np.full(3, 0.05**2)
     pdn = design.nroy_wave_design(
@@ -222,5 +232,21 @@ def test_design_matrix_free_matches_dense(rng):
     pin = design.nroy_wave_design(
         jax.random.key(2), it, y_exp, exp_var, n_new=5, pool=pool, **kw
     )
+    # the cached-states path with the default (precond) variance matches
+    # dense at full preconditioner rank — and proves variance_method is
+    # actually forwarded through predict_multivariate_iterative(states=...)
+    # (a dropped kwarg once resurrected the wide-RHS PCG crash at N=32k)
+    from madaiemulator_tpu.models.multivariate import (
+        precompute_iterative_multivariate,
+    )
+
+    st40 = precompute_iterative_multivariate(
+        it, rank=40, cg_tol=1e-12, cg_max_iters=512
+    )
+    pst = design.nroy_wave_design(
+        jax.random.key(2), it, y_exp, exp_var, n_new=5, pool=pool,
+        states=st40,
+    )
+    np.testing.assert_allclose(pst.points, pdn.points, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(pin.points, pdn.points, rtol=1e-7, atol=1e-9)
     assert np.isclose(pin.pool_fraction_viable, pdn.pool_fraction_viable)
