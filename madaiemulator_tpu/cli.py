@@ -181,6 +181,18 @@ def _build_parser() -> argparse.ArgumentParser:
     im.add_argument("--rank", type=int, default=64)
     im.add_argument("--cg_tol", type=float, default=1e-6)
     im.add_argument("--cg_max_iters", type=int, default=256)
+    im.add_argument(
+        "--variance_method", choices=["exact", "precond"], default="exact",
+        help="iterative serving: 'precond' answers variances from the "
+        "preconditioner's Woodbury apply (PCG-free lower bound) — use at "
+        "very large N where wide query batches would run wide-RHS PCG "
+        "solves (slow, and a known TPU-worker crash trigger)",
+    )
+    im.add_argument(
+        "--query_chunk", type=int, default=128,
+        help="iterative serving: queries (= PCG right-hand sides with "
+        "--variance_method=exact) answered per solve",
+    )
 
     pt = sub.add_parser("print_thetas", help="print fitted hyperparameters")
     pt.add_argument("state_file")
@@ -487,7 +499,11 @@ def cmd_interactive_mode(args) -> int:
         )
 
         def predict_multivariate(e, q):  # noqa: F811 — same call shape
-            return predict_multivariate_iterative(e, q, states=iter_states)
+            return predict_multivariate_iterative(
+                e, q, states=iter_states,
+                variance_method=args.variance_method,
+                query_chunk=args.query_chunk,
+            )
     elif args.serve_method == "fast":
         fast_states = precompute_fast_multivariate(emu)
 

@@ -225,6 +225,24 @@ def test_cli_iterative_fit_and_serve(rng, tmp_path):
     np.testing.assert_allclose(
         outs["iterative"], outs["dense"], rtol=1e-5, atol=1e-7
     )
+    # PCG-free serving variance (--variance_method=precond): the MEANS are
+    # exact (cached-alpha GEMMs, no PCG involved); the variances are the
+    # Woodbury approximation — at this noiseless fit's tiny nugget the
+    # pivoted Cholesky hits the kernel's numerical rank and the
+    # approximation saturates at ~1e-4 (the documented small-nugget
+    # clamping caveat), so only sanity-bound them
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state), "--serve_method=iterative",
+               "--cg_tol=1e-10", "--rank=25", "--variance_method=precond",
+               "--query_chunk=1"],
+        input=queries, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    vals = np.asarray([float(t) for t in r.stdout.split()[-4:]])
+    np.testing.assert_allclose(
+        vals[0::2], outs["dense"][0::2], rtol=1e-6, atol=1e-9
+    )
+    assert np.all(vals[1::2] >= 0) and np.all(vals[1::2] < 1e-2)
 
 
 def test_cli_large_n_flags_end_to_end(rng, tmp_path):
