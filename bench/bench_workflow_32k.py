@@ -7,9 +7,11 @@ emulator whose dense representation cannot exist on the chip
 are the proof that the workflow layer genuinely runs matrix-free, not
 just the serving path.
 
-Usage: python bench/bench_workflow_32k.py [N] (default 32768).
-Emits one timing line per stage to stderr and a final JSON summary line
-to stdout.
+Usage: python bench/bench_workflow_32k.py [N] [state.npz] (default
+32768). When a state path is given, the fitted emulator is cached there:
+an existing file skips the (long) fit stage so interrupted capability
+runs resume at the workflow stages. Emits one timing line per stage to
+stderr and a final JSON summary line to stdout.
 """
 
 import json
@@ -62,21 +64,40 @@ def main():
     stages = {}
     t0 = time.time()
 
-    # 40 steps x 2 restarts: at 15 steps x 1 restart two of three
-    # components never left their initialization (measured at N=4096:
-    # truth-rmse 0.048 -> 0.0045 going to this budget)
-    cfg = mt.GPConfig(
-        nparams=d, regression_order=1, n_restarts=2, max_opt_steps=40,
-        linesearch="backtracking",
-    )
-    emu = fit_multivariate_iterative(
-        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
-        pca_variance=0.99, rank=64, probes=8, lanczos_iters=32,
-        cg_tol=1e-4, cg_max_iters=128, logdet_method="mbcg", vg_batch=1,
-        value_linesearch=True,
-    )
-    stages["fit_s"] = round(time.time() - t0, 1)
-    lg(f"fit: r={emu.n_components} components in {stages['fit_s']}s")
+    import os
+
+    state_path = sys.argv[2] if len(sys.argv) > 2 else None
+    if state_path and os.path.exists(state_path):
+        from madaiemulator_tpu.io.snapshot import read_snapshot_npz
+
+        emu, _, _ = read_snapshot_npz(
+            state_path, dtype=jnp.float32, build_states=False
+        )
+        stages["fit_s"] = 0.0
+        lg(f"fit: reused cached snapshot {state_path} "
+           f"(r={emu.n_components})")
+    else:
+        # 40 steps x 2 restarts: at 15 steps x 1 restart two of three
+        # components never left their initialization (measured at N=4096:
+        # truth-rmse 0.048 -> 0.0045 going to this budget)
+        cfg = mt.GPConfig(
+            nparams=d, regression_order=1, n_restarts=2, max_opt_steps=40,
+            linesearch="backtracking",
+        )
+        emu = fit_multivariate_iterative(
+            jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
+            pca_variance=0.99, rank=64, probes=8, lanczos_iters=32,
+            cg_tol=1e-4, cg_max_iters=128, logdet_method="mbcg", vg_batch=1,
+            value_linesearch=True,
+            checkpoint_path=(state_path + ".fit.ckpt") if state_path else None,
+        )
+        stages["fit_s"] = round(time.time() - t0, 1)
+        lg(f"fit: r={emu.n_components} components in {stages['fit_s']}s")
+        if state_path:
+            from madaiemulator_tpu.io.snapshot import write_snapshot_npz
+
+            write_snapshot_npz(state_path, emu)
+            lg(f"fit snapshot cached at {state_path}")
 
     t1 = time.time()
     states = precompute_iterative_multivariate(

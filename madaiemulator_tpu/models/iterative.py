@@ -165,13 +165,37 @@ class Preconditioner(NamedTuple):
 
 
 def make_preconditioner(
-    Lk: jax.Array, sigma2: jax.Array
+    Lk: jax.Array, sigma2: jax.Array, max_cond: Optional[float] = None
 ) -> Preconditioner:
+    """Build P = L_k L_k^T + sigma_p^2 I with a conditioning-safe ridge.
+
+    sigma_p^2 = max(sigma2, lambda_1(L_k^T L_k) / max_cond): at
+    smooth-kernel thetas ||L_k||^2 / sigma2 reaches 1e6+, and the f32
+    Cholesky of the Woodbury capacitance M then carries O(eps * cond)
+    relative error — enough to make the APPLIED P-inverse indefinite, so
+    the "preconditioner" diverges the very solve it should accelerate
+    (measured at N=32,768, d=4, ls ~ 1: preconditioned rel residual 6.3
+    after 256 iterations where UNpreconditioned PCG reaches 8e-3; every
+    theta in the region gated to -inf and the fit silently returned its
+    fallback start). The ridge floor caps cond(M) at max_cond (default:
+    1e-2 / eps(dtype) — factor error <= 1%), trading preconditioner
+    aggressiveness (preconditioned cond grows to ~sigma_p^2/sigma2 in the
+    worst case) for a trustworthy apply. The regularized sigma_p is
+    carried in the returned state so logdet() and probe draws stay
+    consistent with the operator actually applied.
+    """
     k = Lk.shape[1]
-    M = sigma2 * jnp.eye(k, dtype=Lk.dtype) + jnp.dot(
-        Lk.T, Lk, precision=lax.Precision.HIGHEST
+    G = jnp.dot(Lk.T, Lk, precision=lax.Precision.HIGHEST)
+    if max_cond is None:
+        max_cond = 1e-2 / float(jnp.finfo(Lk.dtype).eps)
+    lam1 = jnp.max(jnp.sum(jnp.abs(G), axis=1))  # inf-norm >= lambda_1(G)
+    sigma2_p = jnp.maximum(
+        jnp.asarray(sigma2, Lk.dtype), lam1 / jnp.asarray(max_cond, Lk.dtype)
     )
-    return Preconditioner(Lk=Lk, sigma2=sigma2, M_chol=lax.linalg.cholesky(M))
+    M = sigma2_p * jnp.eye(k, dtype=Lk.dtype) + G
+    return Preconditioner(
+        Lk=Lk, sigma2=sigma2_p, M_chol=lax.linalg.cholesky(M)
+    )
 
 
 def pcg_solve(
@@ -457,7 +481,12 @@ def _lml_iterative_impl(
         k1, k2 = jax.random.split(jax.random.fold_in(key, 2))
         w1 = jax.random.normal(k1, (rank, probes), dtype=B.dtype)
         w2 = jax.random.normal(k2, (n, probes), dtype=B.dtype)
-        U = jnp.dot(Lk, w1, precision=lax.Precision.HIGHEST) + jnp.sqrt(da) * w2
+        # draw from N(0, P) with P's ACTUAL ridge (pre.sigma2 may exceed da
+        # by the conditioning floor — the estimator is valid for any SPD P
+        # as long as probes and quadratures use the same operator)
+        U = jnp.dot(Lk, w1, precision=lax.Precision.HIGHEST) + jnp.sqrt(
+            pre.sigma2
+        ) * w2
         B = jnp.concatenate([B, U], axis=1)
     S, rel, it, (At, Bt, steps) = pcg_solve(
         mv, B, pre, tol=tol, max_iters=iters, track_tridiag=True

@@ -342,3 +342,65 @@ def test_lml_iterative_jits(rng):
     v1 = float(f(p))
     v2 = float(f(p))
     assert np.isfinite(v1) and v1 == v2
+
+
+def test_preconditioner_conditioning_floor_smooth_kernel():
+    """At smooth-kernel thetas (ls ~ domain size, small nugget) the f32
+    Woodbury capacitance reaches cond ~1e6+ and its factor error used to
+    make the applied P-inverse indefinite — PCG then DIVERGED (measured
+    rel 6.3 at N=32k where unpreconditioned reached 8e-3), every theta
+    gated to -inf, and fits silently returned their fallback starts. The
+    conditioning-safe ridge floor must keep the preconditioner a
+    preconditioner: converge, and beat the unpreconditioned iteration
+    count."""
+    from madaiemulator_tpu.models import iterative as it
+    from madaiemulator_tpu.models.gp import GPData
+
+    rng = np.random.default_rng(0)
+    n, d = 2048, 4
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    p = GPParams(
+        log_amp=jnp.asarray(0.0, jnp.float32),
+        log_nugget=jnp.asarray(np.log(5e-3), jnp.float32),
+        log_ls=jnp.asarray(np.log([0.65, 0.93, 1.7, 1.3]), jnp.float32),
+    )
+    cfg = GPConfig(nparams=d, regression_order=1)
+    data = GPData(X=X, y=jnp.asarray(rng.standard_normal(n), jnp.float32))
+    da = it._diag_add(n, p, cfg, jnp.float32)
+    Lk = it.pivoted_cholesky(X, p, cfg, 64)
+    pre = it.make_preconditioner(Lk, da)
+    # the floor engaged: ridge well above the raw diagonal
+    assert float(pre.sigma2) > float(da)
+    mv = it._matvec_for(p, data, cfg, None, 2048)
+    B = data.y[:, None]
+    S_p, rel_p, it_p = it.pcg_solve(mv, B, pre, tol=1e-4, max_iters=256)
+    S_n, rel_n, it_n = it.pcg_solve(mv, B, None, tol=1e-4, max_iters=256)
+    assert float(rel_p[0]) < 1e-3, float(rel_p[0])
+    assert int(it_p) < int(it_n), (int(it_p), int(it_n))
+    # and the LML is finite (the -inf wall was the user-visible symptom)
+    ll = it.lml_iterative(
+        p, data, cfg, rank=64, probes=8, lanczos_iters=32,
+        cg_tol=1e-4, cg_max_iters=256, seed=0, logdet_method="mbcg",
+    )
+    assert np.isfinite(float(ll)), float(ll)
+
+
+def test_preconditioner_floor_inactive_on_benign_problems():
+    """On well-conditioned operands the floor must not engage: sigma2
+    passes through untouched and full-rank parity with the dense path is
+    preserved (the existing parity tests rely on P == C at rank n)."""
+    from madaiemulator_tpu.models import iterative as it
+
+    rng = np.random.default_rng(1)
+    n, d = 64, 2
+    X = jnp.asarray(rng.uniform(size=(n, d)))
+    p = GPParams(
+        log_amp=jnp.asarray(0.0),
+        log_nugget=jnp.asarray(np.log(1e-2)),
+        log_ls=jnp.full((d,), np.log(0.4)),
+    )
+    cfg = GPConfig(nparams=d, regression_order=0)
+    da = it._diag_add(n, p, cfg, X.dtype)
+    Lk = it.pivoted_cholesky(X, p, cfg, 16)
+    pre = it.make_preconditioner(Lk, da)
+    np.testing.assert_allclose(float(pre.sigma2), float(da), rtol=1e-12)
