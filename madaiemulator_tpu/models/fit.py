@@ -346,23 +346,43 @@ def fit_gp_host(
     X = _flatten_batch(u0_all)  # (R, P)
 
     F, G = vg(X)
-    # Dead-start rescue (same recipe as fit_gp's vmapped path): draws whose
-    # objective is non-finite — unfactorable Grams in the dense path,
-    # non-converging solves under the iterative lml_fn's feasibility gate —
-    # are remapped to stratified moment-matched fallbacks before LBFGS
-    # starts, so infeasible init regions cost a redraw, not a lane.
-    dead = ~np.isfinite(F)
-    if dead.any():
-        amp_fb = float(
-            np.clip(
-                np.var(np.asarray(data.y)),
-                config.amp_bounds[0] * 10,
-                config.amp_bounds[1] / 10,
-            )
+    # Dead-start rescue: draws whose objective OR gradient is non-finite —
+    # unfactorable Grams in the dense path, non-converging solves under the
+    # iterative lml_fn's feasibility gate — are remapped to stratified
+    # moment-matched fallbacks before LBFGS starts, so infeasible init
+    # regions cost a redraw, not a lane. The f32-feasible theta region
+    # depends on which path evaluates the objective AND on the design
+    # density: the dense path dies at LONG length scales (cond(C) > 1/eps,
+    # unfactorable), while the iterative path at a dense design (large N,
+    # low d) dies at SHORT length scales (the Gram has a wide non-low-rank
+    # spectrum no rank-k preconditioner can capture; PCG stalls above the
+    # gate — measured at N=32,768 d=4: ls=0.09 leaves rel=2e-2 after 512
+    # iterations, while ls~1 converges in ~40). No single fallback window
+    # serves both, so the rescue SWEEPS windows from short-ls (dense-path
+    # remedy) toward long-ls + heavier nugget (iterative remedy) until the
+    # lane revives.
+    amp_fb = float(
+        np.clip(
+            np.var(np.asarray(data.y)),
+            config.amp_bounds[0] * 10,
+            config.amp_bounds[1] / 10,
         )
+    )
+    ls_top = float(config.length_scale_bounds[1])
+    rescue_windows = [
+        (0.05, 0.5, 1e-4, 1e-1),
+        (0.2, min(2.0, ls_top * 0.8), 1e-3, 0.3),
+        (0.5, ls_top * 0.9, 1e-2, 1.0),
+    ]
+    for ls_lo_w, ls_hi_w, nug_lo_w, nug_hi_w in rescue_windows:
+        dead = ~(np.isfinite(F) & np.isfinite(G).all(axis=1))
+        if not dead.any():
+            break
         frac = (np.arange(R) + 0.5) / R
-        ls_fb = np.exp(np.log(0.05) + frac * (np.log(0.5) - np.log(0.05)))
-        nug_fb = np.exp(np.log(1e-4) + frac * (np.log(1e-1) - np.log(1e-4)))
+        ls_fb = np.exp(np.log(ls_lo_w) + frac * (np.log(ls_hi_w) - np.log(ls_lo_w)))
+        nug_fb = np.exp(
+            np.log(nug_lo_w) + frac * (np.log(nug_hi_w) - np.log(nug_lo_w))
+        )
         fb = GPParams(
             log_amp=jnp.full((R,), np.log(amp_fb), dtype=dtype),
             log_nugget=jnp.asarray(np.log(nug_fb * amp_fb), dtype=dtype),
@@ -375,6 +395,19 @@ def fit_gp_host(
         X_fb = _flatten_batch(u_fb)
         X = np.where(dead[:, None], X_fb, X)
         F, G = vg(X)
+    dead = ~(np.isfinite(F) & np.isfinite(G).all(axis=1))
+    if dead.all():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fit_gp_host: ALL %d restarts are infeasible (non-finite "
+            "objective or gradient) after %d rescue windows — the optimizer "
+            "cannot take a single step and the returned thetas are the last "
+            "fallback, NOT a fit. At large N this usually means the CG "
+            "budget (cg_tol/cg_max_iters) cannot solve the system anywhere "
+            "in the theta box; raise cg_max_iters, the nugget bounds, or "
+            "the rank.", R, len(rescue_windows),
+        )
     best_X = X.copy()
     best_F = np.where(np.isfinite(F), F, np.inf)
     # per-restart LBFGS memory: (m, R, P) ring buffers + validity counts

@@ -399,6 +399,14 @@ def fit_multivariate_iterative(
         fit_gp_iterative(keys[i], GPData(X=X, y=Z[:, i]), config, **kw(i))
         for i in range(r)
     ]
+    for i, f in enumerate(fits):
+        if not bool(jnp.isfinite(f.log_likelihood)):
+            logger.warning(
+                "fit_multivariate_iterative: component %d/%d has NO feasible "
+                "restart (best LML = -inf) — its thetas are an unoptimized "
+                "fallback and its predictions will be garbage. See the "
+                "fit_gp_host warning above for remedies.", i, r,
+            )
     params = jax.tree.map(lambda *a: jnp.stack(a), *[f.params for f in fits])
     lls = jnp.stack([f.restart_log_likelihoods for f in fits])
     return IterativeMultivariateEmulator(

@@ -289,3 +289,60 @@ def test_fit_is_deterministic():
     assert float(r1.log_likelihood) == float(r2.log_likelihood)
     for a, b in zip(r1.params, r2.params):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rescue_sweeps_to_long_ls_window():
+    """The dead-start rescue must revive lanes when the feasible theta
+    region is LONG length scales only — the iterative path's situation at
+    dense designs (N=32k d=4: short-ls systems are unsolvable in f32, so
+    a short-ls-only fallback ladder left every lane dead and the fit
+    silently returned an unoptimized fallback; measured 2026-08-18)."""
+    from madaiemulator_tpu.models.fit import fit_gp_host
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(16, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    cfg = GPConfig(nparams=2, n_restarts=2, max_opt_steps=8)
+
+    def gated_lml(params, data, config):
+        # feasible iff every length scale > 0.3 (the smooth region);
+        # smooth bowl with its optimum at ls = 1, amp = nugget*1e3 = 1
+        ll = -(
+            jnp.sum(params.log_ls**2)
+            + params.log_amp**2
+            + (params.log_nugget + 6.9) ** 2
+        )
+        ok = jnp.min(params.log_ls) > jnp.log(0.3)
+        return jnp.where(ok, ll, -jnp.inf)
+
+    res = fit_gp_host(
+        jax.random.key(123), GPData(X=X, y=y), cfg, lml_fn=gated_lml
+    )
+    assert np.isfinite(float(res.log_likelihood))
+    ls = np.exp(np.asarray(res.params.log_ls))
+    assert np.all(ls > 0.3)
+    # the optimizer actually moved toward the bowl's optimum
+    assert float(res.log_likelihood) > -2.0
+
+
+def test_all_dead_restarts_warn_loudly(caplog):
+    """A fit where NO theta is feasible must warn, not silently return a
+    fallback as if it were a fit."""
+    import logging
+
+    from madaiemulator_tpu.models.fit import fit_gp_host
+
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.uniform(size=(8, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    cfg = GPConfig(nparams=2, n_restarts=2, max_opt_steps=4)
+
+    def dead_lml(params, data, config):
+        return jnp.asarray(-jnp.inf, jnp.float32) * jnp.sum(params.log_ls) ** 0
+
+    with caplog.at_level(logging.WARNING, logger="madaiemulator_tpu.models.fit"):
+        res = fit_gp_host(
+            jax.random.key(5), GPData(X=X, y=y), cfg, lml_fn=dead_lml
+        )
+    assert not np.isfinite(float(res.log_likelihood))
+    assert any("infeasible" in r.message for r in caplog.records)
