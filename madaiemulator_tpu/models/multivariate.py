@@ -232,16 +232,25 @@ def fit_multivariate(
     )
     fit = _vmapped_fit(key, X, Z, config, restart_chunk=restart_chunk)
     states = _vmapped_states(fit.params, X, Z, config)
-    if logger.isEnabledFor(logging.INFO):
-        import numpy as _np
+    import numpy as _np
 
-        lls = _np.asarray(fit.restart_log_likelihoods)
-        for i in range(Z.shape[1]):
-            finite = _np.isfinite(lls[i])
-            best = lls[i][finite].max() if finite.any() else float("-inf")
+    lls = _np.asarray(fit.restart_log_likelihoods)
+    for i in range(Z.shape[1]):
+        finite = _np.isfinite(lls[i])
+        if not finite.any():
+            # the jitted fit cannot warn from inside the graph; surface the
+            # all-dead condition here (same honesty rule as fit_gp_host)
+            logger.warning(
+                "fit_multivariate: component %d/%d has NO feasible restart "
+                "(every LML = -inf) — its thetas are an unoptimized "
+                "fallback and its predictions will be garbage.",
+                i, Z.shape[1],
+            )
+        elif logger.isEnabledFor(logging.INFO):
             logger.info(
                 "  component %d: best logL %.6g (%d/%d restarts finite)",
-                i, best, int(finite.sum()), lls.shape[1],
+                i, float(lls[i][finite].max()), int(finite.sum()),
+                lls.shape[1],
             )
     return MultivariateEmulator(
         scaling=scaling,
