@@ -137,6 +137,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "logL wins). The reference pins alpha fixed",
     )
     est.add_argument(
+        "--alpha_refine", type=int, default=0, metavar="K",
+        help="with --alpha_grid: add K golden-section probes of the "
+        "continuous alpha profile around the grid winner (each probe is "
+        "one full fit)",
+    )
+    est.add_argument(
         "--vg_batch", type=int, default=1,
         help="iterative: restarts sharing one device value+grad call "
         "(1 = sequential; one restart's solves already fill the chip at "
@@ -450,6 +456,7 @@ def cmd_estimate_thetas(args) -> int:
             pca_variance=args.pca_variance,
             restart_chunk=args.restart_chunk,
             alpha_grid=alpha_grid,
+            alpha_refine=args.alpha_refine,
         )
     if not args.quiet:
         lls = np.asarray(emu.restart_log_likelihoods)

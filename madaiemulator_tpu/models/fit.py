@@ -682,8 +682,58 @@ class AlphaFitResult(NamedTuple):
 
     result: FitResult  # the winning alpha's full fit
     alpha: float  # the winning exponent
-    alphas: Tuple[float, ...]  # the grid searched
-    alpha_log_likelihoods: Tuple[float, ...]  # best LML per grid point
+    alphas: Tuple[float, ...]  # every exponent evaluated (grid + refinement)
+    alpha_log_likelihoods: Tuple[float, ...]  # best LML per evaluated alpha
+
+
+# Valid exponent range for the power-exponential kernel: alpha in (0, 2].
+# 2.0 (Gaussian) is attainable; below ~0.1 the kernel is so rough that the
+# Gram matrix is numerically diagonal and the profile LML flat — treat it
+# as the search floor rather than chase it.
+_ALPHA_MIN, _ALPHA_MAX = 0.1, 2.0
+
+
+def _golden_refine_alpha(eval_fn, evals: dict, best_alpha: float, iters: int):
+    """Continuous refinement of the profile-likelihood winner.
+
+    Golden-section search MAXIMIZING eval_fn over the bracket formed by the
+    winning grid point's neighbors (the profile LML over alpha is smooth and
+    locally unimodal around a grid winner even though it is globally
+    ridge-shaped jointly with the length scales — which is why the OUTER
+    search is a grid, see fit_gp_alpha). Each probe is one full multi-restart
+    fit; results land in `evals` (alpha -> best LML). Returns the best alpha
+    after refinement.
+    """
+    import math as _math
+
+    grid = sorted(evals)
+    i = grid.index(best_alpha)
+    lo = grid[i - 1] if i > 0 else max(_ALPHA_MIN, best_alpha - (grid[1] - grid[0] if len(grid) > 1 else 0.3))
+    hi = grid[i + 1] if i + 1 < len(grid) else min(_ALPHA_MAX, best_alpha + (grid[-1] - grid[-2] if len(grid) > 1 else 0.3))
+    if hi - lo < 1e-6:
+        return best_alpha
+    g = (_math.sqrt(5.0) - 1.0) / 2.0
+
+    def probe(a):
+        a = round(float(a), 6)
+        if a not in evals:
+            evals[a] = eval_fn(a)
+        return evals[a]
+
+    x1 = hi - g * (hi - lo)
+    x2 = lo + g * (hi - lo)
+    f1, f2 = probe(x1), probe(x2)
+    for _ in range(max(0, iters - 2)):
+        if f1 < f2:  # maximum is in [x1, hi]
+            lo, x1, f1 = x1, x2, f2
+            x2 = lo + g * (hi - lo)
+            f2 = probe(x2)
+        else:  # maximum is in [lo, x2]
+            hi, x2, f2 = x2, x1, f1
+            x1 = hi - g * (hi - lo)
+            f1 = probe(x1)
+    finite = {a: v for a, v in evals.items() if _math.isfinite(v)}
+    return max(finite, key=finite.get) if finite else best_alpha
 
 
 def fit_gp_alpha(
@@ -691,6 +741,7 @@ def fit_gp_alpha(
     data: GPData,
     config: GPConfig,
     alphas: Tuple[float, ...] = (1.2, 1.5, 1.8, 2.0),
+    refine_iters: int = 0,
     **fit_kwargs,
 ) -> AlphaFitResult:
     """Fit with a TRAINABLE power-exponential exponent via profile
@@ -705,6 +756,11 @@ def fit_gp_alpha(
     compiled program), which also keeps the alpha != 2 distance path's
     chunked kernel (ops/kernels._abs_power_dist) intact. The same PRNG
     key is reused per grid point so grid points differ only in alpha.
+
+    refine_iters > 0 continues with that many golden-section probes of the
+    CONTINUOUS profile likelihood inside the winning grid point's bracket
+    (each probe is one full multi-restart fit), so alpha is trainable to
+    arbitrary resolution, not just to the grid.
 
     Only meaningful for CovarianceFamily.POWER_EXPONENTIAL (raises
     otherwise). fit_kwargs forward to fit_gp (n_restarts, max_steps,
@@ -721,18 +777,31 @@ def fit_gp_alpha(
         )
     import math as _math
 
-    best_res, best_alpha, best_ll = None, None, -_math.inf
-    lls = []
-    for a in alphas:
+    results: dict = {}
+
+    def eval_alpha(a: float) -> float:
         cfg_a = dataclasses.replace(config, power_exp_alpha=float(a))
         res = fit_gp(key, data, cfg_a, **fit_kwargs)
-        ll = float(res.log_likelihood)
-        lls.append(ll)
-        if best_res is None or (_math.isfinite(ll) and ll > best_ll):
-            best_res, best_alpha, best_ll = res, float(a), ll
+        results[round(float(a), 6)] = res
+        return float(res.log_likelihood)
+
+    evals: dict = {}
+    best_alpha, best_ll = None, -_math.inf
+    for a in alphas:
+        a = round(float(a), 6)
+        evals[a] = eval_alpha(a)
+        if best_alpha is None or (
+            _math.isfinite(evals[a]) and evals[a] > best_ll
+        ):
+            best_alpha, best_ll = a, evals[a]
+    if refine_iters > 0 and _math.isfinite(best_ll):
+        best_alpha = _golden_refine_alpha(
+            eval_alpha, evals, best_alpha, refine_iters
+        )
+    order = sorted(evals)
     return AlphaFitResult(
-        result=best_res,
+        result=results[best_alpha],
         alpha=best_alpha,
-        alphas=tuple(float(a) for a in alphas),
-        alpha_log_likelihoods=tuple(lls),
+        alphas=tuple(order),
+        alpha_log_likelihoods=tuple(evals[a] for a in order),
     )

@@ -180,6 +180,7 @@ def fit_multivariate(
     param_ranges: Optional[Tuple[jax.Array, jax.Array]] = None,
     restart_chunk: Optional[int] = None,
     alpha_grid: Optional[Tuple[float, ...]] = None,
+    alpha_refine: int = 0,
 ) -> MultivariateEmulator:
     """Train a multivariate emulator (the `estimate_thetas` multivariate path).
 
@@ -192,20 +193,24 @@ def fit_multivariate(
     whole vmapped fit runs once per grid value and the emulator with the
     best TOTAL log likelihood (sum over components — one shared alpha, as
     a shared-kernel-family model implies) wins. See models.fit.fit_gp_alpha
-    for why alpha is gridded rather than jointly optimized.
+    for why alpha is gridded rather than jointly optimized. alpha_refine > 0
+    adds that many golden-section probes of the continuous profile around
+    the grid winner (models.fit._golden_refine_alpha).
     """
     if alpha_grid:
         import dataclasses as _dc
         import math as _math
 
+        from madaiemulator_tpu.models.fit import _golden_refine_alpha
         from madaiemulator_tpu.utils.config import CovarianceFamily
 
         if config.covariance is not CovarianceFamily.POWER_EXPONENTIAL:
             raise ValueError(
                 "alpha_grid applies to the power-exponential family only"
             )
-        best_emu, best_total = None, -_math.inf
-        for a in alpha_grid:
+        emus: dict = {}
+
+        def eval_alpha(a: float) -> float:
             cfg_a = _dc.replace(config, power_exp_alpha=float(a))
             emu_a = fit_multivariate(
                 key, X_raw, Y, cfg_a, pca_variance=pca_variance,
@@ -217,11 +222,24 @@ def fit_multivariate(
                 np.sum(np.max(np.where(np.isfinite(lls), lls, -np.inf), axis=1))
             )
             logger.info("alpha_grid: alpha=%g total best logL=%.6g", a, total)
-            if best_emu is None or (
-                _math.isfinite(total) and total > best_total
+            emus[round(float(a), 6)] = emu_a
+            return total
+
+        evals: dict = {}
+        best_a, best_total = None, -_math.inf
+        for a in alpha_grid:
+            a = round(float(a), 6)
+            evals[a] = eval_alpha(a)
+            if best_a is None or (
+                _math.isfinite(evals[a]) and evals[a] > best_total
             ):
-                best_emu, best_total = emu_a, total
-        return best_emu
+                best_a, best_total = a, evals[a]
+        if alpha_refine > 0 and _math.isfinite(best_total):
+            best_a = _golden_refine_alpha(
+                eval_alpha, evals, best_a, alpha_refine
+            )
+            logger.info("alpha_refine: winner alpha=%g", best_a)
+        return emus[best_a]
     scaling = fit_scaling(X_raw, ranges=param_ranges)
     X = apply_scaling(jnp.asarray(X_raw), scaling)
     pca, Z = pca_decompose(Y, pca_variance, standardize=standardize)

@@ -279,6 +279,47 @@ def test_fit_gp_alpha_recovers_exponent(rng):
         )
 
 
+def test_fit_gp_alpha_continuous_refinement(rng):
+    """refine_iters probes the CONTINUOUS alpha profile inside the winning
+    grid bracket via golden-section search: the refined result must (a) add
+    off-grid evaluations, (b) never be worse than the grid winner, and (c)
+    return the fit whose LML is the max over every evaluated alpha."""
+    from madaiemulator_tpu.models.fit import fit_gp_alpha
+    from madaiemulator_tpu.ops.kernels import GPParams, gram_matrix
+
+    d, n = 1, 50
+    X = np.sort(rng.uniform(size=(n, d)), axis=0)
+    cfg_true = GPConfig(
+        nparams=d, regression_order=0, power_exp_alpha=1.4,
+        n_restarts=2, max_opt_steps=25,
+    )
+    p_true = GPParams(
+        log_amp=jnp.asarray(0.0),
+        log_nugget=jnp.asarray(np.log(1e-4)),
+        log_ls=jnp.asarray([np.log(0.15)]),
+    )
+    C = np.asarray(gram_matrix(jnp.asarray(X), p_true, cfg_true))
+    y = np.linalg.cholesky(C) @ rng.standard_normal(n)
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y))
+
+    grid = (1.0, 1.6, 2.0)
+    base = fit_gp_alpha(jax.random.key(0), data, cfg_true, alphas=grid)
+    out = fit_gp_alpha(
+        jax.random.key(0), data, cfg_true, alphas=grid, refine_iters=3
+    )
+    assert len(out.alphas) > len(grid)  # off-grid probes happened
+    assert any(a not in grid for a in out.alphas)
+    lls = dict(zip(out.alphas, out.alpha_log_likelihoods))
+    finite = {a: v for a, v in lls.items() if np.isfinite(v)}
+    # the returned fit IS the argmax over every evaluated alpha
+    assert out.alpha == max(finite, key=finite.get)
+    assert float(out.result.log_likelihood) == lls[out.alpha]
+    # refinement never loses to the pure grid
+    assert lls[out.alpha] >= float(base.result.log_likelihood) - 1e-9
+    # probes stay inside the valid exponent range
+    assert all(0.1 <= a <= 2.0 for a in out.alphas)
+
+
 def test_fit_is_deterministic():
     cfg = GPConfig(nparams=1, n_restarts=2, max_opt_steps=20)
     X = np.linspace(0, 1, 10)[:, None]

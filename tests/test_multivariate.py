@@ -167,6 +167,18 @@ def test_fit_multivariate_alpha_grid(rng):
         pca_variance=0.999, alpha_grid=(1.4, 2.0),
     )
     assert emu.config.power_exp_alpha == 1.4
+    # continuous refinement probes off-grid alphas and returns an emulator
+    # whose exponent is inside the winning bracket (here [1.4, 2.0) since
+    # 1.4 won the grid and is the left endpoint of the searched grid)
+    emu_r = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg14,
+        pca_variance=0.999, alpha_grid=(1.4, 2.0), alpha_refine=2,
+    )
+    assert 1.0 <= emu_r.config.power_exp_alpha <= 2.0
+    lls = np.asarray(emu_r.restart_log_likelihoods)
+    lls0 = np.asarray(emu.restart_log_likelihoods)
+    tot = lambda a: float(np.where(np.isfinite(a), a, -np.inf).max(1).sum())
+    assert tot(lls) >= tot(lls0) - 1e-9
     with pytest.raises(ValueError, match="power-exponential"):
         fit_multivariate(
             jax.random.key(0), jnp.asarray(X), jnp.asarray(Y),
