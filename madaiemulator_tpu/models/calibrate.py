@@ -98,6 +98,8 @@ def make_log_posterior(
     discrepancy_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
     states=None,
     variance_method: str = "precond",
+    query_chunk: int = 4096,
+    row_chunk: int = 2048,
 ) -> Callable[[jax.Array], jax.Array]:
     """Batched log-posterior over SCALED coordinates: (W, d[+1]) -> (W,).
 
@@ -136,12 +138,18 @@ def make_log_posterior(
     (default `variance_method="precond"`) the preconditioner's Woodbury
     variance, which is PCG-free so the whole chain still compiles to one
     scan. The precond variance is a LOWER bound on the emulator's
-    predictive variance (tightens with preconditioner rank), so the
-    marginalized likelihood is slightly overconfident about the emulator —
-    acceptable for MCMC where emulator variance is a smoothing term;
+    predictive variance (tightens with preconditioner rank) whenever the
+    preconditioner ridge is the plain nugget+jitter diagonal — see the
+    conditioning-floor caveat in predict_iterative_from_state — so the
+    marginalized likelihood is slightly overconfident about the emulator;
+    acceptable for MCMC where emulator variance is a smoothing term.
     `variance_method="exact"` runs the per-step PCG solve instead (small-N
     only: wide-RHS PCG at large N is both slow inside a chain and a known
-    TPU-worker crash trigger, docs/ROUND3.md).
+    TPU-worker crash trigger, docs/ROUND3.md). `query_chunk` bounds the
+    per-evaluation cross-covariance footprint (walker batches larger than
+    it are served in chunks); `row_chunk` bounds the exact-variance PCG's
+    kernel-tile rows (use <= 1024 at N >= 131k, the documented worker
+    envelope).
     """
     y_exp = jnp.asarray(y_exp, dtype=emu.X.dtype)
     exp_cov = jnp.asarray(exp_cov, dtype=emu.X.dtype)
@@ -178,7 +186,9 @@ def make_log_posterior(
             for i in range(emu.n_components):
                 m_i, v_i = predict_iterative_from_state(
                     states[i], GPData(X=emu.X, y=emu.Z[:, i]), xq,
-                    query_chunk=4096, variance_method=variance_method,
+                    query_chunk=query_chunk,
+                    variance_method=variance_method,
+                    row_chunk=row_chunk,
                 )
                 ms.append(m_i)
                 vs.append(v_i)
@@ -659,6 +669,9 @@ def calibrate(
     discrepancy_prior: Optional[Callable[[jax.Array], jax.Array]] = None,
     states=None,
     variance_method: str = "precond",
+    precompute_kwargs: Optional[dict] = None,
+    query_chunk: int = 4096,
+    row_chunk: int = 2048,
     **sampler_kwargs,
 ) -> CalibrationResult:
     """Calibrate simulator parameters against observations `y_exp`.
@@ -681,11 +694,15 @@ def calibrate(
     chain is identical to the single-device run.
 
     Matrix-free: an IterativeMultivariateEmulator calibrates in-graph too —
-    the serving cache is built once (auto, or pass `states` to reuse one)
-    and each step's walker-batch moments are cached-state GEMMs with the
-    PCG-free Woodbury variance (see make_log_posterior on
-    `variance_method`). The reference's pipe architecture is the only
-    alternative at this N, and it pays two host round-trips per step.
+    the serving cache is built once (auto with `precompute_kwargs`
+    forwarded to precompute_iterative_multivariate — rank, cg_tol,
+    cg_max_iters, row_chunk — or pass `states` to reuse one) and each
+    step's walker-batch moments are cached-state GEMMs with the PCG-free
+    Woodbury variance (see make_log_posterior on `variance_method`;
+    `query_chunk`/`row_chunk` bound the in-chain serving footprint — at
+    N >= 131k set row_chunk <= 1024, the documented worker envelope). The
+    reference's pipe architecture is the only alternative at this N, and
+    it pays two host round-trips per step.
     """
     if burn_in is None:
         burn_in = n_steps // 4
@@ -701,11 +718,14 @@ def calibrate(
             precompute_iterative_multivariate,
         )
 
-        states = precompute_iterative_multivariate(emu)
+        states = precompute_iterative_multivariate(
+            emu, **(precompute_kwargs or {})
+        )
     log_post = make_log_posterior(
         emu, y_exp, exp_cov, log_prior=log_prior, discrepancy=discrepancy,
         discrepancy_prior=discrepancy_prior, states=states,
-        variance_method=variance_method,
+        variance_method=variance_method, query_chunk=query_chunk,
+        row_chunk=row_chunk,
     )
     k_init, k_run = jax.random.split(jnp.asarray(key))
     extra0 = jnp.asarray([np.log(0.05)]) if discrepancy else None
@@ -769,6 +789,7 @@ def implausibility_from_moments(
 def implausibility(
     emu: MultivariateEmulator, y_exp, exp_cov, thetas_scaled: jax.Array,
     states=None,
+    **iter_kwargs,
 ) -> jax.Array:
     """Max-over-observables implausibility I(theta) for history matching.
 
@@ -778,13 +799,25 @@ def implausibility(
     3-sigma rule); iterating design refinement on the NROY ("not ruled out
     yet") region is the wave-based history-matching loop that typically
     precedes full-Bayes calibration on expensive simulators. Batched and
-    jittable: (W, d) scaled -> (W,). Matrix-free emulators screen through
-    the PCG serving path (pass `states` to reuse a cache across waves)."""
+    jittable: (W, d) scaled -> (W,). Matrix-free emulators screen with the
+    PCG-free Woodbury variance by default (variance_method="precond", the
+    same choice as the NROY design screens — wide-RHS serve-time PCG over a
+    big pool is the documented TPU-worker crash family at large N; pass
+    variance_method="exact" for small-N exactness) and forward any other
+    iter_kwargs (query_chunk, row_chunk, rank, ...) to
+    predict_multivariate_iterative; pass `states` to reuse a serving cache
+    across waves."""
     y_exp = jnp.asarray(y_exp, dtype=emu.X.dtype)
     exp_cov = jnp.asarray(exp_cov, dtype=emu.X.dtype)
     s2 = jnp.diagonal(exp_cov) if exp_cov.ndim == 2 else exp_cov
     xq = jnp.atleast_2d(thetas_scaled)
     if getattr(emu, "states", None) is not None:
+        if iter_kwargs:
+            raise TypeError(
+                f"iter_kwargs {sorted(iter_kwargs)} apply to matrix-free "
+                "emulators only (a dense emulator would silently ignore "
+                "them)"
+            )
         m_pc, v_pc = _predict_components(
             emu.states, emu.params, emu.X, emu.Z, xq, emu.config
         )
@@ -794,7 +827,9 @@ def implausibility(
             predict_multivariate_iterative,
         )
 
+        iter_kwargs.setdefault("variance_method", "precond")
         mean, var = predict_multivariate_iterative(
-            emu, unapply_scaling(xq, emu.scaling), states=states
+            emu, unapply_scaling(xq, emu.scaling), states=states,
+            **iter_kwargs,
         )
     return implausibility_from_moments(mean, var, y_exp, s2)

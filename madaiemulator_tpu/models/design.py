@@ -86,15 +86,40 @@ def _greedy_maximin(
     return sel, scr
 
 
+def _variance_weights(var: jax.Array, pca) -> jax.Array:
+    """Acquisition weight for active variance learning: total predictive
+    variance normalized per-observable by its training-output scale, so no
+    single large-magnitude observable dominates. THE single definition —
+    the dense and matrix-free branches both call it, so the acquisition can
+    never diverge between them. var: (P, t) -> (P,)."""
+    w = jnp.maximum(pca.ystd.astype(var.dtype), jnp.finfo(var.dtype).tiny)
+    return jnp.sum(var / (w[None, :] ** 2), axis=-1)
+
+
+def _nroy_weights(
+    imp: jax.Array, threshold: float, dtype
+) -> Tuple[jax.Array, jax.Array]:
+    """Blended NROY selection weights from implausibilities (single
+    definition for the dense and matrix-free branches). Inside NROY: pure
+    space-filling (weight 1); outside: a small least-implausible-first
+    fallback weight. The blend (rather than a hard 0/1 switch) matters when
+    0 < #viable < n_new: once every viable candidate is picked their
+    distance factor is 0, and with 0/1 weights every remaining greedy score
+    would tie at 0 — argmax would then return duplicate copies of pool[0].
+    With the blend the remaining picks fall through to well-spaced
+    least-implausible points; eps is small enough that a viable candidate
+    beats every fallback one. Returns (weights (P,), viable fraction)."""
+    viable = imp <= threshold
+    frac = jnp.mean(viable.astype(dtype))
+    weights = viable.astype(dtype) + 1e-6 / (1.0 + imp)
+    return weights, frac
+
+
 @functools.partial(jax.jit, static_argnames=("config", "n_new"))
 def _variance_select(emu_states, emu_params, X, Z, pca, config, pool, n_new):
     m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool, config)
     _, var = reconstruct_observables(m_pc, v_pc, pca)  # (P, t)
-    # normalize per-observable by its training-output scale so no single
-    # large-magnitude observable dominates the acquisition
-    w = jnp.maximum(pca.ystd.astype(var.dtype), jnp.finfo(var.dtype).tiny)
-    total_var = jnp.sum(var / (w[None, :] ** 2), axis=-1)  # (P,)
-    return _greedy_maximin(pool, total_var, n_new)
+    return _greedy_maximin(pool, _variance_weights(var, pca), n_new)
 
 
 def _pool_moments_iterative(emu, pool: jax.Array, states, iter_kwargs):
@@ -154,11 +179,9 @@ def active_variance_design(
         )
     else:
         _, var = _pool_moments_iterative(emu, pool, states, iter_kwargs)
-        w = jnp.maximum(
-            emu.pca.ystd.astype(var.dtype), jnp.finfo(var.dtype).tiny
+        sel, scr = _greedy_maximin_jit(
+            pool, _variance_weights(var, emu.pca), n_new=int(n_new)
         )
-        total_var = jnp.sum(var / (w[None, :] ** 2), axis=-1)
-        sel, scr = _greedy_maximin_jit(pool, total_var, n_new=int(n_new))
     pts = unapply_scaling(pool[sel], emu.scaling)
     return DesignProposal(
         points=np.asarray(pts),
@@ -177,19 +200,7 @@ def _nroy_select(
     m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool, config)
     mean, var = reconstruct_observables(m_pc, v_pc, pca)  # (P, t)
     imp = implausibility_from_moments(mean, var, y_exp, exp_var)
-    viable = imp <= threshold
-    frac = jnp.mean(viable.astype(pool.dtype))
-    # inside NROY: pure space-filling (weight 1); outside: a small
-    # least-implausible-first fallback weight. The blend (rather than a
-    # hard 0/1 switch) matters when 0 < #viable < n_new: once every viable
-    # candidate is picked their distance factor is 0, and with 0/1 weights
-    # every remaining greedy score would tie at 0 — argmax would then
-    # return duplicate copies of pool[0]. With the blend the remaining
-    # picks fall through to well-spaced least-implausible points; eps is
-    # small enough that a viable candidate beats every fallback one.
-    w_viable = viable.astype(pool.dtype)
-    w_fallback = 1.0 / (1.0 + imp)
-    weights = w_viable + 1e-6 * w_fallback
+    weights, frac = _nroy_weights(imp, threshold, pool.dtype)
     sel, scr = _greedy_maximin(pool, weights, n_new)
     return sel, scr, frac, imp
 
@@ -234,10 +245,7 @@ def nroy_wave_design(
     else:
         mean, var = _pool_moments_iterative(emu, pool, states, iter_kwargs)
         imp = implausibility_from_moments(mean, var, y_exp, exp_var)
-        viable = imp <= threshold
-        frac = jnp.mean(viable.astype(pool.dtype))
-        # same blended weights as _nroy_select (see comment there)
-        weights = viable.astype(pool.dtype) + 1e-6 / (1.0 + imp)
+        weights, frac = _nroy_weights(imp, float(threshold), pool.dtype)
         sel, scr = _greedy_maximin_jit(pool, weights, n_new=int(n_new))
     pts = unapply_scaling(pool[sel], emu.scaling)
     return DesignProposal(

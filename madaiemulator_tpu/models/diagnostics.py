@@ -231,6 +231,36 @@ def posterior_covariance(
     return jnp.where(state.ok, mean, nan), jnp.where(state.ok, cov, nan)
 
 
+def _eigh_draws(
+    mean: jax.Array, cov: jax.Array, key: jax.Array, num_samples: int
+) -> jax.Array:
+    """Exact joint draws from N(mean, cov): (S, m).
+
+    Factorizes by symmetric eigendecomposition with negative eigenvalues
+    clamped to zero — a GP posterior covariance is exactly rank-deficient
+    whenever m > N (m - N zero directions), so a Cholesky + jitter ladder
+    is the wrong tool; eigh handles the degeneracy natively and keeps the
+    draws exact in the positive subspace. The single draw implementation
+    shared by the dense and matrix-free sampling paths."""
+    lam, U = jnp.linalg.eigh(cov)
+    scale = jnp.sqrt(jnp.maximum(lam, 0.0))
+    z = jax.random.normal(key, (num_samples, mean.shape[0]), dtype=mean.dtype)
+    return mean[None, :] + jnp.dot(
+        z * scale[None, :], U.T, preferred_element_type=mean.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _rotate_pc_draws(Zs: jax.Array, pca) -> jax.Array:
+    """PC-space joint draws (r, S, m) -> observable space (S, m, t):
+    y[s, q, j] = ybar_j + s_j * sum_i sqrt(lam_i) U_ji z_i[s, q]. Shared by
+    the dense and matrix-free multivariate samplers."""
+    sqrt_lam = jnp.sqrt(pca.eigenvalues.astype(Zs.dtype))
+    U = pca.U.astype(Zs.dtype)
+    Y = jnp.einsum("rsm,jr->smj", Zs * sqrt_lam[:, None, None], U)
+    return pca.ymean[None, None, :] + Y * pca.ystd[None, None, :]
+
+
 def sample_posterior(
     state: GPPosteriorState,
     params: GPParams,
@@ -240,22 +270,10 @@ def sample_posterior(
     key: jax.Array,
     num_samples: int,
 ) -> jax.Array:
-    """`num_samples` exact joint draws from the GP posterior at Xs: (S, m).
-
-    Factorizes the posterior covariance by symmetric eigendecomposition
-    with negative eigenvalues clamped to zero — a GP posterior covariance
-    is exactly rank-deficient whenever m > N (m - N zero directions), so a
-    Cholesky + jitter ladder is the wrong tool; eigh handles the degeneracy
-    natively and keeps the draws exact in the positive subspace.
-    """
+    """`num_samples` exact joint draws from the GP posterior at Xs: (S, m)
+    (see _eigh_draws for the rank-deficiency-safe factorization)."""
     mean, cov = posterior_covariance(state, params, data, Xs, config)
-    lam, U = jnp.linalg.eigh(cov)
-    scale = jnp.sqrt(jnp.maximum(lam, 0.0))
-    z = jax.random.normal(key, (num_samples, Xs.shape[0]), dtype=mean.dtype)
-    return mean[None, :] + jnp.dot(
-        z * scale[None, :], U.T, preferred_element_type=mean.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    return _eigh_draws(mean, cov, key, num_samples)
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +436,8 @@ def holdout_summary_multivariate(
 
 
 def posterior_covariance_iterative(
-    state, data: GPData, Xs: jax.Array, col_chunk: int = 128
+    state, data: GPData, Xs: jax.Array, col_chunk: int = 128,
+    row_chunk: int = 2048,
 ) -> Tuple[jax.Array, jax.Array]:
     """Matrix-free posterior mean (m,) + FULL covariance (m, m).
 
@@ -428,7 +447,9 @@ def posterior_covariance_iterative(
     G = Hsᵀ − CiHᵀ K*. Only the m x m result is materialized — the N-side
     never builds an N x N buffer, so joint draws work at N past dense HBM.
     The C⁻¹K* solve runs `col_chunk` right-hand sides at a time (wide-RHS
-    PCG is a known TPU-worker crash trigger at large N — docs/ROUND3.md).
+    PCG is a known TPU-worker crash trigger at large N — docs/ROUND3.md);
+    `row_chunk` bounds the matvec kernel tiles (<= 1024 at N >= 131k, the
+    documented worker envelope).
     """
     from madaiemulator_tpu.models.iterative import _matvec_for, pcg_solve
 
@@ -439,7 +460,7 @@ def posterior_covariance_iterative(
     mean = jnp.dot(Hs, state.beta) + jnp.dot(
         Ks.T, state.alpha, precision=hi
     )
-    mv = _matvec_for(params, data, config, None, 2048)
+    mv = _matvec_for(params, data, config, None, row_chunk)
     m = Xs.shape[0]
     chunk = min(col_chunk, m)
     pad = (-m) % chunk
@@ -472,15 +493,16 @@ def posterior_covariance_iterative(
 
 def sample_multivariate_posterior_iterative(
     emu, states, Xs_raw: jax.Array, key: jax.Array, num_samples: int,
-    col_chunk: int = 128,
+    col_chunk: int = 128, row_chunk: int = 2048,
 ) -> jax.Array:
     """Matrix-free joint observable-space posterior draws: (S, m, t).
 
     The matrix-free twin of `sample_multivariate_posterior`: per-PC
     posterior covariances come from posterior_covariance_iterative (cached
-    serving states, PCG solves), the m x m eigh-based sampling and the PCA
-    rotation are identical. Keep m to a few thousand (the draw itself is
-    O(m^3)); N is unconstrained by dense memory.
+    serving states, PCG solves; col_chunk/row_chunk bound the solve
+    footprint at large N), the m x m eigh-based sampling and the PCA
+    rotation are the shared helpers. Keep m to a few thousand (the draw
+    itself is O(m^3)); N is unconstrained by dense memory.
     """
     from madaiemulator_tpu.utils.designs import apply_scaling
 
@@ -490,26 +512,10 @@ def sample_multivariate_posterior_iterative(
     for i in range(emu.n_components):
         mean, cov = posterior_covariance_iterative(
             states[i], GPData(X=emu.X, y=emu.Z[:, i]), Xs,
-            col_chunk=col_chunk,
+            col_chunk=col_chunk, row_chunk=row_chunk,
         )
-        lam, U = jnp.linalg.eigh(cov)
-        scale = jnp.sqrt(jnp.maximum(lam, 0.0))
-        z = jax.random.normal(
-            keys[i], (num_samples, Xs.shape[0]), dtype=mean.dtype
-        )
-        Zs.append(
-            mean[None, :] + jnp.dot(
-                z * scale[None, :], U.T,
-                preferred_element_type=mean.dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        )
-    Zs = jnp.stack(Zs)  # (r, S, m)
-    pca = emu.pca
-    sqrt_lam = jnp.sqrt(pca.eigenvalues.astype(Zs.dtype))
-    U = pca.U.astype(Zs.dtype)
-    Y = jnp.einsum("rsm,jr->smj", Zs * sqrt_lam[:, None, None], U)
-    return pca.ymean[None, None, :] + Y * pca.ystd[None, None, :]
+        Zs.append(_eigh_draws(mean, cov, keys[i], num_samples))
+    return _rotate_pc_draws(jnp.stack(Zs), emu.pca)
 
 
 def sample_multivariate_posterior(
@@ -536,8 +542,4 @@ def sample_multivariate_posterior(
         )
 
     Zs = jax.vmap(one)(emu.states, emu.params, emu.Z.T, keys)  # (r, S, m)
-    pca = emu.pca
-    sqrt_lam = jnp.sqrt(pca.eigenvalues.astype(Zs.dtype))
-    U = pca.U.astype(Zs.dtype)
-    Y = jnp.einsum("rsm,jr->smj", Zs * sqrt_lam[:, None, None], U)
-    return pca.ymean[None, None, :] + Y * pca.ystd[None, None, :]
+    return _rotate_pc_draws(Zs, emu.pca)

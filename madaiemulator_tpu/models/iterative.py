@@ -264,9 +264,14 @@ def pcg_solve(
         # the COMMON f32 CG breakdown once the residual reaches the matvec
         # noise floor: substituting a fake denominator would take an
         # arbitrary wrong step that the isfinite check below cannot catch.
-        # Treat it as breakdown: take no step, freeze the column.
+        # Treat it as breakdown: take no step, freeze the column. The same
+        # applies to rz <= 0 (an indefinite APPLIED P-inverse, possible at
+        # f32 when the Woodbury capacitance is ill-conditioned): alpha =
+        # rz/pap would be a finite wrong-direction step that grows the
+        # residual for the rest of the budget with col_ok never tripping.
         curv_ok = pap > 0
-        step_ok = jnp.logical_and(active, curv_ok)
+        rz_ok = rz > 0
+        step_ok = active & curv_ok & rz_ok
         alpha = jnp.where(step_ok, rz / jnp.where(curv_ok, pap, 1.0), 0.0)
         Xn = Xc + alpha[None, :] * P
         Rn = R - alpha[None, :] * AP
@@ -277,6 +282,7 @@ def pcg_solve(
         # breakdown detection per column: freeze at the last finite iterate
         col_ok = (
             curv_ok
+            & rz_ok
             & jnp.all(jnp.isfinite(Xn), axis=0)
             & jnp.all(jnp.isfinite(Rn), axis=0)
             & jnp.all(jnp.isfinite(Pn), axis=0)
@@ -461,6 +467,39 @@ def _solve_C(params, data, config, rank, cg, B, mesh=None, row_chunk=2048):
     return pcg_solve(mv, B, pre, tol=tol, max_iters=iters)
 
 
+def _training_operator(params, data, config, rank, mesh=None, row_chunk=2048):
+    """Preconditioner + matvec + regression basis + [y | H] RHS block —
+    the training-solve operator, defined ONCE for both the LML forward
+    (_lml_iterative_impl) and the serving precompute
+    (precompute_iterative_predictor) so conditioning/gating fixes cannot
+    diverge between fit and serving."""
+    n = data.X.shape[0]
+    da = _diag_add(n, params, config, data.X.dtype)
+    Lk = pivoted_cholesky(data.X, params, config, rank)
+    pre = make_preconditioner(Lk, da)
+    mv = _matvec_for(params, data, config, mesh, row_chunk)
+    H = regression_basis(data.X, config.regression_order)
+    B = jnp.concatenate([data.y[:, None], H], axis=1)  # (n, 1 + p)
+    return pre, mv, H, B, Lk
+
+
+def _gls_from_solves(H, Ciy, CiH):
+    """GLS algebra from the training solves: A = H^T C^-1 H (Cholesky LA),
+    beta = A^-1 H^T C^-1 y, alpha = C^-1 (y - H beta) assembled without a
+    second solve. Shared by the LML forward and the serving precompute."""
+    A = jnp.dot(H.T, CiH, precision=lax.Precision.HIGHEST)
+    LA = lax.linalg.cholesky(A)
+    rhs = jnp.dot(H.T, Ciy, precision=lax.Precision.HIGHEST)
+    w = lax.linalg.triangular_solve(
+        LA, rhs[:, None], left_side=True, lower=True
+    )
+    beta = lax.linalg.triangular_solve(
+        LA, w, left_side=True, lower=True, transpose_a=True
+    )[:, 0]
+    alpha = Ciy - jnp.dot(CiH, beta, precision=lax.Precision.HIGHEST)
+    return LA, beta, alpha
+
+
 def _lml_iterative_impl(
     params, seed, data, config, rank, probes, lanczos_iters, cg, mesh=None,
     logdet_method="slq", with_aux=False, row_chunk=2048,
@@ -468,12 +507,9 @@ def _lml_iterative_impl(
     key = jax.random.key(seed)
     n = data.X.shape[0]
     tol, iters = cg
-    da = _diag_add(n, params, config, data.X.dtype)
-    Lk = pivoted_cholesky(data.X, params, config, rank)
-    pre = make_preconditioner(Lk, da)
-    mv = _matvec_for(params, data, config, mesh, row_chunk)
-    H = regression_basis(data.X, config.regression_order)
-    B = jnp.concatenate([data.y[:, None], H], axis=1)  # (n, 1 + p)
+    pre, mv, H, B, Lk = _training_operator(
+        params, data, config, rank, mesh, row_chunk
+    )
     nbase = B.shape[1]
     if logdet_method == "mbcg":
         # probes z ~ N(0, P): the mBCG quadratures of their CG runs carry
@@ -492,14 +528,7 @@ def _lml_iterative_impl(
         mv, B, pre, tol=tol, max_iters=iters, track_tridiag=True
     )
     Ciy, CiH = S[:, 0], S[:, 1:nbase]
-    A = jnp.dot(H.T, CiH, precision=lax.Precision.HIGHEST)
-    LA = lax.linalg.cholesky(A)
-    rhs = jnp.dot(H.T, Ciy, precision=lax.Precision.HIGHEST)
-    w = lax.linalg.triangular_solve(LA, rhs[:, None], left_side=True, lower=True)
-    beta = lax.linalg.triangular_solve(
-        LA, w, left_side=True, lower=True, transpose_a=True
-    )[:, 0]
-    alpha = Ciy - jnp.dot(CiH, beta, precision=lax.Precision.HIGHEST)
+    LA, beta, alpha = _gls_from_solves(H, Ciy, CiH)
     r = data.y - jnp.dot(H, beta, precision=lax.Precision.HIGHEST)
     quad = jnp.dot(r, alpha, precision=lax.Precision.HIGHEST)
     if logdet_method == "mbcg":
@@ -537,9 +566,12 @@ def _lml_iterative_impl(
     )
     neg_inf = jnp.asarray(-jnp.inf, ll.dtype)
     ll = jnp.where(ok, ll, neg_inf)
+    # diagnostic mirrors the gate: solve columns only — an mBCG probe that
+    # stopped early is expected (truncated quadrature), not a bad solve
+    rel_solves = jnp.max(rel[:nbase])
     if with_aux:
-        return ll, alpha, (CiH, LA), IterativeInfo(jnp.max(rel), it)
-    return ll, alpha, IterativeInfo(jnp.max(rel), it)
+        return ll, alpha, (CiH, LA), IterativeInfo(rel_solves, it)
+    return ll, alpha, IterativeInfo(rel_solves, it)
 
 
 @functools.partial(
@@ -771,23 +803,12 @@ def precompute_iterative_predictor(
         import dataclasses
 
         config = dataclasses.replace(config, jitter=jitter)
-    n = data.X.shape[0]
-    da = _diag_add(n, params, config, data.X.dtype)
-    Lk = pivoted_cholesky(data.X, params, config, rank)
-    pre = make_preconditioner(Lk, da)
-    mv = _matvec_for(params, data, config, None, row_chunk)
-    H = regression_basis(data.X, config.regression_order)
-    B = jnp.concatenate([data.y[:, None], H], axis=1)
+    pre, mv, H, B, _ = _training_operator(
+        params, data, config, rank, None, row_chunk
+    )
     S, _, _ = pcg_solve(mv, B, pre, tol=cg_tol, max_iters=cg_max_iters)
     Ciy, CiH = S[:, 0], S[:, 1:]
-    A = jnp.dot(H.T, CiH, precision=lax.Precision.HIGHEST)
-    LA = lax.linalg.cholesky(A)
-    rhs = jnp.dot(H.T, Ciy, precision=lax.Precision.HIGHEST)
-    w = lax.linalg.triangular_solve(LA, rhs[:, None], left_side=True, lower=True)
-    beta = lax.linalg.triangular_solve(
-        LA, w, left_side=True, lower=True, transpose_a=True
-    )[:, 0]
-    alpha = Ciy - jnp.dot(CiH, beta, precision=lax.Precision.HIGHEST)
+    LA, beta, alpha = _gls_from_solves(H, Ciy, CiH)
     return IterativePosteriorState(
         params=params, config=config, pre=pre, alpha=alpha, beta=beta,
         CiH=CiH, LA=LA, cg_tol=cg_tol, cg_max_iters=cg_max_iters,
@@ -810,13 +831,19 @@ def predict_iterative_from_state(
 
     variance_method="precond" replaces the per-chunk PCG variance solve
     with the cached preconditioner's Woodbury apply (k*^T P^-1 k*,
-    P = L_k L_k^T + sigma^2 I): O(N * rank) per query instead of a full
+    P = L_k L_k^T + sigma_p^2 I): O(N * rank) per query instead of a full
     Krylov solve — the LOVE-style serving tradeoff (PAPERS.md BBMM line).
-    Since P <= C (the pivoted-Cholesky residual is PSD), P^-1 >= C^-1 and
-    the reported variance is a LOWER bound that tightens as the
-    preconditioner rank grows (exact at rank = N); the mean and the GLS
-    correction stay exact. Use for MCMC serving where variance is a
-    proposal heuristic, not a calibrated interval."""
+    When the preconditioner's ridge is the plain nugget+jitter diagonal
+    (sigma_p^2 == sigma^2, the usual case), P <= C because the pivoted-
+    Cholesky residual is PSD, so P^-1 >= C^-1 and the reported variance is
+    a LOWER bound that tightens as the preconditioner rank grows (exact at
+    rank = N). Caveat: at smooth-kernel thetas make_preconditioner's
+    conditioning floor can raise sigma_p^2 above sigma^2 (check
+    `state.pre.sigma2` against the nugget+jitter diagonal), and then the
+    bound direction is no longer guaranteed — treat the number as an
+    approximation, not a bound. The mean and the GLS correction stay exact
+    either way. Use for MCMC serving where variance is a proposal
+    heuristic, not a calibrated interval."""
     params, config = state.params, state.config
     pre, alpha, beta, CiH, LA = (
         state.pre, state.alpha, state.beta, state.CiH, state.LA,

@@ -448,11 +448,14 @@ def precompute_iterative_multivariate(
     cg_tol: float = 1e-6,
     cg_max_iters: int = 256,
     jitter: Optional[float] = None,
+    row_chunk: int = 2048,
 ):
     """Per-component IterativePosteriorState list: the matrix-free serving
     cache (preconditioner + training solves), built once per loaded
     snapshot so query batches cost one variance solve each (the iterative
-    twin of precompute_fast_multivariate; VERDICT r2 weak #1)."""
+    twin of precompute_fast_multivariate; VERDICT r2 weak #1). row_chunk
+    bounds the training-solve kernel tiles (<= 1024 at N >= 131k, the
+    documented worker envelope)."""
     from madaiemulator_tpu.models.iterative import (
         precompute_iterative_predictor,
     )
@@ -463,7 +466,7 @@ def precompute_iterative_multivariate(
             GPData(X=emu.X, y=emu.Z[:, i]),
             emu.config,
             rank=rank, cg_tol=cg_tol, cg_max_iters=cg_max_iters,
-            jitter=jitter,
+            jitter=jitter, row_chunk=row_chunk,
         )
         for i in range(emu.n_components)
     ]

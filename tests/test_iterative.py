@@ -62,6 +62,34 @@ def test_pcg_matches_direct_solve(rng):
     assert int(iters) <= int(iters2)
 
 
+def test_pcg_freezes_on_indefinite_preconditioner_apply(rng):
+    """An indefinite APPLIED P-inverse makes rz = r^T P^-1 r <= 0; alpha =
+    rz/pap would then be a finite wrong-direction step that grows the
+    residual for the whole budget without tripping the isfinite checks.
+    pcg_solve must treat rz <= 0 as breakdown: freeze the column at its
+    last (here: initial) iterate with rel >> tol so callers gate on it."""
+    n = 16
+    A = np.eye(n) * 2.0
+    B = rng.standard_normal((n, 3))
+    # lie about the Woodbury capacitance: Lk Lk^T = 2 I, true M = (1 + 2) I,
+    # but M_chol = sqrt(0.5) I => solve(V) = V - 2 * (1/0.5) V = -3 V,
+    # a negative-definite apply => rz0 < 0 for every column
+    Lk = jnp.asarray(np.sqrt(2.0) * np.eye(n))
+    lying = iterative.Preconditioner(
+        Lk=Lk,
+        sigma2=jnp.asarray(1.0),
+        M_chol=jnp.asarray(np.sqrt(0.5) * np.eye(n)),
+    )
+    mv = lambda V: 2.0 * V
+    X, rel, iters = iterative.pcg_solve(
+        mv, jnp.asarray(B), lying, tol=1e-10, max_iters=64
+    )
+    # every column frozen at the initial iterate (no wrong-direction steps)
+    np.testing.assert_allclose(np.asarray(X), 0.0)
+    assert np.all(np.asarray(rel) >= 0.99)  # visibly unconverged
+    assert int(iters) <= 2  # froze immediately, not after the full budget
+
+
 def test_preconditioner_solve_and_logdet(rng):
     n, k = 30, 8
     Lk = rng.standard_normal((n, k)) * 0.7
