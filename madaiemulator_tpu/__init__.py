@@ -63,6 +63,7 @@ from madaiemulator_tpu.models.calibrate import (
     implausibility,
     make_log_posterior,
     run_emcee,
+    run_hmc,
     run_parallel_tempering,
     run_rwm,
 )
@@ -119,6 +120,7 @@ __all__ = [
     "implausibility",
     "make_log_posterior",
     "run_emcee",
+    "run_hmc",
     "run_parallel_tempering",
     "run_rwm",
     "DesignProposal",

@@ -224,9 +224,11 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="steps discarded (default: n_steps/4)")
     cal.add_argument("--thin", type=int, default=1)
     cal.add_argument(
-        "--sampler", choices=["emcee", "pt", "rwm"], default="emcee",
+        "--sampler", choices=["emcee", "pt", "rwm", "hmc"], default="emcee",
         help="'pt' = parallel tempering (use when R-hat stays high: "
-        "multimodal posteriors from emulator-uncertainty havens)",
+        "multimodal posteriors from emulator-uncertainty havens); "
+        "'hmc' = Hamiltonian MC with exact autodiff gradients through "
+        "the emulator (fewer, more decorrelated steps)",
     )
     cal.add_argument(
         "--discrepancy", action="store_true",

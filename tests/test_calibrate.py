@@ -136,6 +136,85 @@ def test_rwm_adapts_and_recovers(rng):
     np.testing.assert_allclose(kept.var(axis=0), np.diag(cov), rtol=0.5)
 
 
+def test_hmc_recovers_gaussian(rng):
+    mu = np.array([0.5, -0.2, 1.0])
+    cov = np.diag([0.3, 0.08, 0.15])
+    lp = _gauss_target(mu, cov)
+    x0 = jnp.asarray(mu[None, :] + 0.05 * rng.standard_normal((16, 3)))
+    chain, lps, acc, step = calibrate.run_hmc(
+        jax.random.key(2), lp, x0, 800, step_size=0.5, n_leapfrog=8
+    )
+    assert chain.shape == (800, 16, 3)
+    # HMC on a smooth target accepts most trajectories post-adaptation
+    assert 0.4 < float(acc) < 1.0
+    kept = np.asarray(chain)[300:].reshape(-1, 3)
+    np.testing.assert_allclose(kept.mean(axis=0), mu, atol=0.08)
+    np.testing.assert_allclose(kept.var(axis=0), np.diag(cov), rtol=0.35)
+    rhat = calibrate.gelman_rubin(np.asarray(chain)[300:])
+    assert np.all(rhat < 1.1)
+
+
+def test_hmc_adapts_oversized_step(rng):
+    """A wildly oversized initial step must be adapted down toward the
+    target acceptance rate instead of freezing the chain at ~0 acceptance."""
+    lp = _gauss_target(np.zeros(2), np.eye(2) * 0.05)
+    x0 = jnp.asarray(0.1 * rng.standard_normal((8, 2)))
+    chain, _, acc, step = calibrate.run_hmc(
+        jax.random.key(5), lp, x0, 600, step_size=5.0, n_leapfrog=5,
+        n_adapt=300,
+    )
+    assert float(step) < 1.0
+    assert float(acc) > 0.2
+    with pytest.raises(ValueError):
+        calibrate.run_hmc(jax.random.key(0), lp, x0, 10, n_leapfrog=0)
+
+
+def test_hmc_respects_support_gate(rng):
+    """The make_log_posterior pattern (clip + -inf gate outside the box):
+    leapfrog trajectories that leave the box must be rejected, never
+    accepted or NaN-corrupted — kept states stay strictly in-support."""
+
+    def lp(x):
+        x2 = jnp.atleast_2d(x)
+        inbox = jnp.all((x2 >= 0.0) & (x2 <= 1.0), axis=-1)
+        xc = jnp.clip(x2, 0.0, 1.0)
+        val = -0.5 * jnp.sum(((xc - 0.9) / 0.3) ** 2, axis=-1)
+        out = jnp.where(inbox, val, -jnp.inf)
+        return out if x.ndim > 1 else out[0]
+
+    x0 = jnp.asarray(rng.uniform(0.5, 0.95, size=(8, 2)))
+    chain, lps, acc, _ = calibrate.run_hmc(
+        jax.random.key(4), lp, x0, 300, step_size=0.2, n_leapfrog=5
+    )
+    c = np.asarray(chain)
+    assert np.all(np.isfinite(c))
+    assert np.all((c >= 0.0) & (c <= 1.0))
+    assert np.all(np.isfinite(np.asarray(lps)))
+    assert float(acc) > 0.2  # the mode near the corner is still explored
+
+
+def test_lp_and_grad_sanitizes_nonfinite():
+    """NaN gradient components (e.g. sqrt'(x<0) through a clipped-support
+    density) are zeroed so they cannot poison the leapfrog integrator."""
+
+    def lp(x):
+        x2 = jnp.atleast_2d(x)
+        out = jnp.sqrt(x2[:, 0]) - jnp.sum(x2**2, axis=-1)
+        return out if x.ndim > 1 else out[0]
+
+    x = jnp.asarray([[1.0, 2.0], [-1.0, 3.0]])
+    v, g = calibrate._lp_and_grad(lp, x)
+    assert v.shape == (2,) and g.shape == (2, 2)
+    # row 0 is the ordinary per-walker gradient
+    np.testing.assert_allclose(
+        np.asarray(g[0]), [0.5 - 2.0, -4.0], rtol=1e-6
+    )
+    # row 1's sqrt'(-1) = NaN contaminates its component -> zeroed;
+    # the row's other (finite) component is untouched
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(np.asarray(g[1]), [0.0, -6.0])
+
+
 def test_accept_step_neginf_current():
     """A finite proposal always replaces a -inf current state."""
     x = jnp.zeros((4, 2))
@@ -421,6 +500,29 @@ def test_calibrate_with_pt(toy_emulator):
     assert np.all(err < 5 * s["std"] + 0.2), (s["mean"], s["std"])
 
 
+def test_calibrate_with_hmc(toy_emulator):
+    """End-to-end gradient-based calibration: autodiff through the
+    emulator's predict inside the compiled HMC scan recovers truth."""
+    emu, X, Y = toy_emulator
+    rng = np.random.default_rng(11)
+    theta_true = np.array([1.1, 0.9])
+    y_exp = simulator(theta_true) + rng.normal(0, 0.05, size=3)
+    res = calibrate.calibrate(
+        jax.random.key(9), emu, y_exp, np.full(3, 0.05**2),
+        n_walkers=16, n_steps=300, burn_in=100, sampler="hmc",
+        step_size=0.05, n_leapfrog=5,
+    )
+    assert res.samples.shape == (200, 16, 2)
+    s = res.summary()
+    err = np.abs(s["mean"] - theta_true)
+    assert np.all(err < 5 * s["std"] + 0.15), (s["mean"], s["std"])
+    assert res.acceptance > 0.3
+    # kept draws stay inside the design box (the -inf gate held under
+    # gradient-driven proposals)
+    assert res.samples.min() >= X.min() - 1e-6
+    assert res.samples.max() <= X.max() + 1e-6
+
+
 # ---------------------------------------------------------------------------
 # Kennedy-O'Hagan model discrepancy
 # ---------------------------------------------------------------------------
@@ -555,6 +657,13 @@ def test_sharded_walkers_match_single_device(toy_emulator):
     r0 = calibrate.run_rwm(jax.random.key(3), lp, x0, 50)
     r1 = calibrate.run_rwm(jax.random.key(3), lp, x0, 50, mesh=mesh)
     np.testing.assert_allclose(np.asarray(r0[0]), np.asarray(r1[0]),
+                               rtol=2e-5, atol=1e-6)
+
+    h0 = calibrate.run_hmc(jax.random.key(5), lp, x0, 40, n_leapfrog=3)
+    h1 = calibrate.run_hmc(
+        jax.random.key(5), lp, x0, 40, n_leapfrog=3, mesh=mesh
+    )
+    np.testing.assert_allclose(np.asarray(h0[0]), np.asarray(h1[0]),
                                rtol=2e-5, atol=1e-6)
 
     # and through the calibrate() driver via sampler kwargs
