@@ -157,16 +157,19 @@ def fit_one_start(
     y: jax.Array,
     config: GPConfig,
     max_steps: int,
+    noise: jax.Array | None = None,
 ) -> Tuple[GPParams, jax.Array]:
     """Run one LBFGS trajectory from one unconstrained start.
 
     The composable unit for batching: `fit_gp` vmaps it over restarts;
     parallel.ensemble double-vmaps it over (ensemble, restart) and shards
     both axes over a device mesh. Returns (best_u, best_neg_loglik).
+    `noise` is an optional (N,) per-point observation-noise variance
+    vector (GPData.noise).
     """
     dtype = y.dtype
     lo, hi = _bounds_arrays(config, dtype)
-    data = GPData(X=X, y=y)
+    data = GPData(X=X, y=y, noise=noise)
 
     def objective(u):
         # the zoom linesearch probes value_fn at u + t*d with an f64 t under
@@ -648,7 +651,10 @@ def fit_gp(
         u_fb,
     )
 
-    run = jax.vmap(lambda u: fit_one_start(u, data.X, data.y, config, steps))
+    run = jax.vmap(
+        lambda u: fit_one_start(u, data.X, data.y, config, steps,
+                                noise=data.noise)
+    )
     if restart_chunk is None or restart_chunk >= R:
         best_u, best_negll = run(u0)
     else:

@@ -28,7 +28,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,10 +43,20 @@ class GPData(NamedTuple):
 
     X is the design scaled to [0,1]^d (use utils.designs.scale_design);
     y is the training vector (z-scored per output in the multivariate path).
+
+    noise (optional) is a per-point observation-noise VARIANCE vector in
+    y's units, added to the covariance diagonal: C = K + (nugget+jitter) I
+    + diag(noise). The standard heteroscedastic-known-noise model for
+    stochastic simulators (each design point averaged over a finite number
+    of events has a known sampling variance); the reference supports only
+    the homogeneous nugget [U-hi], so this widens it. noise is data, not a
+    hyperparameter: the LML gradient treats it as constant, and the fitted
+    nugget then captures only the residual homogeneous part.
     """
 
     X: jax.Array  # (N, d)
     y: jax.Array  # (N,)
+    noise: Optional[jax.Array] = None  # (N,) observation-noise variances
 
 
 class GPPosteriorState(NamedTuple):
@@ -83,6 +93,10 @@ def _factor(
 ) -> GPPosteriorState:
     with jax.named_scope("gram_build"):
         C = kernels.gram_matrix(data.X, params, config)
+        if data.noise is not None:
+            # known per-point observation-noise variances on the diagonal
+            idx = jnp.arange(C.shape[0])
+            C = C.at[idx, idx].add(data.noise.astype(C.dtype))
     with jax.named_scope("factorize"):
         n = C.shape[0]
         method = config.cholesky_method

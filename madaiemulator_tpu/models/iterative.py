@@ -56,17 +56,22 @@ def gram_matvec(
     config: GPConfig,
     V: jax.Array,
     row_chunk: int = 2048,
+    noise: Optional[jax.Array] = None,
 ) -> jax.Array:
     """C(theta) @ V without materializing C. V is (n, m) (m RHS columns).
 
     Peak extra memory is one (row_chunk, n) kernel tile + (row_chunk, m)
     output block. Cost per call O(n^2 d / chip); batch RHS to amortize the
-    tile build over many columns.
+    tile build over many columns. `noise` is an optional (n,) per-point
+    observation-noise variance vector (GPData.noise) added to the
+    diagonal term.
     """
     n, d = X.shape
     vec = V.ndim == 1
     V2 = V[:, None] if vec else V
     da = _diag_add(n, params, config, X.dtype)
+    if noise is not None:
+        da = da + noise.astype(X.dtype)  # (n,) heteroscedastic diagonal
 
     chunk = min(row_chunk, n)
     pad = (-n) % chunk
@@ -87,7 +92,7 @@ def gram_matvec(
         )
 
     out = lax.map(block, Xp.reshape(-1, chunk, d)).reshape(-1, V2.shape[1])[:n]
-    out = out + da * V2
+    out = out + (da[:, None] if da.ndim else da) * V2
     return out[:, 0] if vec else out
 
 
@@ -137,31 +142,57 @@ def pivoted_cholesky(
 
 
 class Preconditioner(NamedTuple):
-    """P = L_k L_k^T + sigma2 I applied via Woodbury:
-    P^-1 v = (v - L_k M^-1 L_k^T v) / sigma2,  M = sigma2 I_k + L_k^T L_k."""
+    """P = L_k L_k^T + D applied via Woodbury, with D either a scalar
+    ridge sigma2 I (homogeneous nugget) or an (n,) diagonal (per-point
+    observation noise — GPData.noise). Scalar form:
+    P^-1 v = (v - L_k M^-1 L_k^T v) / sigma2,  M = sigma2 I_k + L_k^T L_k.
+    Vector form (capacitance convention):
+    P^-1 v = D^-1 v - D^-1 L_k M^-1 L_k^T D^-1 v,  M = I_k + L_k^T D^-1 L_k.
+    The branch is static (sigma2.ndim), so jit traces exactly one."""
 
     Lk: jax.Array  # (n, k)
-    sigma2: jax.Array  # scalar
+    sigma2: jax.Array  # scalar ridge, or (n,) diagonal ridge
     M_chol: jax.Array  # (k, k) lower Cholesky of M
 
-    def solve(self, V: jax.Array) -> jax.Array:
-        W = jnp.dot(
-            self.Lk.T, V, precision=lax.Precision.HIGHEST
-        )  # (k, m)
+    def _msolve(self, W: jax.Array) -> jax.Array:
         W = lax.linalg.triangular_solve(
             self.M_chol, W, left_side=True, lower=True
         )
-        W = lax.linalg.triangular_solve(
+        return lax.linalg.triangular_solve(
             self.M_chol, W, left_side=True, lower=True, transpose_a=True
         )
-        return (V - jnp.dot(self.Lk, W, precision=lax.Precision.HIGHEST)) / self.sigma2
+
+    def solve(self, V: jax.Array) -> jax.Array:
+        if self.sigma2.ndim == 0:
+            W = jnp.dot(
+                self.Lk.T, V, precision=lax.Precision.HIGHEST
+            )  # (k, m)
+            W = self._msolve(W)
+            return (
+                V - jnp.dot(self.Lk, W, precision=lax.Precision.HIGHEST)
+            ) / self.sigma2
+        U = V / self.sigma2[:, None]  # D^-1 v
+        W = self._msolve(
+            jnp.dot(self.Lk.T, U, precision=lax.Precision.HIGHEST)
+        )
+        return U - (
+            jnp.dot(self.Lk, W, precision=lax.Precision.HIGHEST)
+            / self.sigma2[:, None]
+        )
 
     def logdet(self) -> jax.Array:
-        """log|P| = (n - k) log sigma2 + log|M| (Sylvester)."""
+        """log|P| by Sylvester: scalar (n-k) log sigma2 + log|M|;
+        vector sum(log d_i) + log|M| (M already capacitance-normalized)."""
         n, k = self.Lk.shape
-        return (n - k) * jnp.log(self.sigma2) + 2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(self.M_chol))
-        )
+        mld = 2.0 * jnp.sum(jnp.log(jnp.diagonal(self.M_chol)))
+        if self.sigma2.ndim == 0:
+            return (n - k) * jnp.log(self.sigma2) + mld
+        return jnp.sum(jnp.log(self.sigma2)) + mld
+
+    def ridge_sqrt(self) -> jax.Array:
+        """sqrt of the ridge, shaped to scale (n, m) probe blocks."""
+        s = jnp.sqrt(self.sigma2)
+        return s[:, None] if s.ndim else s
 
 
 def make_preconditioner(
@@ -192,7 +223,16 @@ def make_preconditioner(
     sigma2_p = jnp.maximum(
         jnp.asarray(sigma2, Lk.dtype), lam1 / jnp.asarray(max_cond, Lk.dtype)
     )
-    M = sigma2_p * jnp.eye(k, dtype=Lk.dtype) + G
+    if sigma2_p.ndim == 0:
+        M = sigma2_p * jnp.eye(k, dtype=Lk.dtype) + G
+    else:
+        # vector ridge (heteroscedastic noise): capacitance M = I + Lk^T
+        # D^-1 Lk; cond(M) <= 1 + lam1(G)/min(D), so the elementwise floor
+        # above gives the same max_cond cap as the scalar branch
+        Ls = Lk / sigma2_p[:, None]
+        M = jnp.eye(k, dtype=Lk.dtype) + jnp.dot(
+            Lk.T, Ls, precision=lax.Precision.HIGHEST
+        )
     return Preconditioner(
         Lk=Lk, sigma2=sigma2_p, M_chol=lax.linalg.cholesky(M)
     )
@@ -448,12 +488,13 @@ def _matvec_for(params, data, config, mesh, row_chunk: int = 2048):
     value+grad; 1024 and below are the large-N setting."""
     if mesh is None:
         return lambda V: gram_matvec(data.X, params, config, V,
-                                     row_chunk=row_chunk)
+                                     row_chunk=row_chunk, noise=data.noise)
     from madaiemulator_tpu.parallel.iterative_sharded import (
         make_sharded_matvec,
     )
 
-    return make_sharded_matvec(data.X, params, config, mesh)
+    return make_sharded_matvec(data.X, params, config, mesh,
+                               noise=data.noise)
 
 
 def _solve_C(params, data, config, rank, cg, B, mesh=None, row_chunk=2048):
@@ -461,6 +502,8 @@ def _solve_C(params, data, config, rank, cg, B, mesh=None, row_chunk=2048):
     tol, iters = cg
     n = data.X.shape[0]
     da = _diag_add(n, params, config, data.X.dtype)
+    if data.noise is not None:
+        da = da + data.noise.astype(data.X.dtype)  # vector ridge
     Lk = pivoted_cholesky(data.X, params, config, rank)
     pre = make_preconditioner(Lk, da)
     mv = _matvec_for(params, data, config, mesh, row_chunk)
@@ -475,6 +518,8 @@ def _training_operator(params, data, config, rank, mesh=None, row_chunk=2048):
     diverge between fit and serving."""
     n = data.X.shape[0]
     da = _diag_add(n, params, config, data.X.dtype)
+    if data.noise is not None:
+        da = da + data.noise.astype(data.X.dtype)  # vector ridge
     Lk = pivoted_cholesky(data.X, params, config, rank)
     pre = make_preconditioner(Lk, da)
     mv = _matvec_for(params, data, config, mesh, row_chunk)
@@ -520,9 +565,10 @@ def _lml_iterative_impl(
         # draw from N(0, P) with P's ACTUAL ridge (pre.sigma2 may exceed da
         # by the conditioning floor — the estimator is valid for any SPD P
         # as long as probes and quadratures use the same operator)
-        U = jnp.dot(Lk, w1, precision=lax.Precision.HIGHEST) + jnp.sqrt(
-            pre.sigma2
-        ) * w2
+        U = (
+            jnp.dot(Lk, w1, precision=lax.Precision.HIGHEST)
+            + pre.ridge_sqrt() * w2
+        )
         B = jnp.concatenate([B, U], axis=1)
     S, rel, it, (At, Bt, steps) = pcg_solve(
         mv, B, pre, tol=tol, max_iters=iters, track_tridiag=True

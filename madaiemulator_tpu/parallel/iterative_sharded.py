@@ -57,12 +57,16 @@ def sharded_gram_matvec(
     V: jax.Array,
     mesh: Mesh,
     row_chunk: int = 2048,
+    noise: Optional[jax.Array] = None,
 ) -> jax.Array:
     """C(theta) @ V with the row dimension sharded over `mesh`.
 
     Each device computes its row block against the full (replicated) X and
     RHS, in sequential chunks of `row_chunk` rows; results concatenate back
     to the global (n, m) product. Callable under jit with `mesh` static.
+    `noise` is an optional (n,) per-point observation-noise variance
+    vector (GPData.noise); it shards with the rows like the RHS diagonal
+    term.
     """
     n, d = X.shape
     vec = V.ndim == 1
@@ -72,6 +76,10 @@ def sharded_gram_matvec(
     Xp = jnp.pad(X, ((0, pad), (0, 0))) if pad else X
     Vp = jnp.pad(V2, ((0, pad), (0, 0))) if pad else V2
     da = iterative._diag_add(n, params, config, X.dtype)
+    # per-point noise rides the sharded diagonal add; a zero vector keeps
+    # the shard_map signature static across the noise/no-noise cases
+    dl = jnp.zeros((n,), X.dtype) if noise is None else noise.astype(X.dtype)
+    dlp = jnp.pad(dl, (0, pad)) if pad else dl
 
     local = (n + pad) // ndev
     chunk = min(row_chunk, local)
@@ -84,11 +92,12 @@ def sharded_gram_matvec(
             P(None, None),       # full X (replicated)
             P(None, None),       # full RHS (replicated)
             P(ROWS_AXIS, None),  # local row block of RHS (diagonal term)
+            P(ROWS_AXIS),        # local row block of the noise diagonal
             jax.tree.map(lambda _: P(), params),
         ),
         out_specs=P(ROWS_AXIS, None),
     )
-    def mv(Xl, Xf, Vf, Vl, prm):
+    def mv(Xl, Xf, Vf, Vl, dll, prm):
         nl = Xl.shape[0]
         cpad = (-nl) % chunk
         Xlp = jnp.pad(Xl, ((0, cpad), (0, 0))) if cpad else Xl
@@ -104,9 +113,9 @@ def sharded_gram_matvec(
             )
 
         out = lax.map(block, Xlp.reshape(-1, chunk, d)).reshape(-1, Vf.shape[1])
-        return out[:nl] + da * Vl
+        return out[:nl] + (da + dll)[:, None] * Vl
 
-    out = mv(Xp, X, V2, Vp, params)[:n]
+    out = mv(Xp, X, V2, Vp, dlp, params)[:n]
     return out[:, 0] if vec else out
 
 
@@ -116,11 +125,12 @@ def make_sharded_matvec(
     config: GPConfig,
     mesh: Mesh,
     row_chunk: int = 2048,
+    noise: Optional[jax.Array] = None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Matvec closure for models/iterative primitives (pcg_solve,
     slq_logdet) running row-sharded over `mesh`."""
     return lambda V: sharded_gram_matvec(
-        X, params, config, V, mesh, row_chunk=row_chunk
+        X, params, config, V, mesh, row_chunk=row_chunk, noise=noise
     )
 
 
@@ -134,13 +144,16 @@ def pcg_solve_sharded(
     tol: float = 1e-6,
     max_iters: int = 256,
     row_chunk: int = 2048,
+    noise: Optional[jax.Array] = None,
 ):
     """Sharded C^-1 B: pivoted-Cholesky preconditioner (built once,
     O(N k (k + d)), replicated) + batched PCG over the sharded matvec."""
     da = iterative._diag_add(X.shape[0], params, config, X.dtype)
+    if noise is not None:
+        da = da + noise.astype(X.dtype)
     Lk = iterative.pivoted_cholesky(X, params, config, precond_rank)
     pre = iterative.make_preconditioner(Lk, da)
-    mv = make_sharded_matvec(X, params, config, mesh, row_chunk)
+    mv = make_sharded_matvec(X, params, config, mesh, row_chunk, noise=noise)
     return iterative.pcg_solve(mv, B, pre, tol=tol, max_iters=max_iters)
 
 

@@ -25,9 +25,11 @@ def setup_problem(rng, n=20, d=2, order=1):
     return cfg, GPData(X=jnp.asarray(X), y=jnp.asarray(y)), p
 
 
-def numpy_lml(X, y, p, cfg):
+def numpy_lml(X, y, p, cfg, noise=None):
     """Direct dense-numpy GLS log-marginal likelihood."""
     C = np.asarray(kernels.gram_matrix(jnp.asarray(X), p, cfg))
+    if noise is not None:
+        C = C + np.diag(np.asarray(noise))
     H = np.asarray(gp.regression_basis(jnp.asarray(X), cfg.regression_order))
     Ci = np.linalg.inv(C)
     A = H.T @ Ci @ H
@@ -135,6 +137,90 @@ def test_posterior_interpolates_training_points(rng):
     assert np.allclose(np.asarray(mean), np.asarray(data.y), atol=1e-6)
     assert np.all(np.asarray(var) >= 0)
     assert np.all(np.asarray(var) < 1e-5)
+
+
+@pytest.mark.parametrize("reml", [False, True])
+def test_lml_with_pointwise_noise_matches_numpy(rng, reml):
+    """GPData.noise adds known per-point variances to the diagonal only."""
+    cfg, data, p = setup_problem(rng, order=1)
+    cfg = GPConfig(nparams=cfg.nparams, regression_order=1, reml=reml)
+    noise = 10.0 ** rng.uniform(-4, -1, size=data.y.shape[0])
+    nd = data._replace(noise=jnp.asarray(noise))
+    got = float(gp.log_marginal_likelihood(p, nd, cfg))
+    want = numpy_lml(np.asarray(data.X), np.asarray(data.y), p, cfg, noise)
+    assert np.isclose(got, want, rtol=1e-9), (got, want)
+    # zero noise vector is exactly the no-noise path
+    z = data._replace(noise=jnp.zeros_like(data.y))
+    assert float(gp.log_marginal_likelihood(p, z, cfg)) == float(
+        gp.log_marginal_likelihood(p, data, cfg)
+    )
+
+
+@pytest.mark.parametrize("reml", [False, True])
+def test_noise_closed_form_vjp_matches_autodiff(rng, reml):
+    """The closed-form LML VJP treats noise as constant data — gradients
+    must match plain autodiff through the noisy factorization exactly."""
+    cfg, data, p = setup_problem(rng, order=1)
+    cfg = GPConfig(nparams=cfg.nparams, regression_order=1, reml=reml)
+    noise = jnp.asarray(10.0 ** rng.uniform(-4, -1, size=data.y.shape[0]))
+    nd = data._replace(noise=noise)
+    g_cf = jax.grad(lambda pp: gp.log_marginal_likelihood(pp, nd, cfg))(p)
+    g_ad = jax.grad(lambda pp: gp.log_marginal_likelihood_ad(pp, nd, cfg))(p)
+    for a, b in zip(jax.tree.leaves(g_cf), jax.tree.leaves(g_ad)):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
+def test_noisy_point_is_downweighted(rng):
+    """A point with huge known noise must not drag the posterior: the mean
+    at its location recovers the clean signal from its neighbors."""
+    d = 1
+    X = np.linspace(0, 1, 25)[:, None]
+    f = np.sin(3 * X[:, 0])
+    y = f.copy()
+    j = 12
+    y[j] += 5.0  # corrupted observation...
+    noise = np.zeros(25)
+    noise[j] = 1e4  # ...with honestly-huge known variance
+    cfg = GPConfig(
+        nparams=d, regression_order=0, predict_variance_includes_nugget=False
+    )
+    p = GPParams(
+        log_amp=jnp.asarray(0.0),
+        log_nugget=jnp.asarray(np.log(1e-8)),
+        log_ls=jnp.asarray(np.log(np.array([0.08]))),
+    )
+    nd = GPData(X=jnp.asarray(X), y=jnp.asarray(y), noise=jnp.asarray(noise))
+    mean, var = gp.gp_posterior(p, nd, nd.X, cfg)
+    assert abs(float(mean[j]) - f[j]) < 0.05  # recovers sin, not sin+5
+    # and the un-corrupted points still interpolate
+    mask = np.arange(25) != j
+    assert np.allclose(np.asarray(mean)[mask], f[mask], atol=1e-3)
+    # losing point j's observation raises the latent variance there
+    # (ordering vs the fully-clean factorization is the invariant)
+    clean = GPData(X=nd.X, y=nd.y)
+    _, var_clean = gp.gp_posterior(p, clean, nd.X, cfg)
+    assert float(var[j]) > 10 * float(var_clean[j])
+
+
+def test_fit_gp_accepts_noise(rng):
+    """End-to-end: the vmapped multi-restart fit runs with GPData.noise and
+    the fitted nugget captures only the residual homogeneous part."""
+    from madaiemulator_tpu.models.fit import fit_gp
+
+    n, d = 40, 2
+    X = rng.uniform(size=(n, d))
+    f = np.sin(3 * X[:, 0]) + X[:, 1]
+    noise = np.full(n, 0.25)  # big known noise, tiny true residual
+    y = f + np.sqrt(noise) * rng.standard_normal(n)
+    cfg = GPConfig(nparams=d, regression_order=1, n_restarts=2,
+                   max_opt_steps=25)
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y),
+                  noise=jnp.asarray(noise))
+    res = fit_gp(jax.random.key(0), data, cfg)
+    assert np.isfinite(float(res.log_likelihood))
+    # with the 0.25 variance explained by `noise`, the fitted nugget should
+    # stay well below it (it only models what the known noise does not)
+    assert float(jnp.exp(res.params.log_nugget)) < 0.1
 
 
 def test_variance_grows_away_from_data(rng):

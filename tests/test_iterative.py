@@ -149,6 +149,79 @@ def test_lml_iterative_matches_dense_exact_mode(rng, reml):
     assert np.isclose(ll_iter, ll_dense, rtol=1e-5, atol=1e-4), (ll_iter, ll_dense)
 
 
+def test_gram_matvec_with_noise_matches_dense(rng):
+    cfg, data, p = setup_problem(rng, n=31)
+    noise = 10.0 ** rng.uniform(-3, -1, size=31)
+    C = np.asarray(kernels.gram_matrix(data.X, p, cfg)) + np.diag(noise)
+    V = rng.standard_normal((31, 3))
+    got = np.asarray(
+        iterative.gram_matvec(
+            data.X, p, cfg, jnp.asarray(V), row_chunk=8,
+            noise=jnp.asarray(noise),
+        )
+    )
+    np.testing.assert_allclose(got, C @ V, rtol=1e-9, atol=1e-12)
+
+
+def test_vector_ridge_preconditioner_matches_dense(rng):
+    """P = Lk Lk^T + diag(d): Woodbury apply and Sylvester logdet vs numpy."""
+    cfg, data, p = setup_problem(rng, n=33)
+    Lk = np.asarray(iterative.pivoted_cholesky(data.X, p, cfg, 12))
+    d = 10.0 ** rng.uniform(-3, 0, size=33)
+    pre = iterative.make_preconditioner(jnp.asarray(Lk), jnp.asarray(d))
+    P = Lk @ Lk.T + np.diag(np.asarray(pre.sigma2))
+    B = rng.standard_normal((33, 4))
+    got = np.asarray(pre.solve(jnp.asarray(B)))
+    np.testing.assert_allclose(got, np.linalg.solve(P, B), rtol=1e-8,
+                               atol=1e-10)
+    np.testing.assert_allclose(
+        float(pre.logdet()), np.linalg.slogdet(P)[1], rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("reml", [False, True])
+def test_lml_iterative_with_noise_matches_dense(rng, reml):
+    """GPData.noise flows through the matvec, the vector-ridge
+    preconditioner, and the Hutchinson VJP — value AND gradient must match
+    the dense noisy path at exact-probe settings."""
+    import dataclasses
+
+    cfg, data, p = setup_problem(rng, n=30)
+    cfg = dataclasses.replace(cfg, reml=reml)
+    noise = jnp.asarray(10.0 ** rng.uniform(-3, -1, size=30))
+    nd = data._replace(noise=noise)
+    ll_dense = float(gp.log_marginal_likelihood(p, nd, cfg))
+    f_iter = lambda pp: iterative.lml_iterative(
+        pp, nd, cfg, seed=0, rank=30, probes=30, lanczos_iters=30,
+        cg_tol=1e-12, cg_max_iters=400,
+    )
+    assert np.isclose(float(f_iter(p)), ll_dense, rtol=1e-5, atol=1e-4)
+    g_dense = jax.grad(lambda pp: gp.log_marginal_likelihood(pp, nd, cfg))(p)
+    g_iter = jax.grad(f_iter)(p)
+    for a, b in zip(jax.tree.leaves(g_dense), jax.tree.leaves(g_iter)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+def test_predict_iterative_with_noise_matches_dense(rng):
+    """Cached-state serving with per-point noise == dense posterior with
+    the same noisy training covariance."""
+    cfg, data, p = setup_problem(rng, n=34)
+    noise = jnp.asarray(10.0 ** rng.uniform(-3, -1, size=34))
+    nd = data._replace(noise=noise)
+    Xs = jnp.asarray(rng.uniform(size=(17, 2)))
+    m_d, v_d = gp.gp_posterior(p, nd, Xs, cfg)
+    st = iterative.precompute_iterative_predictor(
+        p, nd, cfg, rank=34, cg_tol=1e-12, cg_max_iters=400
+    )
+    m_i, v_i = iterative.predict_iterative_from_state(st, nd, Xs)
+    np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d), rtol=1e-6,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), rtol=1e-5,
+                               atol=1e-7)
+
+
 @pytest.mark.parametrize("reml", [False, True])
 def test_lml_iterative_gradient_matches_dense_exact_mode(rng, reml):
     """Exact-probe settings: the iterative VJP (incl. the REML log|A| term,

@@ -41,6 +41,23 @@ def test_sharded_matvec_matches_dense(rng, n):
     np.testing.assert_allclose(got1, C @ V[:, 0], rtol=1e-9, atol=1e-12)
 
 
+def test_sharded_matvec_with_noise_matches_dense(rng):
+    """Per-point noise shards with the rows (incl. the padded-rows case)."""
+    n = 52
+    cfg, X, p = setup_problem(rng, n=n)
+    mesh = its.make_rows_mesh(8)
+    noise = 10.0 ** rng.uniform(-3, -1, size=n)
+    C = np.asarray(kernels.gram_matrix(X, p, cfg)) + np.diag(noise)
+    V = rng.standard_normal((n, 3))
+    got = np.asarray(
+        its.sharded_gram_matvec(
+            X, p, cfg, jnp.asarray(V), mesh, row_chunk=4,
+            noise=jnp.asarray(noise),
+        )
+    )
+    np.testing.assert_allclose(got, C @ V, rtol=1e-9, atol=1e-12)
+
+
 def test_sharded_pcg_matches_direct(rng):
     cfg, X, p = setup_problem(rng, n=56)
     mesh = its.make_rows_mesh(8)
