@@ -172,6 +172,14 @@ def _build_parser() -> argparse.ArgumentParser:
         help="LBFGS linesearch; 'backtracking' halves compiled objective "
         "instances (use at very large N where compile time dominates)",
     )
+    est.add_argument(
+        "--noise_file", default=None,
+        help="per-point observation-noise VARIANCES (whitespace floats): "
+        "N values (one per design point, every output, original y units) "
+        "or N x t values (per point per output). Known sampling noise of "
+        "a stochastic simulator; lands on the covariance diagonal and is "
+        "stored in the snapshot (format version 2)",
+    )
 
     im = sub.add_parser("interactive_mode", help="serve queries over stdin/stdout")
     im.add_argument("state_file")
@@ -419,6 +427,25 @@ def cmd_estimate_thetas(args) -> int:
         cholesky_update_precision=args.update_precision,
         linesearch=args.linesearch,
     )
+    noise = None
+    if getattr(args, "noise_file", None):
+        raw = np.loadtxt(args.noise_file, dtype=np.float64)
+        n, t = mf.npoints, mf.noutputs
+        if raw.size == n:
+            noise = jnp.asarray(raw.reshape(n), dtype=dtype)
+        elif raw.size == n * t:
+            noise = jnp.asarray(raw.reshape(n, t), dtype=dtype)
+        else:
+            print(
+                f"error: --noise_file has {raw.size} values; expected "
+                f"N={n} or N*t={n * t}",
+                file=sys.stderr,
+            )
+            return 2
+        if float(np.min(np.asarray(raw))) < 0:
+            print("error: --noise_file variances must be >= 0",
+                  file=sys.stderr)
+            return 2
     if args.fit_method == "iterative":
         emu = fit_multivariate_iterative(
             jax.random.key(args.seed),
@@ -435,6 +462,7 @@ def cmd_estimate_thetas(args) -> int:
             vg_batch=args.vg_batch,
             logdet_method=args.logdet_method,
             checkpoint_path=args.checkpoint_path,
+            noise=noise,
         )
     else:
         alpha_grid = None
@@ -459,6 +487,7 @@ def cmd_estimate_thetas(args) -> int:
             restart_chunk=args.restart_chunk,
             alpha_grid=alpha_grid,
             alpha_refine=args.alpha_refine,
+            noise=noise,
         )
     if not args.quiet:
         lls = np.asarray(emu.restart_log_likelihoods)

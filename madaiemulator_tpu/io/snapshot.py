@@ -42,6 +42,11 @@ from madaiemulator_tpu.utils.designs import DesignScaling
 
 MAGIC = "MADAIEMULATOR_TPU_SNAPSHOT"
 VERSION = 1
+# version 2 = version 1 + a trailing per-point PC-space observation-noise
+# block (n x r); written ONLY when the emulator carries noise, so
+# noise-free snapshots stay byte-compatible with every version-1 reader
+# (incl. the native C++ Emulator and the pipe servers).
+VERSION_NOISE = 2
 
 
 def _fmt_vec(v) -> str:
@@ -93,7 +98,8 @@ def write_snapshot(
         axis=1,
     )  # (r, ntheta), natural space, reference layout
     w = dest.write
-    w(f"{MAGIC} {VERSION}\n")
+    version = VERSION if emu.noise is None else VERSION_NOISE
+    w(f"{MAGIC} {version}\n")
     w(f"covariance {cfg.covariance.value}\n")
     w(f"power_exp_alpha {cfg.power_exp_alpha:.17g}\n")
     w(f"regression_order {cfg.regression_order}\n")
@@ -118,6 +124,9 @@ def write_snapshot(
     w(_fmt_mat(emu.Z) + "\n")
     w("# thetas per component (r x ntheta) [amp nugget ls...]\n")
     w(_fmt_mat(thetas) + "\n")
+    if emu.noise is not None:
+        w("# per-point PC-space observation-noise variances (n x r)\n")
+        w(_fmt_mat(emu.noise) + "\n")
 
 
 def write_snapshot_npz(
@@ -134,10 +143,13 @@ def write_snapshot_npz(
     t = emu.n_outputs
     cfg = emu.config
     pca_standardize = _derived_standardize(emu)
+    extra = (
+        {} if emu.noise is None else {"noise_pc": np.asarray(emu.noise)}
+    )
     np.savez_compressed(
         dest,
         magic=np.array([MAGIC]),
-        version=np.array([VERSION]),
+        version=np.array([VERSION if emu.noise is None else VERSION_NOISE]),
         covariance=np.array([cfg.covariance.value]),
         power_exp_alpha=np.array([cfg.power_exp_alpha]),
         regression_order=np.array([cfg.regression_order]),
@@ -162,6 +174,7 @@ def write_snapshot_npz(
         log_amp=np.asarray(emu.params.log_amp),
         log_nugget=np.asarray(emu.params.log_nugget),
         log_ls=np.asarray(emu.params.log_ls),
+        **extra,
     )
 
 
@@ -172,7 +185,9 @@ def read_snapshot_npz(
     returns an IterativeMultivariateEmulator (matrix-free serving — the
     only option when N^2 per component exceeds HBM)."""
     z = np.load(source, allow_pickle=False)
-    if str(z["magic"][0]) != MAGIC or int(z["version"][0]) != VERSION:
+    if str(z["magic"][0]) != MAGIC or int(z["version"][0]) not in (
+        VERSION, VERSION_NOISE,
+    ):
         raise ValueError("not a compatible npz snapshot")
     cfg = GPConfig(
         nparams=int(z["X"].shape[1]),
@@ -200,10 +215,14 @@ def read_snapshot_npz(
         eigenvalues=jnp.asarray(z["eigenvalues"], dtype=dtype),
         U=jnp.asarray(z["U"], dtype=dtype),
     )
+    noisej = (
+        jnp.asarray(z["noise_pc"], dtype=dtype) if "noise_pc" in z else None
+    )
     if build_states:
         emu = MultivariateEmulator(
             scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params,
-            states=_vmapped_states(params, Xj, Zj, cfg), config=cfg,
+            states=_vmapped_states(params, Xj, Zj, cfg, noise_pc=noisej),
+            config=cfg, noise=noisej,
         )
     else:
         from madaiemulator_tpu.models.multivariate import (
@@ -212,6 +231,7 @@ def read_snapshot_npz(
 
         emu = IterativeMultivariateEmulator(
             scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params, config=cfg,
+            noise=noisej,
         )
     return emu, list(map(str, z["param_names"])), list(map(str, z["output_names"]))
 
@@ -262,7 +282,7 @@ def read_snapshot(
     if tok() != MAGIC:
         raise ValueError("not a madaiemulator_tpu snapshot")
     version = int(tok())
-    if version != VERSION:
+    if version not in (VERSION, VERSION_NOISE):
         raise ValueError(f"unsupported snapshot version {version}")
     cov = COVARIANCE_CLI_NAMES[expect("covariance")]
     alpha = float(expect("power_exp_alpha"))
@@ -292,6 +312,7 @@ def read_snapshot(
     Z = mat(n, r)
     ntheta = 2 + cov.num_length_scales(d)
     thetas = mat(r, ntheta)
+    noise = mat(n, r) if version >= VERSION_NOISE else None
 
     cfg = GPConfig(
         nparams=d,
@@ -317,10 +338,12 @@ def read_snapshot(
         eigenvalues=jnp.asarray(lam, dtype=dtype),
         U=jnp.asarray(U, dtype=dtype),
     )
+    noisej = None if noise is None else jnp.asarray(noise, dtype=dtype)
     if build_states:
         emu = MultivariateEmulator(
             scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params,
-            states=_vmapped_states(params, Xj, Zj, cfg), config=cfg,
+            states=_vmapped_states(params, Xj, Zj, cfg, noise_pc=noisej),
+            config=cfg, noise=noisej,
         )
     else:
         from madaiemulator_tpu.models.multivariate import (
@@ -329,5 +352,6 @@ def read_snapshot(
 
         emu = IterativeMultivariateEmulator(
             scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params, config=cfg,
+            noise=noisej,
         )
     return emu, param_names, output_names

@@ -189,7 +189,7 @@ def make_log_posterior(
             ms, vs = [], []
             for i in range(emu.n_components):
                 m_i, v_i = predict_iterative_from_state(
-                    states[i], GPData(X=emu.X, y=emu.Z[:, i]), xq,
+                    states[i], emu.component_data(i), xq,
                     query_chunk=query_chunk,
                     variance_method=variance_method,
                     row_chunk=row_chunk,

@@ -304,10 +304,18 @@ def loo_cv_multivariate(emu) -> Tuple[LOOResult, jax.Array, jax.Array]:
     if states is not None:
         res = jax.vmap(_loo_from_state)(states, emu.Z.T)  # fields (r, N)
     else:
-        def one(p, z):
-            return loo_cv(p, GPData(X=emu.X, y=z), emu.config)
+        def one(p, z, nz):
+            return loo_cv(p, GPData(X=emu.X, y=z, noise=nz), emu.config)
 
-        res = jax.vmap(one)(emu.params, emu.Z.T)  # fields (r, N)
+        # getattr: duck-typed emulator stands-ins may predate the noise
+        # field (same convention as the `states` probe above)
+        noise = getattr(emu, "noise", None)
+        if noise is None:
+            res = jax.vmap(lambda p, z: one(p, z, None))(
+                emu.params, emu.Z.T
+            )  # fields (r, N)
+        else:
+            res = jax.vmap(one)(emu.params, emu.Z.T, noise.T)
     loo_mean, loo_var = reconstruct_observables(
         res.mean, res.variance, emu.pca
     )  # (N, t) each
@@ -396,7 +404,10 @@ def holdout_cv_multivariate(
     ms, vs = [], []
     for i in range(emu.n_components):
         p = jax.tree.map(lambda a: a[i], emu.params)
-        d = GPData(X=Xk, y=emu.Z[keep, i])
+        d = GPData(
+            X=Xk, y=emu.Z[keep, i],
+            noise=None if emu.noise is None else emu.noise[keep, i],
+        )
         st = precompute_iterative_predictor(
             p, d, emu.config, rank=rank, cg_tol=cg_tol,
             cg_max_iters=cg_max_iters, jitter=jitter, row_chunk=row_chunk,
@@ -511,7 +522,7 @@ def sample_multivariate_posterior_iterative(
     Zs = []
     for i in range(emu.n_components):
         mean, cov = posterior_covariance_iterative(
-            states[i], GPData(X=emu.X, y=emu.Z[:, i]), Xs,
+            states[i], emu.component_data(i), Xs,
             col_chunk=col_chunk, row_chunk=row_chunk,
         )
         Zs.append(_eigh_draws(mean, cov, keys[i], num_samples))

@@ -53,7 +53,12 @@ class PCAState(NamedTuple):
 
 
 class MultivariateEmulator(NamedTuple):
-    """A trained multivariate emulator (snapshot payload + serving cache)."""
+    """A trained multivariate emulator (snapshot payload + serving cache).
+
+    `noise` (optional, (N, r)) holds per-point observation-noise variances
+    PROJECTED to PC-score space (see project_noise) — the training-side
+    heteroscedastic diagonal each component's factorization was built with.
+    """
 
     scaling: DesignScaling
     X: jax.Array  # (N, d) scaled design
@@ -63,6 +68,7 @@ class MultivariateEmulator(NamedTuple):
     states: GPPosteriorState  # batched (r, ...) posterior factorizations
     config: GPConfig
     restart_log_likelihoods: Optional[jax.Array] = None  # (r, R)
+    noise: Optional[jax.Array] = None  # (N, r) PC-space noise variances
 
     @property
     def n_components(self) -> int:
@@ -71,6 +77,11 @@ class MultivariateEmulator(NamedTuple):
     @property
     def n_outputs(self) -> int:
         return self.pca.ymean.shape[0]
+
+    def component_data(self, i: int) -> GPData:
+        """GPData of component i, incl. its PC-space noise column."""
+        nz = None if self.noise is None else self.noise[:, i]
+        return GPData(X=self.X, y=self.Z[:, i], noise=nz)
 
 
 def pca_decompose(
@@ -117,39 +128,83 @@ def pca_decompose(
     return state, jnp.asarray(Z)
 
 
+def project_noise(noise, pca: PCAState, dtype=None) -> jnp.ndarray:
+    """Per-PC observation-noise variances from per-point output noise.
+
+    noise: (N,) — one variance per design point, applied to every output
+    in ORIGINAL y units — or (N, t) per-output variances. z-scoring maps
+    sigma_z,ti^2 = sigma_ti^2 / ystd_t^2, and the PC score
+    z_k = u_k^T y_z / sqrt(lambda_k) (orthonormal u_k) gives
+
+        Var(z_k,i) = sum_t U_tk^2 sigma_z,ti^2 / lambda_k.
+
+    Cross-PC noise covariances (sum_t U_tk U_tl sigma_z,ti^2) are dropped;
+    they are EXACTLY zero when sigma_z,i is isotropic across outputs —
+    the same independent-component approximation the PCA emulator already
+    makes for the posterior. Returns (N, r), the layout of Z.
+    """
+    t = pca.ymean.shape[0]
+    noise = jnp.asarray(noise)
+    if dtype is not None:
+        noise = noise.astype(dtype)
+    if noise.ndim == 1:
+        noise = noise[:, None] * jnp.ones((1, t), noise.dtype)
+    if noise.shape[1] != t:
+        raise ValueError(
+            f"noise must be (N,) or (N, t={t}); got {noise.shape}"
+        )
+    ystd = pca.ystd.astype(noise.dtype)
+    lam = jnp.maximum(
+        pca.eigenvalues.astype(noise.dtype),
+        jnp.finfo(noise.dtype).tiny,
+    )
+    U2 = (pca.U.astype(noise.dtype)) ** 2  # (t, r)
+    return (noise / ystd[None, :] ** 2) @ U2 / lam[None, :]
+
+
 def _vmapped_fit(
-    key, X, Z, config: GPConfig, restart_chunk: Optional[int] = None
+    key, X, Z, config: GPConfig, restart_chunk: Optional[int] = None,
+    noise_pc=None,
 ) -> FitResult:
     r = Z.shape[1]
     keys = jax.random.split(key, r)
 
-    def one(k, z):
-        return fit_gp(k, GPData(X=X, y=z), config, restart_chunk=restart_chunk)
+    def one(k, z, nz):
+        return fit_gp(k, GPData(X=X, y=z, noise=nz), config,
+                      restart_chunk=restart_chunk)
 
-    return jax.vmap(one)(keys, Z.T)
+    if noise_pc is None:
+        return jax.vmap(lambda k, z: one(k, z, None))(keys, Z.T)
+    return jax.vmap(one)(keys, Z.T, noise_pc.T)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _vmapped_states_jit(params: GPParams, X, Z, config: GPConfig) -> GPPosteriorState:
-    def one(p, z):
-        return precompute_predictor(p, GPData(X=X, y=z), config)
+def _vmapped_states_jit(
+    params: GPParams, X, Z, config: GPConfig, noise_pc=None
+) -> GPPosteriorState:
+    def one(p, z, nz):
+        return precompute_predictor(p, GPData(X=X, y=z, noise=nz), config)
 
-    return jax.vmap(one)(params, Z.T)
+    if noise_pc is None:
+        return jax.vmap(lambda p, z: one(p, z, None))(params, Z.T)
+    return jax.vmap(one)(params, Z.T, noise_pc.T)
 
 
-def _vmapped_states(params: GPParams, X, Z, config: GPConfig) -> GPPosteriorState:
+def _vmapped_states(
+    params: GPParams, X, Z, config: GPConfig, noise_pc=None
+) -> GPPosteriorState:
     """Per-component serving factorizations with a host-level jitter-rescue
     (memory-flat: the in-graph ladder inside precompute_predictor only runs
     at small N; here failed components are refactored with larger jitter,
     merged per component)."""
     import dataclasses as _dc
 
-    states = _vmapped_states_jit(params, X, Z, config)
+    states = _vmapped_states_jit(params, X, Z, config, noise_pc)
     if X.dtype == jnp.float64 or bool(jnp.all(states.ok)):
         return states
     for frac in (1e-4, 1e-2):
         cfg2 = _dc.replace(config, jitter=frac)
-        states2 = _vmapped_states_jit(params, X, Z, cfg2)
+        states2 = _vmapped_states_jit(params, X, Z, cfg2, noise_pc)
         ok = states.ok  # (r,)
         states = jax.tree.map(
             lambda a, b: jnp.where(
@@ -181,6 +236,7 @@ def fit_multivariate(
     restart_chunk: Optional[int] = None,
     alpha_grid: Optional[Tuple[float, ...]] = None,
     alpha_refine: int = 0,
+    noise=None,
 ) -> MultivariateEmulator:
     """Train a multivariate emulator (the `estimate_thetas` multivariate path).
 
@@ -188,6 +244,11 @@ def fit_multivariate(
     GP fits run as ONE vmapped batch over (component x restart) — the
     reference's serial loop over r pthreaded estimations collapses into a
     single device program.
+
+    noise: optional per-point observation-noise variances — (N,) in
+    original y units applied to every output, or (N, t) per-output; see
+    project_noise for the PC-space mapping baked into every component's
+    training covariance.
 
     alpha_grid (power-exponential only) profiles the kernel exponent: the
     whole vmapped fit runs once per grid value and the emulator with the
@@ -215,7 +276,7 @@ def fit_multivariate(
             emu_a = fit_multivariate(
                 key, X_raw, Y, cfg_a, pca_variance=pca_variance,
                 standardize=standardize, param_ranges=param_ranges,
-                restart_chunk=restart_chunk,
+                restart_chunk=restart_chunk, noise=noise,
             )
             lls = np.asarray(emu_a.restart_log_likelihoods)
             total = float(
@@ -244,12 +305,16 @@ def fit_multivariate(
     X = apply_scaling(jnp.asarray(X_raw), scaling)
     pca, Z = pca_decompose(Y, pca_variance, standardize=standardize)
     Z = Z.astype(X.dtype)
+    noise_pc = (
+        None if noise is None else project_noise(noise, pca, dtype=X.dtype)
+    )
     logger.info(
         "fit_multivariate: N=%d d=%d t=%d -> r=%d components (pca_variance=%g)",
         X.shape[0], X.shape[1], Y.shape[1], Z.shape[1], pca_variance,
     )
-    fit = _vmapped_fit(key, X, Z, config, restart_chunk=restart_chunk)
-    states = _vmapped_states(fit.params, X, Z, config)
+    fit = _vmapped_fit(key, X, Z, config, restart_chunk=restart_chunk,
+                       noise_pc=noise_pc)
+    states = _vmapped_states(fit.params, X, Z, config, noise_pc=noise_pc)
     import numpy as _np
 
     lls = _np.asarray(fit.restart_log_likelihoods)
@@ -279,6 +344,7 @@ def fit_multivariate(
         states=states,
         config=config,
         restart_log_likelihoods=fit.restart_log_likelihoods,
+        noise=noise_pc,
     )
 
 
@@ -375,6 +441,7 @@ class IterativeMultivariateEmulator(NamedTuple):
     params: GPParams  # batched (r, ...) per-component hyperparameters
     config: GPConfig
     restart_log_likelihoods: Optional[jax.Array] = None  # (r, R)
+    noise: Optional[jax.Array] = None  # (N, r) PC-space noise variances
 
     @property
     def n_components(self) -> int:
@@ -383,6 +450,11 @@ class IterativeMultivariateEmulator(NamedTuple):
     @property
     def n_outputs(self) -> int:
         return self.pca.ymean.shape[0]
+
+    def component_data(self, i: int) -> GPData:
+        """GPData of component i, incl. its PC-space noise column."""
+        nz = None if self.noise is None else self.noise[:, i]
+        return GPData(X=self.X, y=self.Z[:, i], noise=nz)
 
 
 def fit_multivariate_iterative(
@@ -393,6 +465,7 @@ def fit_multivariate_iterative(
     pca_variance: float = 0.95,
     standardize: bool = True,
     param_ranges: Optional[Tuple[jax.Array, jax.Array]] = None,
+    noise=None,
     **iter_kwargs,
 ) -> IterativeMultivariateEmulator:
     """Matrix-free multivariate training (the estimate_thetas path past
@@ -400,13 +473,17 @@ def fit_multivariate_iterative(
     path matters, ONE component's solves already fill the chip, so the
     dense path's vmap-over-components holds no advantage. iter_kwargs
     forward to models.iterative.fit_gp_iterative (rank, probes,
-    lanczos_iters, cg_tol, cg_max_iters, seed, vg_batch)."""
+    lanczos_iters, cg_tol, cg_max_iters, seed, vg_batch). `noise` is per-
+    point observation-noise variance, (N,) or (N, t) — see project_noise."""
     from madaiemulator_tpu.models.iterative import fit_gp_iterative
 
     scaling = fit_scaling(X_raw, ranges=param_ranges)
     X = apply_scaling(jnp.asarray(X_raw), scaling)
     pca, Z = pca_decompose(Y, pca_variance, standardize=standardize)
     Z = Z.astype(X.dtype)
+    noise_pc = (
+        None if noise is None else project_noise(noise, pca, dtype=X.dtype)
+    )
     r = Z.shape[1]
     keys = jax.random.split(key, r)
     logger.info(
@@ -423,7 +500,14 @@ def fit_multivariate_iterative(
         return {**iter_kwargs, "checkpoint_path": f"{ckpt}.c{i}"}
 
     fits = [
-        fit_gp_iterative(keys[i], GPData(X=X, y=Z[:, i]), config, **kw(i))
+        fit_gp_iterative(
+            keys[i],
+            GPData(
+                X=X, y=Z[:, i],
+                noise=None if noise_pc is None else noise_pc[:, i],
+            ),
+            config, **kw(i),
+        )
         for i in range(r)
     ]
     for i, f in enumerate(fits):
@@ -438,7 +522,7 @@ def fit_multivariate_iterative(
     lls = jnp.stack([f.restart_log_likelihoods for f in fits])
     return IterativeMultivariateEmulator(
         scaling=scaling, X=X, Z=Z, pca=pca, params=params, config=config,
-        restart_log_likelihoods=lls,
+        restart_log_likelihoods=lls, noise=noise_pc,
     )
 
 
@@ -463,7 +547,7 @@ def precompute_iterative_multivariate(
     return [
         precompute_iterative_predictor(
             jax.tree.map(lambda a: a[i], emu.params),
-            GPData(X=emu.X, y=emu.Z[:, i]),
+            emu.component_data(i),
             emu.config,
             rank=rank, cg_tol=cg_tol, cg_max_iters=cg_max_iters,
             jitter=jitter, row_chunk=row_chunk,
@@ -494,7 +578,7 @@ def predict_multivariate_iterative(
     r = emu.n_components
     ms, vs = [], []
     for i in range(r):
-        d = GPData(X=emu.X, y=emu.Z[:, i])
+        d = emu.component_data(i)
         if states is not None:
             # forward the serving knobs the from-state path understands —
             # in particular variance_method: silently dropping it once made

@@ -47,11 +47,13 @@ struct Snapshot {
   std::vector<double> X;                   // (n*d), scaled design
   std::vector<double> Z;                   // (n*r), PC scores
   std::vector<double> thetas;              // (r*ntheta): amp, nugget, ls...
+  std::vector<double> noise;  // (n*r) PC-space obs-noise variances, or empty
   int ntheta() const;
 };
 
-// Parses the MADAIEMULATOR_TPU_SNAPSHOT v1 text format
-// (madaiemulator_tpu/io/snapshot.py is the writer). Throws std::runtime_error.
+// Parses the MADAIEMULATOR_TPU_SNAPSHOT v1/v2 text format (v2 appends a
+// per-point PC-space observation-noise block;
+// madaiemulator_tpu/io/snapshot.py is the writer). Throws std::runtime_error.
 Snapshot LoadSnapshot(std::istream& in);
 Snapshot LoadSnapshotFile(const std::string& path);
 

@@ -109,7 +109,7 @@ Snapshot LoadSnapshot(std::istream& in) {
     throw std::runtime_error("not a madaiemulator_tpu snapshot");
   Snapshot s;
   s.version = t.NextInt();
-  if (s.version != 1)
+  if (s.version != 1 && s.version != 2)
     throw std::runtime_error("unsupported snapshot version");
   Expect(t, "covariance");
   std::string cov = t.Next();
@@ -159,6 +159,8 @@ Snapshot LoadSnapshot(std::istream& in) {
   s.X = vec(s.npoints * s.nparams);
   s.Z = vec(s.npoints * s.ncomponents);
   s.thetas = vec(s.ncomponents * s.ntheta());
+  if (s.version >= 2)  // trailing per-point PC-space noise block (n x r)
+    s.noise = vec(s.npoints * s.ncomponents);
   return s;
 }
 
@@ -229,6 +231,8 @@ void Emulator::Precompute() {
       }
     const double nugget = th[1];
     for (int i = 0; i < n; ++i) st.L[i * n + i] += nugget;
+    if (!s_.noise.empty())  // heteroscedastic known observation noise
+      for (int i = 0; i < n; ++i) st.L[i * n + i] += s_.noise[i * r + c];
     if (!CholeskyLower(st.L, n))
       throw std::runtime_error("snapshot covariance is not SPD");
     // LinvH = L^-1 H, column by column

@@ -245,6 +245,53 @@ def test_cli_iterative_fit_and_serve(rng, tmp_path):
     assert np.all(vals[1::2] >= 0) and np.all(vals[1::2] < 1e-2)
 
 
+def test_cli_noise_file_end_to_end(rng, tmp_path):
+    """--noise_file: known per-point observation noise flows through the
+    CLI fit into a version-2 snapshot, and a corrupted-but-known-noisy
+    training point does not drag the served predictions."""
+    model = tmp_path / "model.txt"
+    X = np.linspace(0, 1, 25)[:, None]
+    f = np.sin(2 * np.pi * X[:, 0])
+    Y = f.copy()
+    j = 12
+    Y[j] += 5.0
+    write_model_file(str(model), X, Y[:, None], ["x"], ["f"])
+    noise = np.full(25, 1e-10)
+    noise[j] = 1e4
+    nf = tmp_path / "noise.txt"
+    np.savetxt(nf, noise)
+    state = tmp_path / "state.txt"
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(state),
+            "--restarts=2", "--steps=25", "--quiet",
+            f"--noise_file={nf}",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert state.read_text().splitlines()[0].endswith(" 2")  # v2 snapshot
+    # serve at the corrupted location: must recover sin, not sin + 5
+    q = " ".join(str(v) for v in X[j]) + "\n"
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state)],
+        input=q, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    vals = [float(v) for v in r.stdout.split()[-2:]]  # mean, variance
+    assert abs(vals[0] - f[j]) < 0.1, vals
+    # wrong-size noise file is a clean usage error
+    np.savetxt(nf, noise[:7])
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(state), "--quiet",
+            f"--noise_file={nf}",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 2 and "expected N=" in r.stderr
+
+
 def test_cli_large_n_flags_end_to_end(rng, tmp_path):
     """VERDICT r2 weak #9: the large-N recipes must be reachable from the
     CLI — numerics backends (--cholesky_method/--gram_method/

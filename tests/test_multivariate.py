@@ -141,6 +141,94 @@ def test_multivariate_iterative_cached_states_match(rng):
     np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_ref), rtol=1e-10)
 
 
+def test_project_noise_formula_and_isotropic_exactness(rng):
+    from madaiemulator_tpu.models.multivariate import project_noise
+
+    X, Y = make_heavy_ion_like(rng)
+    pca, Z = pca_decompose(jnp.asarray(Y), pca_variance=0.999)
+    n, t = Y.shape
+    r = Z.shape[1]
+    # general (N, t) case vs brute force: Var(z_k,i) = sum_t U^2 s_z^2 / lam
+    noise = 10.0 ** rng.uniform(-4, -1, size=(n, t))
+    got = np.asarray(project_noise(jnp.asarray(noise), pca))
+    U = np.asarray(pca.U)
+    lam = np.asarray(pca.eigenvalues)
+    ystd = np.asarray(pca.ystd)
+    want = (noise / ystd[None, :] ** 2) @ (U**2) / lam[None, :]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert got.shape == (n, r)
+    # isotropic-in-z-space noise projects EXACTLY (columns orthonormal):
+    # sigma_ti^2 = c_i * ystd_t^2  =>  Var(z_k,i) = c_i / lam_k, and the
+    # dropped cross-PC covariances are exactly zero
+    c = 10.0 ** rng.uniform(-3, -1, size=n)
+    iso = c[:, None] * ystd[None, :] ** 2
+    got_iso = np.asarray(project_noise(jnp.asarray(iso), pca))
+    np.testing.assert_allclose(got_iso, c[:, None] / lam[None, :], rtol=1e-12)
+    cross = np.einsum("tk,tl,it->ikl", U, U, iso / ystd[None, :] ** 2)
+    off = cross - np.einsum("ikk->ik", cross)[:, :, None] * np.eye(r)
+    assert np.abs(off - np.triu(np.tril(off))).max() < 1e-10  # off-diag ~ 0
+    # (N,) convenience: same variance per output in original units
+    one = np.asarray(project_noise(jnp.asarray(c), pca))
+    want_one = (c[:, None] / (ystd**2)[None, :]) @ (U**2) / lam[None, :]
+    np.testing.assert_allclose(one, want_one, rtol=1e-12)
+
+
+def test_fit_multivariate_with_noise(rng, tmp_path):
+    """End-to-end heteroscedastic multivariate: a known-noisy corrupted
+    point is downweighted in OBSERVABLE space, and the noise block
+    round-trips through both snapshot formats (version 2)."""
+    from madaiemulator_tpu.io.snapshot import (
+        read_snapshot, read_snapshot_npz, write_snapshot, write_snapshot_npz,
+    )
+
+    X, Y = make_heavy_ion_like(rng, n=30)
+    j = 11
+    Yc = Y.copy()
+    Yc[j] += 30.0 * np.sign(rng.standard_normal(Y.shape[1]))  # corrupted run
+    noise = np.full(30, 1e-9)
+    noise[j] = 1e6  # honestly-huge known variance for the corrupted run
+    cfg = GPConfig(nparams=3, regression_order=1, n_restarts=2,
+                   max_opt_steps=25)
+    emu = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Yc), cfg,
+        pca_variance=0.999, noise=jnp.asarray(noise),
+    )
+    assert emu.noise is not None and emu.noise.shape == (30, emu.n_components)
+    mean, var = predict_multivariate(emu, jnp.asarray(X))
+    # the corrupted observation must not drag the posterior: prediction at
+    # x_j lands near the CLEAN observables, far from the corrupted ones
+    err_clean = np.abs(np.asarray(mean)[j] - Y[j])
+    err_corr = np.abs(np.asarray(mean)[j] - Yc[j])
+    assert np.median(err_clean) < 0.2 * np.median(err_corr)
+    # snapshot round-trip (text + npz), version 2, exact noise payload
+    for path, wr, rd in [
+        (str(tmp_path / "s.txt"), write_snapshot, read_snapshot),
+        (str(tmp_path / "s.npz"), write_snapshot_npz, read_snapshot_npz),
+    ]:
+        wr(path, emu)
+        emu2, _, _ = rd(path)
+        assert emu2.noise is not None
+        np.testing.assert_allclose(
+            np.asarray(emu2.noise), np.asarray(emu.noise), rtol=1e-15
+        )
+        m2, v2 = predict_multivariate(emu2, jnp.asarray(X))
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(mean),
+                                   rtol=1e-10, atol=1e-12)
+    with open(str(tmp_path / "s.txt")) as f:
+        assert f.readline().strip().endswith(" 2")  # version-2 header
+    # matrix-free twin: same noise contract through the iterative engine
+    emu_it = fit_multivariate_iterative(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Yc), cfg,
+        pca_variance=0.999, noise=jnp.asarray(noise),
+        n_restarts=1, max_steps=8, rank=30, probes=30, cg_tol=1e-10,
+    )
+    assert emu_it.noise is not None
+    m_it, _ = predict_multivariate_iterative(emu_it, jnp.asarray(X))
+    err_clean_it = np.abs(np.asarray(m_it)[j] - Y[j])
+    err_corr_it = np.abs(np.asarray(m_it)[j] - Yc[j])
+    assert np.median(err_clean_it) < 0.2 * np.median(err_corr_it)
+
+
 def test_fit_multivariate_alpha_grid(rng):
     """One shared power exponent profiled over a grid: the winner carries
     the best TOTAL logL and its config records the winning alpha."""

@@ -70,6 +70,35 @@ def test_native_matches_jax_predictions(rng, tmp_path, lib, cov, order):
         np.testing.assert_allclose(vc, np.asarray(vj[i]), rtol=1e-6, atol=1e-9)
 
 
+def test_native_matches_jax_with_noise(rng, tmp_path, lib):
+    """Version-2 snapshot (per-point PC-space noise block): the C++
+    Emulator bakes the noise into its covariance diagonal and stays in
+    cross-implementation parity with the JAX path."""
+    X = rng.uniform(1.0, 3.0, size=(25, 2))
+    Y = np.stack(
+        [np.sin(2 * X[:, 0]) + X[:, 1], X[:, 0] * X[:, 1], X[:, 1] ** 2],
+        axis=1,
+    )
+    noise = 10.0 ** rng.uniform(-4, -1, size=25)
+    cfg = GPConfig(nparams=2, regression_order=1, n_restarts=2,
+                   max_opt_steps=30)
+    emu = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
+        pca_variance=0.999, noise=jnp.asarray(noise),
+    )
+    state = str(tmp_path / "state.txt")
+    write_snapshot(state, emu)
+    with open(state) as f:
+        assert f.readline().split()[-1] == "2"
+    ne = native.NativeEmulator(state)
+    Xq = rng.uniform(1.2, 2.8, size=(8, 2))
+    mj, vj = predict_multivariate(emu, jnp.asarray(Xq))
+    for i in range(8):
+        mc, vc = ne.query(Xq[i])
+        np.testing.assert_allclose(mc, np.asarray(mj[i]), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(vc, np.asarray(vj[i]), rtol=1e-6, atol=1e-9)
+
+
 def test_native_rejects_wrong_dimension(rng, tmp_path, lib):
     _, _, emu = trained(rng)
     state = str(tmp_path / "state.txt")
