@@ -56,6 +56,12 @@ from madaiemulator_tpu.models.multivariate import (
     MultivariateEmulator,
     fit_multivariate,
     predict_multivariate,
+    project_noise,
+)
+from madaiemulator_tpu.models.multifidelity import (
+    MultiFidelityEmulator,
+    fit_multifidelity,
+    predict_multifidelity,
 )
 from madaiemulator_tpu.models.calibrate import (
     CalibrationResult,
@@ -114,6 +120,10 @@ __all__ = [
     "FitResult",
     "MultivariateEmulator",
     "fit_multivariate",
+    "project_noise",
+    "MultiFidelityEmulator",
+    "fit_multifidelity",
+    "predict_multifidelity",
     "predict_multivariate",
     "CalibrationResult",
     "calibrate",

@@ -158,6 +158,7 @@ def fit_one_start(
     config: GPConfig,
     max_steps: int,
     noise: jax.Array | None = None,
+    h_extra: jax.Array | None = None,
 ) -> Tuple[GPParams, jax.Array]:
     """Run one LBFGS trajectory from one unconstrained start.
 
@@ -165,11 +166,12 @@ def fit_one_start(
     parallel.ensemble double-vmaps it over (ensemble, restart) and shards
     both axes over a device mesh. Returns (best_u, best_neg_loglik).
     `noise` is an optional (N,) per-point observation-noise variance
-    vector (GPData.noise).
+    vector (GPData.noise); `h_extra` optional (N, q) extra GLS basis
+    columns (GPData.h_extra).
     """
     dtype = y.dtype
     lo, hi = _bounds_arrays(config, dtype)
-    data = GPData(X=X, y=y, noise=noise)
+    data = GPData(X=X, y=y, noise=noise, h_extra=h_extra)
 
     def objective(u):
         # the zoom linesearch probes value_fn at u + t*d with an f64 t under
@@ -653,7 +655,7 @@ def fit_gp(
 
     run = jax.vmap(
         lambda u: fit_one_start(u, data.X, data.y, config, steps,
-                                noise=data.noise)
+                                noise=data.noise, h_extra=data.h_extra)
     )
     if restart_chunk is None or restart_chunk >= R:
         best_u, best_negll = run(u0)

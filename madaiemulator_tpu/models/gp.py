@@ -57,6 +57,13 @@ class GPData(NamedTuple):
     X: jax.Array  # (N, d)
     y: jax.Array  # (N,)
     noise: Optional[jax.Array] = None  # (N,) observation-noise variances
+    # Extra regression columns appended to the polynomial basis H(X) —
+    # fixed data, not theta-dependent, so the GLS envelope in the
+    # closed-form LML VJP stays exact. Used by models/multifidelity.py:
+    # the lower-fidelity prediction at X rides as one extra column whose
+    # GLS coefficient IS the Kennedy-O'Hagan AR(1) scale rho. Query-side
+    # counterparts go to predict via `hs_extra`.
+    h_extra: Optional[jax.Array] = None  # (N, q) extra basis columns
 
 
 class GPPosteriorState(NamedTuple):
@@ -72,6 +79,25 @@ class GPPosteriorState(NamedTuple):
     LA: jax.Array  # (p, p) lower Cholesky of A = H^T C^-1 H
     Linv_H: jax.Array  # (N, p) = L^-1 H
     ok: jax.Array  # scalar bool; factorization succeeded
+
+
+def training_basis(data: GPData, config: GPConfig) -> jax.Array:
+    """H(X) for training: polynomial basis + GPData.h_extra columns."""
+    H = regression_basis(data.X, config.regression_order)
+    if data.h_extra is not None:
+        H = jnp.concatenate([H, data.h_extra.astype(H.dtype)], axis=1)
+    return H
+
+
+def query_basis(
+    Xs: jax.Array, config: GPConfig, hs_extra: Optional[jax.Array] = None
+) -> jax.Array:
+    """H(x*) for queries: polynomial basis + caller-supplied extra columns
+    (must match the training h_extra width)."""
+    Hs = regression_basis(Xs, config.regression_order)
+    if hs_extra is not None:
+        Hs = jnp.concatenate([Hs, hs_extra.astype(Hs.dtype)], axis=1)
+    return Hs
 
 
 def regression_basis(X: jax.Array, order: int) -> jax.Array:
@@ -143,7 +169,7 @@ def _factor(
     # Guard the solves: replace a failed factor with I so downstream
     # triangular solves stay finite; `ok` gates the result.
     Lsafe = jnp.where(ok, L, jnp.eye(L.shape[0], dtype=L.dtype))
-    H = regression_basis(data.X, config.regression_order)
+    H = training_basis(data, config)
     Linv_H = linalg.solve_lower(Lsafe, H)  # (N, p)
     Linv_y = linalg.solve_lower(Lsafe, data.y)  # (N,)
     A = jnp.dot(
@@ -169,7 +195,7 @@ def _lml_value(params: GPParams, data: GPData, config: GPConfig):
     st = _factor(data, params, config)
     n = data.y.shape[0]
     # quadratic form via alpha: r^T C^-1 r = r . alpha
-    H = regression_basis(data.X, config.regression_order)
+    H = training_basis(data, config)
     r = data.y - jnp.dot(H, st.beta)
     quad = jnp.dot(r, st.alpha)
     logdet = linalg.logdet_from_chol(st.L)
@@ -410,6 +436,12 @@ def predict_fast(
     (N, m) cross-kernel and product blocks must stay bounded (auto-chunks
     past ~256 MB of temporaries when unset).
     """
+    if data.h_extra is not None:
+        raise ValueError(
+            "predict_fast does not support GPData.h_extra; use "
+            "predict_from_precomputed(..., hs_extra=...) "
+            "(models/multifidelity.py serves through it)"
+        )
     m = Xs.shape[0]
     chunk = _auto_query_chunk(data.X.shape[0], m, config.predict_query_chunk)
     if chunk is not None and m > chunk:
@@ -463,6 +495,7 @@ def predict_from_precomputed(
     data: GPData,
     Xs: jax.Array,
     config: GPConfig,
+    hs_extra: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Posterior mean and variance at query points Xs (m, d) -> ((m,), (m,)).
 
@@ -471,18 +504,40 @@ def predict_from_precomputed(
     With config.predict_query_chunk set, queries run in sequential chunks
     (lax.map) to bound solver temporaries at large N; when unset, chunking
     auto-engages past ~256 MB of (N, m) temporaries.
+
+    hs_extra: (m, q) query-side values of the GPData.h_extra regression
+    columns (required iff the state was trained with h_extra).
     """
     m = Xs.shape[0]
+    if (data.h_extra is None) != (hs_extra is None):
+        raise ValueError(
+            "predict: hs_extra must be given exactly when the training "
+            "data carried h_extra columns"
+        )
     chunk = _auto_query_chunk(data.X.shape[0], m, config.predict_query_chunk)
     if chunk is not None and m > chunk:
         pad = (-m) % chunk
         Xsp = jnp.concatenate([Xs, Xs[:pad]], axis=0) if pad else Xs
         groups = Xsp.reshape(-1, chunk, Xs.shape[1])
-        means, variances = jax.lax.map(
-            lambda q: _predict_core(state, params, data, q, config), groups
-        )
+        if hs_extra is None:
+            means, variances = jax.lax.map(
+                lambda q: _predict_core(state, params, data, q, config),
+                groups,
+            )
+        else:
+            hp = (
+                jnp.concatenate([hs_extra, hs_extra[:pad]], axis=0)
+                if pad else hs_extra
+            )
+            hgroups = hp.reshape(-1, chunk, hs_extra.shape[1])
+            means, variances = jax.lax.map(
+                lambda qh: _predict_core(
+                    state, params, data, qh[0], config, hs_extra=qh[1]
+                ),
+                (groups, hgroups),
+            )
         return means.reshape(-1)[:m], variances.reshape(-1)[:m]
-    return _predict_core(state, params, data, Xs, config)
+    return _predict_core(state, params, data, Xs, config, hs_extra=hs_extra)
 
 
 def _predict_core(
@@ -491,10 +546,11 @@ def _predict_core(
     data: GPData,
     Xs: jax.Array,
     config: GPConfig,
+    hs_extra: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     with jax.named_scope("cross_kernel"):
         Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
-    Hs = regression_basis(Xs, config.regression_order)  # (m, p)
+    Hs = query_basis(Xs, config, hs_extra)  # (m, p)
     mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
     with jax.named_scope("solve"):
         V = linalg.solve_lower(state.L, Ks)  # (N, m)
@@ -513,6 +569,7 @@ def gp_posterior(
     data: GPData,
     Xs: jax.Array,
     config: GPConfig,
+    hs_extra: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Factor + predict in one call.
 
@@ -522,4 +579,5 @@ def gp_posterior(
     absent, go through precompute_predictor / precompute_predictor_safe.
     """
     st = _factor(data, params, config)
-    return predict_from_precomputed(st, params, data, Xs, config)
+    return predict_from_precomputed(st, params, data, Xs, config,
+                                    hs_extra=hs_extra)

@@ -524,6 +524,11 @@ def _training_operator(params, data, config, rank, mesh=None, row_chunk=2048):
     pre = make_preconditioner(Lk, da)
     mv = _matvec_for(params, data, config, mesh, row_chunk)
     H = regression_basis(data.X, config.regression_order)
+    if data.h_extra is not None:
+        # extra GLS columns (multifidelity rho column etc.) — training-side
+        # only; the iterative SERVING path has no hs_extra plumbing and
+        # predict_iterative_from_state rejects h_extra data explicitly
+        H = jnp.concatenate([H, data.h_extra.astype(H.dtype)], axis=1)
     B = jnp.concatenate([data.y[:, None], H], axis=1)  # (n, 1 + p)
     return pre, mv, H, B, Lk
 
@@ -891,6 +896,12 @@ def predict_iterative_from_state(
     either way. Use for MCMC serving where variance is a proposal
     heuristic, not a calibrated interval."""
     params, config = state.params, state.config
+    if data.h_extra is not None:
+        raise ValueError(
+            "predict_iterative_from_state does not support GPData.h_extra "
+            "(no query-side hs_extra plumbing); serve multifidelity levels "
+            "through the dense predict_from_precomputed path"
+        )
     pre, alpha, beta, CiH, LA = (
         state.pre, state.alpha, state.beta, state.CiH, state.LA,
     )

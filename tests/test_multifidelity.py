@@ -1,0 +1,233 @@
+"""Multi-fidelity AR(1) co-kriging (models/multifidelity.py) and the
+GPData.h_extra GLS plumbing it rides on. Beyond-reference subsystem
+(COMPONENTS.md); the classic Forrester benchmark is the acceptance case."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.models import gp
+from madaiemulator_tpu.models.gp import GPData
+from madaiemulator_tpu.models.multifidelity import (
+    fit_multifidelity,
+    predict_multifidelity,
+)
+from madaiemulator_tpu.ops import kernels
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import GPConfig
+
+
+def numpy_lml_augmented(X, y, p, cfg, h_extra):
+    """Dense-numpy GLS LML with extra regression columns appended."""
+    C = np.asarray(kernels.gram_matrix(jnp.asarray(X), p, cfg))
+    H = np.asarray(gp.regression_basis(jnp.asarray(X), cfg.regression_order))
+    H = np.concatenate([H, h_extra], axis=1)
+    Ci = np.linalg.inv(C)
+    A = H.T @ Ci @ H
+    beta = np.linalg.solve(A, H.T @ Ci @ y)
+    r = y - H @ beta
+    _, logdet = np.linalg.slogdet(C)
+    ll = -0.5 * r @ Ci @ r - 0.5 * logdet - 0.5 * len(y) * np.log(2 * np.pi)
+    if cfg.reml:
+        ll -= 0.5 * np.linalg.slogdet(A)[1]
+    return ll, beta
+
+
+def setup_problem(rng, n=22, d=2):
+    cfg = GPConfig(nparams=d, regression_order=1)
+    X = rng.uniform(size=(n, d))
+    y = np.sin(3 * X[:, 0]) + 0.5 * X[:, 1] + 0.05 * rng.standard_normal(n)
+    p = GPParams(
+        log_amp=jnp.asarray(np.log(1.3)),
+        log_nugget=jnp.asarray(np.log(1e-3)),
+        log_ls=jnp.asarray(np.log(np.array([0.6, 0.9]))),
+    )
+    return cfg, X, y, p
+
+
+@pytest.mark.parametrize("reml", [False, True])
+def test_lml_with_h_extra_matches_numpy(rng, reml):
+    cfg, X, y, p = setup_problem(rng)
+    cfg = GPConfig(nparams=2, regression_order=1, reml=reml)
+    h = rng.standard_normal((len(y), 2))
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y), h_extra=jnp.asarray(h))
+    got = float(gp.log_marginal_likelihood(p, data, cfg))
+    want, beta = numpy_lml_augmented(X, y, p, cfg, h)
+    assert np.isclose(got, want, rtol=1e-9), (got, want)
+    # the GLS solution includes the extra-column coefficients
+    st = gp.precompute_predictor(p, data, cfg)
+    np.testing.assert_allclose(np.asarray(st.beta), beta, rtol=1e-7)
+
+
+@pytest.mark.parametrize("reml", [False, True])
+def test_h_extra_closed_form_vjp_matches_autodiff(rng, reml):
+    """The GLS envelope holds for ANY fixed basis — incl. extra columns —
+    so the closed-form VJP must equal autodiff exactly."""
+    cfg, X, y, p = setup_problem(rng)
+    cfg = GPConfig(nparams=2, regression_order=1, reml=reml)
+    h = rng.standard_normal((len(y), 1))
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y), h_extra=jnp.asarray(h))
+    g_cf = jax.grad(lambda pp: gp.log_marginal_likelihood(pp, data, cfg))(p)
+    g_ad = jax.grad(lambda pp: gp.log_marginal_likelihood_ad(pp, data, cfg))(p)
+    for a, b in zip(jax.tree.leaves(g_cf), jax.tree.leaves(g_ad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_predict_requires_matching_hs_extra(rng):
+    cfg, X, y, p = setup_problem(rng)
+    h = rng.standard_normal((len(y), 1))
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y), h_extra=jnp.asarray(h))
+    st = gp.precompute_predictor(p, data, cfg)
+    Xq = jnp.asarray(rng.uniform(size=(5, 2)))
+    with pytest.raises(ValueError, match="hs_extra"):
+        gp.predict_from_precomputed(st, p, data, Xq, cfg)
+    plain = GPData(X=data.X, y=data.y)
+    st2 = gp.precompute_predictor(p, plain, cfg)
+    with pytest.raises(ValueError, match="hs_extra"):
+        gp.predict_from_precomputed(
+            st2, p, plain, Xq, cfg, hs_extra=jnp.ones((5, 1))
+        )
+
+
+def test_predict_h_extra_chunked_matches_unchunked(rng):
+    import dataclasses
+
+    cfg, X, y, p = setup_problem(rng, n=30)
+    h = rng.standard_normal((30, 1))
+    data = GPData(X=jnp.asarray(X), y=jnp.asarray(y), h_extra=jnp.asarray(h))
+    st = gp.precompute_predictor(p, data, cfg)
+    Xq = jnp.asarray(rng.uniform(size=(23, 2)))
+    hq = jnp.asarray(rng.standard_normal((23, 1)))
+    m1, v1 = gp.predict_from_precomputed(st, p, data, Xq, cfg, hs_extra=hq)
+    cfg2 = dataclasses.replace(cfg, predict_query_chunk=7)
+    m2, v2 = gp.predict_from_precomputed(st, p, data, Xq, cfg2, hs_extra=hq)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1), rtol=1e-10)
+
+
+def forrester(x):
+    """Forrester et al. (2007) high-fidelity 1D benchmark."""
+    return (6 * x - 2) ** 2 * np.sin(12 * x - 4)
+
+
+def forrester_low(x):
+    """Its standard low-fidelity companion: 0.5 y_H + 10(x - 0.5) - 5."""
+    return 0.5 * forrester(x) + 10 * (x - 0.5) - 5
+
+
+def test_multifidelity_beats_single_fidelity_on_forrester(rng):
+    """The acceptance benchmark of every co-kriging implementation: 4
+    high-fidelity points + 21 cheap points must reconstruct the Forrester
+    curve far better than the 4 points alone."""
+    x_lo = np.linspace(0, 1, 21)
+    x_hi = np.array([0.0, 0.4, 0.6, 1.0])
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=4,
+                   max_opt_steps=40)
+    emu = fit_multifidelity(
+        jax.random.key(0),
+        [x_lo[:, None], x_hi[:, None]],
+        [forrester_low(x_lo), forrester(x_hi)],
+        cfg,
+        lower_values=[forrester_low(x_hi)],  # nested: exact recursion
+    )
+    xq = np.linspace(0, 1, 101)
+    m_mf, v_mf = predict_multifidelity(emu, xq[:, None])
+    truth = forrester(xq)
+    rmse_mf = float(np.sqrt(np.mean((np.asarray(m_mf) - truth) ** 2)))
+    # single-fidelity GP on the same 4 high-fi points
+    from madaiemulator_tpu.models.fit import fit_gp
+    from madaiemulator_tpu.utils.designs import apply_scaling
+
+    Xh = apply_scaling(jnp.asarray(x_hi[:, None]), emu.scaling)
+    dh = GPData(X=Xh, y=jnp.asarray(forrester(x_hi)))
+    res = fit_gp(jax.random.key(0), dh, cfg)
+    Xq = apply_scaling(jnp.asarray(xq[:, None]), emu.scaling)
+    m_sf, _ = gp.gp_posterior(res.params, dh, Xq, cfg)
+    rmse_sf = float(np.sqrt(np.mean((np.asarray(m_sf) - truth) ** 2)))
+    assert rmse_mf < 0.3 * rmse_sf, (rmse_mf, rmse_sf)
+    assert rmse_mf < 0.5  # curve range is ~[-6, 16]
+    assert np.all(np.asarray(v_mf) >= 0)
+    # rho recovery: the generative link is y_H = 2 (y_L + 5 - 10(x-.5))
+    # i.e. rho_true = 2 given the linear trend absorbs the rest
+    assert abs(float(emu.rho[0]) - 2.0) < 0.2, float(emu.rho[0])
+    # interpolation at the high-fidelity design
+    m_at_hi, _ = predict_multifidelity(emu, x_hi[:, None])
+    np.testing.assert_allclose(np.asarray(m_at_hi), forrester(x_hi),
+                               atol=5e-2)
+
+
+def test_multifidelity_nonnested_uses_recursive_mean(rng):
+    """Without lower_values the lower emulator's mean fills the basis
+    column — on a dense low-fi design the result is near the nested one."""
+    x_lo = np.linspace(0, 1, 25)
+    x_hi = np.array([0.1, 0.35, 0.65, 0.9])  # NOT a subset of x_lo
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=3,
+                   max_opt_steps=40)
+    emu = fit_multifidelity(
+        jax.random.key(1),
+        [x_lo[:, None], x_hi[:, None]],
+        [forrester_low(x_lo), forrester(x_hi)],
+        cfg,
+    )
+    xq = np.linspace(0.05, 0.95, 61)
+    m_mf, _ = predict_multifidelity(emu, xq[:, None])
+    rmse = float(np.sqrt(np.mean((np.asarray(m_mf) - forrester(xq)) ** 2)))
+    assert rmse < 1.0, rmse
+
+
+def test_multifidelity_three_levels_and_level_arg(rng):
+    """Three-level chain; predict_multifidelity(level=k) returns each
+    stage, and level 0 equals a plain single-fidelity fit of level 0."""
+    x0 = np.linspace(0, 1, 21)
+    x1 = np.linspace(0, 1, 11)
+    x2 = np.array([0.0, 0.3, 0.7, 1.0])
+    f0, f1, f2 = (
+        lambda x: np.sin(2 * np.pi * x),
+        lambda x: 1.5 * np.sin(2 * np.pi * x) + 0.3 * x,
+        lambda x: 3.0 * np.sin(2 * np.pi * x) + 0.6 * x - 0.2,
+    )
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=2,
+                   max_opt_steps=30)
+    emu = fit_multifidelity(
+        jax.random.key(2),
+        [x0[:, None], x1[:, None], x2[:, None]],
+        [f0(x0), f1(x1), f2(x2)],
+        cfg,
+        lower_values=[f0(x1), f1(x2)],
+    )
+    assert emu.n_levels == 3 and emu.rho.shape == (2,)
+    xq = np.linspace(0, 1, 41)
+    m2, v2 = predict_multifidelity(emu, xq[:, None])
+    rmse2 = float(np.sqrt(np.mean((np.asarray(m2) - f2(xq)) ** 2)))
+    assert rmse2 < 0.15, rmse2
+    m0, _ = predict_multifidelity(emu, xq[:, None], level=0)
+    rmse0 = float(np.sqrt(np.mean((np.asarray(m0) - f0(xq)) ** 2)))
+    assert rmse0 < 0.05, rmse0
+    with pytest.raises(ValueError, match="out of range"):
+        predict_multifidelity(emu, xq[:, None], level=3)
+
+
+def test_multifidelity_with_noise(rng):
+    """Per-point noise composes with the multifidelity basis column."""
+    x_lo = np.linspace(0, 1, 21)
+    x_hi = np.linspace(0, 1, 9)
+    y_hi = forrester(x_hi)
+    noise_hi = np.full(9, 1e-8)
+    j = 4
+    y_hi_c = y_hi.copy()
+    y_hi_c[j] += 20.0
+    noise_hi[j] = 1e5
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=3,
+                   max_opt_steps=40)
+    emu = fit_multifidelity(
+        jax.random.key(3),
+        [x_lo[:, None], x_hi[:, None]],
+        [forrester_low(x_lo), y_hi_c],
+        cfg,
+        lower_values=[forrester_low(x_hi)],
+        noise=[None, noise_hi],
+    )
+    m, _ = predict_multifidelity(emu, x_hi[:, None])
+    assert abs(float(m[j]) - y_hi[j]) < 0.25 * abs(y_hi_c[j] - y_hi[j])
