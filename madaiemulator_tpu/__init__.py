@@ -36,6 +36,7 @@ from madaiemulator_tpu.models.gp import (
     precompute_fast_predictor,
     predict_fast,
     predict_from_precomputed,
+    predict_gradient,
 )
 from madaiemulator_tpu.models.fit import (
     AlphaFitResult,
@@ -73,6 +74,13 @@ from madaiemulator_tpu.models.calibrate import (
     run_parallel_tempering,
     run_rwm,
 )
+from madaiemulator_tpu.models.sensitivity import (
+    SobolResult,
+    gp_mean_fn,
+    main_effects,
+    multivariate_mean_fn,
+    sobol_indices,
+)
 from madaiemulator_tpu.models.design import (
     DesignProposal,
     active_variance_design,
@@ -106,6 +114,12 @@ __all__ = [
     "precompute_predictor",
     "precompute_fast_predictor",
     "predict_fast",
+    "predict_gradient",
+    "SobolResult",
+    "gp_mean_fn",
+    "main_effects",
+    "multivariate_mean_fn",
+    "sobol_indices",
     "predict_from_precomputed",
     "fit_gp",
     "fit_gp_alpha",

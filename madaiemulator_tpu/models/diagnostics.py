@@ -113,6 +113,13 @@ def loo_cv(
     N-refit loop in tests/test_diagnostics.py. jit-able and vmappable
     over a component/ensemble axis.
     """
+    if data.dY is not None:
+        raise ValueError(
+            "loo_cv does not support gradient-enhanced data: leaving out a "
+            "value row while keeping its gradient rows is not a "
+            "leave-one-POINT-out validation; drop dY (refit values-only) "
+            "to cross-validate"
+        )
     return _loo_from_state(_factor(data, params, config), data.y)
 
 

@@ -159,6 +159,8 @@ def fit_one_start(
     max_steps: int,
     noise: jax.Array | None = None,
     h_extra: jax.Array | None = None,
+    dY: jax.Array | None = None,
+    dY_noise: jax.Array | None = None,
 ) -> Tuple[GPParams, jax.Array]:
     """Run one LBFGS trajectory from one unconstrained start.
 
@@ -167,11 +169,17 @@ def fit_one_start(
     both axes over a device mesh. Returns (best_u, best_neg_loglik).
     `noise` is an optional (N,) per-point observation-noise variance
     vector (GPData.noise); `h_extra` optional (N, q) extra GLS basis
-    columns (GPData.h_extra).
+    columns (GPData.h_extra); `dY`/`dY_noise` optional (N, d) gradient
+    observations (GPData.dY) — EVERY optional GPData field must be
+    forwarded here, or the vmapped fit would silently optimize a
+    different model than the one served (pinned by
+    test_gradients.test_fit_reports_the_joint_likelihood).
     """
     dtype = y.dtype
     lo, hi = _bounds_arrays(config, dtype)
-    data = GPData(X=X, y=y, noise=noise, h_extra=h_extra)
+    data = GPData(
+        X=X, y=y, noise=noise, h_extra=h_extra, dY=dY, dY_noise=dY_noise
+    )
 
     def objective(u):
         # the zoom linesearch probes value_fn at u + t*d with an f64 t under
@@ -655,7 +663,8 @@ def fit_gp(
 
     run = jax.vmap(
         lambda u: fit_one_start(u, data.X, data.y, config, steps,
-                                noise=data.noise, h_extra=data.h_extra)
+                                noise=data.noise, h_extra=data.h_extra,
+                                dY=data.dY, dY_noise=data.dY_noise)
     )
     if restart_chunk is None or restart_chunk >= R:
         best_u, best_negll = run(u0)

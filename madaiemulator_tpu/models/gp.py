@@ -64,6 +64,15 @@ class GPData(NamedTuple):
     # GLS coefficient IS the Kennedy-O'Hagan AR(1) scale rho. Query-side
     # counterparts go to predict via `hs_extra`.
     h_extra: Optional[jax.Array] = None  # (N, q) extra basis columns
+    # Gradient observations (gradient-enhanced GP, beyond-reference; see
+    # ops/kernels.gram_joint): dY[i, a] = observed df/dx_a at X[i], in the
+    # SCALED design coordinates of X. When present the GP is trained on the
+    # joint (value, gradient) vector — natural producer: adjoint-capable
+    # simulators that return (y, grad y) per run. Requires a twice-
+    # differentiable kernel (power_exponential alpha=2 or matern52[_ard]).
+    # dY_noise: known per-component gradient-noise variances (like noise).
+    dY: Optional[jax.Array] = None  # (N, d) observed gradients
+    dY_noise: Optional[jax.Array] = None  # (N, d) gradient-noise variances
 
 
 class GPPosteriorState(NamedTuple):
@@ -82,11 +91,57 @@ class GPPosteriorState(NamedTuple):
 
 
 def training_basis(data: GPData, config: GPConfig) -> jax.Array:
-    """H(X) for training: polynomial basis + GPData.h_extra columns."""
+    """H for training: polynomial basis + GPData.h_extra columns.
+
+    With gradient observations (data.dY) the basis gains the derivative
+    rows dh/dx in the same (point, dim) row-major order as the joint
+    covariance/target layout, so the GLS mean is consistently estimated
+    from values AND gradients."""
     H = regression_basis(data.X, config.regression_order)
     if data.h_extra is not None:
+        if data.dY is not None:
+            raise ValueError(
+                "h_extra and dY cannot be combined: the extra regression "
+                "columns have no derivative counterpart"
+            )
         H = jnp.concatenate([H, data.h_extra.astype(H.dtype)], axis=1)
+    if data.dY is not None:
+        H = jnp.concatenate(
+            [H, regression_basis_grad(data.X, config.regression_order)],
+            axis=0,
+        )
     return H
+
+
+def training_targets(data: GPData) -> jax.Array:
+    """Training vector: y, extended with row-major flattened gradients."""
+    if data.dY is None:
+        return data.y
+    return jnp.concatenate([data.y, data.dY.reshape(-1)])
+
+
+def training_gram(data: GPData, params: GPParams, config: GPConfig):
+    """C(theta) over the training rows: plain Gram, or the joint
+    value+gradient Gram when data carries dY; known observation-noise
+    variances land on the diagonal. The closed-form LML VJP differentiates
+    exactly this builder, so every data layout it supports automatically
+    has exact hyperparameter gradients."""
+    if data.dY is not None:
+        return kernels.gram_joint(
+            data.X, params, config,
+            noise=data.noise, grad_noise=data.dY_noise,
+        )
+    C = kernels.gram_matrix(data.X, params, config)
+    if data.noise is not None:
+        idx = jnp.arange(C.shape[0])
+        C = C.at[idx, idx].add(data.noise.astype(C.dtype))
+    return C
+
+
+def _train_rows(data: GPData) -> int:
+    """Static number of training rows (N, or N(1+d) with gradients)."""
+    n, d = data.X.shape
+    return n * (1 + d) if data.dY is not None else n
 
 
 def query_basis(
@@ -114,15 +169,28 @@ def regression_basis(X: jax.Array, order: int) -> jax.Array:
     return jnp.concatenate(cols, axis=1)
 
 
+def regression_basis_grad(X: jax.Array, order: int) -> jax.Array:
+    """dH/dx rows for gradient observations: (N*d, p), row i*d + a holds
+    the gradient of every basis column wrt x_a at X[i].
+
+    The basis has no cross terms, so d/dx_a (x_b)^q = q x_a^(q-1) [a==b]:
+    each power-q block contributes a diagonal within its d columns."""
+    n, d = X.shape
+    p = 1 + order * d
+    G = jnp.zeros((n, d, p), dtype=X.dtype)
+    dims = jnp.arange(d)
+    for q in range(1, order + 1):
+        vals = q * X ** (q - 1)  # (n, d)
+        cols = 1 + (q - 1) * d + dims
+        G = G.at[:, dims, cols].set(vals)
+    return G.reshape(n * d, p)
+
+
 def _factor(
     data: GPData, params: GPParams, config: GPConfig
 ) -> GPPosteriorState:
     with jax.named_scope("gram_build"):
-        C = kernels.gram_matrix(data.X, params, config)
-        if data.noise is not None:
-            # known per-point observation-noise variances on the diagonal
-            idx = jnp.arange(C.shape[0])
-            C = C.at[idx, idx].add(data.noise.astype(C.dtype))
+        C = training_gram(data, params, config)
     with jax.named_scope("factorize"):
         n = C.shape[0]
         method = config.cholesky_method
@@ -170,8 +238,9 @@ def _factor(
     # triangular solves stay finite; `ok` gates the result.
     Lsafe = jnp.where(ok, L, jnp.eye(L.shape[0], dtype=L.dtype))
     H = training_basis(data, config)
+    y = training_targets(data)
     Linv_H = linalg.solve_lower(Lsafe, H)  # (N, p)
-    Linv_y = linalg.solve_lower(Lsafe, data.y)  # (N,)
+    Linv_y = linalg.solve_lower(Lsafe, y)  # (N,)
     A = jnp.dot(
         Linv_H.T,
         Linv_H,
@@ -182,7 +251,7 @@ def _factor(
     ok = jnp.logical_and(ok, linalg.chol_ok(LA))
     LAsafe = jnp.where(ok, LA, jnp.eye(LA.shape[0], dtype=LA.dtype))
     beta = linalg.cho_solve(LAsafe, jnp.dot(Linv_H.T, Linv_y))
-    resid = data.y - jnp.dot(H, beta)
+    resid = y - jnp.dot(H, beta)
     alpha = linalg.cho_solve(Lsafe, resid)
     return GPPosteriorState(
         L=Lsafe, alpha=alpha, beta=beta, LA=LAsafe, Linv_H=Linv_H, ok=ok
@@ -193,10 +262,11 @@ def _lml_value(params: GPParams, data: GPData, config: GPConfig):
     """(log-marginal likelihood, factorization state). -inf when C(theta)
     is not SPD."""
     st = _factor(data, params, config)
-    n = data.y.shape[0]
+    y = training_targets(data)
+    n = y.shape[0]
     # quadratic form via alpha: r^T C^-1 r = r . alpha
     H = training_basis(data, config)
-    r = data.y - jnp.dot(H, st.beta)
+    r = y - jnp.dot(H, st.beta)
     quad = jnp.dot(r, st.alpha)
     logdet = linalg.logdet_from_chol(st.L)
     ll = -0.5 * quad - 0.5 * logdet - 0.5 * n * math.log(2.0 * math.pi)
@@ -276,7 +346,7 @@ def _lml_dense_bwd(config: GPConfig, res, g):
             W, Z, preferred_element_type=L.dtype, precision=hi
         )
     _, gram_vjp = jax.vjp(
-        lambda p: kernels.gram_matrix(data.X, p, config), params
+        lambda p: training_gram(data, p, config), params
     )
     grad = gram_vjp(Mbar * jnp.asarray(g, L.dtype))[0]
     # a failed factorization must poison the gradient exactly like
@@ -309,7 +379,7 @@ def precompute_predictor(
     if (
         config.jitter is None
         and data.y.dtype != jnp.float64
-        and data.y.shape[0] <= 4096
+        and _train_rows(data) <= 4096
     ):
         for frac in (1e-4, 1e-2):
             cfg2 = dataclasses.replace(config, jitter=frac)
@@ -357,7 +427,7 @@ def precompute_predictor_safe(
     only (not jit/vmap-safe — use `precompute_predictor` there). Resolves
     cholesky_update_precision="auto" from the concrete hyperparameters.
     """
-    config = resolve_update_precision(params, data.y.shape[0], config)
+    config = resolve_update_precision(params, _train_rows(data), config)
     factor = jax.jit(
         lambda p, d, frac: _factor(
             d, p, dataclasses.replace(config, jitter=frac)
@@ -442,8 +512,14 @@ def predict_fast(
             "predict_from_precomputed(..., hs_extra=...) "
             "(models/multifidelity.py serves through it)"
         )
+    if data.dY is not None:
+        raise ValueError(
+            "predict_fast does not support gradient-enhanced data; use "
+            "predict_from_precomputed (the joint cross build is the cost, "
+            "not the solves)"
+        )
     m = Xs.shape[0]
-    chunk = _auto_query_chunk(data.X.shape[0], m, config.predict_query_chunk)
+    chunk = _auto_query_chunk(_train_rows(data), m, config.predict_query_chunk)
     if chunk is not None and m > chunk:
         pad = (-m) % chunk
         Xsp = jnp.concatenate([Xs, Xs[:pad]], axis=0) if pad else Xs
@@ -514,7 +590,7 @@ def predict_from_precomputed(
             "predict: hs_extra must be given exactly when the training "
             "data carried h_extra columns"
         )
-    chunk = _auto_query_chunk(data.X.shape[0], m, config.predict_query_chunk)
+    chunk = _auto_query_chunk(_train_rows(data), m, config.predict_query_chunk)
     if chunk is not None and m > chunk:
         pad = (-m) % chunk
         Xsp = jnp.concatenate([Xs, Xs[:pad]], axis=0) if pad else Xs
@@ -549,7 +625,15 @@ def _predict_core(
     hs_extra: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     with jax.named_scope("cross_kernel"):
-        Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
+        if data.dY is not None:
+            # joint rows (values then gradients) vs query values
+            Ks = kernels.joint_cross(
+                data.X, Xs, params, config, grad_rows=True
+            )  # (N(1+d), m)
+        else:
+            Ks = kernels.cross_covariance(
+                data.X, Xs, params, config
+            )  # (N, m)
     Hs = query_basis(Xs, config, hs_extra)  # (m, p)
     mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
     with jax.named_scope("solve"):
@@ -581,3 +665,46 @@ def gp_posterior(
     st = _factor(data, params, config)
     return predict_from_precomputed(st, params, data, Xs, config,
                                     hs_extra=hs_extra)
+
+
+def predict_gradient(
+    state: GPPosteriorState,
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Posterior mean and marginal variance of the emulator's partial
+    derivatives df/dx_b at query points: ((m, d), (m, d)).
+
+    Emulator sensitivities WITH uncertainty — the reference serves only
+    values [SURVEY §3.2], and autodiff of the posterior mean gives no
+    variance. Works for values-only and gradient-enhanced training data;
+    requires a twice-differentiable kernel (ops/kernels._require_grad_family)
+    since Var(df/dx) = amp * c_g / ell_b^2 must be finite. Variances are
+    per-partial marginals (no cross-dimension covariance).
+    """
+    if data.h_extra is not None:
+        raise ValueError(
+            "predict_gradient does not support h_extra (the extra "
+            "regression columns have no query-side derivative)"
+        )
+    m, d = Xs.shape
+    # training rows (values [+ gradients]) vs query-GRADIENT columns:
+    # joint_cross puts the m value columns first — drop them.
+    Ks = kernels.joint_cross(
+        data.X, Xs, params, config,
+        grad_rows=data.dY is not None, grad_cols=True,
+    )[:, m:]  # (rows, m*d)
+    Hs = regression_basis_grad(Xs, config.regression_order)  # (m*d, p)
+    mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
+    V = linalg.solve_lower(state.L, Ks)  # (rows, m*d)
+    amp = jnp.exp(params.log_amp)
+    ell = kernels._ell_vec(params, config, d)
+    cg = jnp.asarray(kernels.grad_prior_scale(config), Xs.dtype)
+    kss = jnp.tile(amp * cg / (ell * ell), (m,))  # (m*d,) prior grad var
+    var = kss - jnp.sum(V * V, axis=0)
+    G = Hs.T - jnp.dot(state.Linv_H.T, V)  # (p, m*d)
+    W = linalg.solve_lower(state.LA, G)
+    var = jnp.maximum(var + jnp.sum(W * W, axis=0), 0.0)
+    return mean.reshape(m, d), var.reshape(m, d)

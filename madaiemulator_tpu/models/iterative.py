@@ -757,6 +757,12 @@ def lml_iterative(
     RHS columns; Gardner et al. 2018) — one Krylov build instead of
     CG + separate Lanczos, and the logdet estimate inherits the
     preconditioner's convergence."""
+    if data.dY is not None:
+        raise ValueError(
+            "the matrix-free path does not support gradient-enhanced data "
+            "(dY): the joint value+gradient matvec is not implemented — "
+            "use the dense path (models/gp.py), which covers GEK sizes"
+        )
     return _lml_iterative(
         params, seed, data, config, rank, probes, lanczos_iters,
         (cg_tol, cg_max_iters), mesh, logdet_method, row_chunk,
@@ -850,6 +856,11 @@ def precompute_iterative_predictor(
     stability floor (escalate it by hand if a stiff snapshot's solves
     stall — the CG is breakdown-hardened, so output stays finite either
     way)."""
+    if data.dY is not None:
+        raise ValueError(
+            "the matrix-free path does not support gradient-enhanced data "
+            "(dY); use precompute_predictor (models/gp.py)"
+        )
     if jitter is not None:
         import dataclasses
 

@@ -335,3 +335,182 @@ def kdiag(Xs: jax.Array, params: GPParams, config: GPConfig) -> jax.Array:
         else 0.0
     )
     return jnp.full((Xs.shape[0],), 1.0, dtype=Xs.dtype) * val
+
+
+# --- Derivative-observation (gradient-enhanced) covariance blocks ----------
+#
+# Gradient-enhanced GP emulation ("GEK"): the joint Gaussian prior over
+# (f(X), grad f(X)) for radial kernels of the form k = amp * g(s) with
+# s = sum_d ((x_d - x'_d) / ell_d)^2 the scaled squared distance. The blocks
+# follow from differentiating k through s (delta = x - x'):
+#
+#   Cov(f(x),         df/dx'_b(x'))  = -2 amp g'(s) delta_b / ell_b^2
+#   Cov(df/dx_a(x),   df/dx'_b(x'))  = -4 amp g''(s) delta_a delta_b
+#                                        / (ell_a^2 ell_b^2)
+#                                      - 2 amp g'(s) 1[a==b] / ell_b^2
+#
+# This requires g twice differentiable in s at 0: POWER_EXPONENTIAL with
+# alpha == 2 (g = exp(-s/2)) and Matérn-5/2 (g'' (0) finite) qualify;
+# Matérn-3/2 does NOT (g''(s) ~ 1/sqrt(s): its sample paths are only
+# once-differentiable, so gradient observations have no finite prior
+# variance). The reference has no gradient-observation support at all
+# [SURVEY §2 — beyond-reference widening]; the natural producers are
+# adjoint-capable simulators that return (y, grad y) per run.
+#
+# TPU-native layout: everything is built from the ONE MXU scaled-sqdist
+# matmul (S), elementwise radial profiles g/g'/g'' fused by XLA, and
+# broadcastered (n1, n2, d[, d]) difference slabs — no scalar loops; the
+# joint matrix vmaps over restart/component axes and differentiates exactly
+# (the closed-form LML VJP in models/gp.py contracts its cotangent against
+# this builder via one jax.vjp).
+
+_GRAD_OK_FAMILIES = (
+    CovarianceFamily.POWER_EXPONENTIAL,
+    CovarianceFamily.MATERN52,
+    CovarianceFamily.MATERN52_ARD,
+)
+
+
+def _require_grad_family(config: GPConfig) -> None:
+    fam = config.covariance
+    if fam not in _GRAD_OK_FAMILIES or (
+        fam is CovarianceFamily.POWER_EXPONENTIAL
+        and config.power_exp_alpha != 2.0
+    ):
+        raise ValueError(
+            "gradient observations need a radial profile twice "
+            "differentiable at zero distance: power_exponential with "
+            "alpha=2 or matern52/matern52_ard; got "
+            f"{fam.value}"
+            + (
+                f" (alpha={config.power_exp_alpha})"
+                if fam is CovarianceFamily.POWER_EXPONENTIAL
+                else ""
+            )
+        )
+
+
+def _g012(S: jax.Array, config: GPConfig):
+    """(g, g', g'') of the radial profile at scaled sqdist S (amp excluded)."""
+    fam = config.covariance
+    if fam is CovarianceFamily.POWER_EXPONENTIAL:
+        g = jnp.exp(-0.5 * S)
+        return g, -0.5 * g, 0.25 * g
+    # Matérn-5/2 (isotropic or ARD — scaling already happened in S):
+    # g(s) = (1 + sqrt(5) r + 5 s / 3) e^{-sqrt(5) r}, r = sqrt(s)
+    # g'(s) = -(5/6) (1 + sqrt(5) r) e^{-sqrt(5) r}
+    # g''(s) = (25/12) e^{-sqrt(5) r}        — all smooth at s = 0
+    r = jnp.sqrt(S + jnp.asarray(1e-36, S.dtype))
+    sq5 = jnp.sqrt(jnp.asarray(5.0, S.dtype))
+    e = jnp.exp(-sq5 * r)
+    g = (1.0 + sq5 * r + (5.0 / 3.0) * S) * e
+    g1 = -(5.0 / 6.0) * (1.0 + sq5 * r) * e
+    g2 = (25.0 / 12.0) * e
+    return g, g1, g2
+
+
+def grad_prior_scale(config: GPConfig) -> float:
+    """c_g = -2 g'(0): prior Var(df/dx_a) = amp * c_g / ell_a^2."""
+    _require_grad_family(config)
+    if config.covariance is CovarianceFamily.POWER_EXPONENTIAL:
+        return 1.0
+    return 5.0 / 3.0  # Matérn-5/2
+
+
+def _ell_vec(params: GPParams, config: GPConfig, d: int) -> jax.Array:
+    ls = jnp.exp(params.log_ls)
+    if config.num_length_scales == 1:
+        return jnp.broadcast_to(ls[0], (d,))
+    return ls
+
+
+def joint_cross(
+    X1: jax.Array,
+    X2: jax.Array,
+    params: GPParams,
+    config: GPConfig,
+    *,
+    grad_rows: bool = False,
+    grad_cols: bool = False,
+) -> jax.Array:
+    """Cross covariance between (value | gradient) observation sets.
+
+    Rows index X1 (n1 value rows, then n1*d gradient rows in row-major
+    (point, dim) order when grad_rows); columns index X2 likewise. NO
+    nugget/jitter (distinct points); `gram_joint` adds the diagonal.
+    """
+    if grad_rows or grad_cols:
+        _require_grad_family(config)
+    n1, d = X1.shape
+    n2 = X2.shape[0]
+    amp = jnp.exp(params.log_amp)
+    U = _scaled(X1, params, config)
+    V = _scaled(X2, params, config)
+    S = _sqdist(U, V)
+    g, g1, g2 = _g012(S, config)
+    blocks_vv = amp * g
+    if not (grad_rows or grad_cols):
+        return blocks_vv
+    ell = _ell_vec(params, config, d)
+    inv2 = 1.0 / (ell * ell)  # (d,)
+    # Dw[i, j, a] = (x1_i - x2_j)_a / ell_a^2
+    Dw = (X1[:, None, :] - X2[None, :, :]) * inv2[None, None, :]
+    if grad_cols:
+        # Cov(f(x1_i), df/dx_b(x2_j)) = -2 amp g' Dw  -> (n1, n2*d)
+        vg = (-2.0 * amp) * g1[:, :, None] * Dw
+        top = jnp.concatenate([blocks_vv, vg.reshape(n1, n2 * d)], axis=1)
+    else:
+        top = blocks_vv
+    if not grad_rows:
+        return top
+    # Cov(df/dx_a(x1_i), f(x2_j)) = +2 amp g' Dw  -> (n1*d, n2)
+    gv = (2.0 * amp) * g1[:, :, None] * Dw
+    gv = gv.transpose(0, 2, 1).reshape(n1 * d, n2)
+    if grad_cols:
+        # Cov(df/dx_a(x1_i), df/dx_b(x2_j))
+        gg = (-4.0 * amp) * g2[:, :, None, None] * (
+            Dw[:, :, :, None] * Dw[:, :, None, :]
+        ) - (2.0 * amp) * g1[:, :, None, None] * (
+            jnp.eye(d, dtype=S.dtype) * inv2[None, :]
+        )[None, None, :, :]
+        gg = gg.transpose(0, 2, 1, 3).reshape(n1 * d, n2 * d)
+        bottom = jnp.concatenate([gv, gg], axis=1)
+    else:
+        bottom = gv
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def gram_joint(
+    X: jax.Array,
+    params: GPParams,
+    config: GPConfig,
+    noise: jax.Array | None = None,
+    grad_noise: jax.Array | None = None,
+) -> jax.Array:
+    """Joint Gram of (f(X), grad f(X)): (N(1+d), N(1+d)), with diagonal.
+
+    Value rows get the usual nugget + jitter (gram_matrix convention);
+    gradient rows get the SAME relative regularization expressed in
+    gradient units, (nugget + jitter*amp) * c_g / ell_a^2 — i.e. scaled by
+    the ratio of the prior gradient variance to the prior value variance,
+    so the joint matrix stays uniformly well-conditioned across length
+    scales. noise / grad_noise are known per-observation variances
+    ((N,) and (N, d)) appended to the respective diagonals.
+    """
+    n, d = X.shape
+    K = joint_cross(X, X, params, config, grad_rows=True, grad_cols=True)
+    K = 0.5 * (K + K.T)
+    amp = jnp.exp(params.log_amp)
+    jitter_frac = effective_jitter_frac(n * (1 + d), X.dtype, config)
+    base = jnp.exp(params.log_nugget) + jitter_frac * amp
+    ell = _ell_vec(params, config, d)
+    cg = jnp.asarray(grad_prior_scale(config), X.dtype)
+    diag_v = jnp.full((n,), 1.0, X.dtype) * base
+    if noise is not None:
+        diag_v = diag_v + noise.astype(X.dtype)
+    diag_g = jnp.tile(base * cg / (ell * ell), (n,))  # (n*d,)
+    if grad_noise is not None:
+        diag_g = diag_g + grad_noise.astype(X.dtype).reshape(n * d)
+    diag = jnp.concatenate([diag_v, diag_g])
+    idx = jnp.arange(n * (1 + d))
+    return K.at[idx, idx].add(diag)
