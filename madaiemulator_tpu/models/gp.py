@@ -682,7 +682,13 @@ def predict_gradient(
     variance. Works for values-only and gradient-enhanced training data;
     requires a twice-differentiable kernel (ops/kernels._require_grad_family)
     since Var(df/dx) = amp * c_g / ell_b^2 must be finite. Variances are
-    per-partial marginals (no cross-dimension covariance).
+    per-partial marginals (no cross-dimension covariance). With
+    config.predict_variance_includes_nugget the gradient-units nugget
+    (nugget * c_g / ell_b^2 — the same term gram_joint places on gradient
+    rows) is included, mirroring the value-serving convention; queries
+    chunk through the same lax.map path as predict_from_precomputed
+    (each query contributes d solve columns, so the chunk heuristic
+    counts rows * d).
     """
     if data.h_extra is not None:
         raise ValueError(
@@ -690,19 +696,50 @@ def predict_gradient(
             "regression columns have no query-side derivative)"
         )
     m, d = Xs.shape
-    # training rows (values [+ gradients]) vs query-GRADIENT columns:
-    # joint_cross puts the m value columns first — drop them.
+    chunk = _auto_query_chunk(
+        _train_rows(data) * d, m, config.predict_query_chunk
+    )
+    if chunk is not None and m > chunk:
+        pad = (-m) % chunk
+        Xsp = jnp.concatenate([Xs, Xs[:pad]], axis=0) if pad else Xs
+        groups = Xsp.reshape(-1, chunk, d)
+        means, variances = jax.lax.map(
+            lambda q: _predict_gradient_core(state, params, data, q, config),
+            groups,
+        )
+        return (
+            means.reshape(-1, d)[:m],
+            variances.reshape(-1, d)[:m],
+        )
+    return _predict_gradient_core(state, params, data, Xs, config)
+
+
+def _predict_gradient_core(
+    state: GPPosteriorState,
+    params: GPParams,
+    data: GPData,
+    Xs: jax.Array,
+    config: GPConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    m, d = Xs.shape
+    # training rows (values [+ gradients]) vs query-GRADIENT columns only
+    # (value_cols=False: the value columns would be sliced away anyway)
     Ks = kernels.joint_cross(
         data.X, Xs, params, config,
-        grad_rows=data.dY is not None, grad_cols=True,
-    )[:, m:]  # (rows, m*d)
+        grad_rows=data.dY is not None, grad_cols=True, value_cols=False,
+    )  # (rows, m*d)
     Hs = regression_basis_grad(Xs, config.regression_order)  # (m*d, p)
     mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
     V = linalg.solve_lower(state.L, Ks)  # (rows, m*d)
     amp = jnp.exp(params.log_amp)
     ell = kernels._ell_vec(params, config, d)
     cg = jnp.asarray(kernels.grad_prior_scale(config), Xs.dtype)
-    kss = jnp.tile(amp * cg / (ell * ell), (m,))  # (m*d,) prior grad var
+    base = amp + (
+        jnp.exp(params.log_nugget)
+        if config.predict_variance_includes_nugget
+        else 0.0
+    )
+    kss = jnp.tile(base * cg / (ell * ell), (m,))  # (m*d,) prior grad var
     var = kss - jnp.sum(V * V, axis=0)
     G = Hs.T - jnp.dot(state.Linv_H.T, V)  # (p, m*d)
     W = linalg.solve_lower(state.LA, G)

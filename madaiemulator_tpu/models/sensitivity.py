@@ -31,9 +31,10 @@ import jax.numpy as jnp
 
 
 class SobolResult(NamedTuple):
-    """first[i] / total[i]: Sobol indices per input dim (…, d) — trailing
-    observable axis when predict_fn returns (m, t). mean/variance: the
-    emulator-output moments the indices are normalized by."""
+    """first[i] / total[i]: Sobol indices with the input-dimension axis
+    LEADING — (d,) scalar, or (d, t) with a trailing observable axis when
+    predict_fn returns (m, t). mean/variance: the emulator-output moments
+    the indices are normalized by."""
 
     first: jax.Array  # (d,) or (d, t)
     total: jax.Array  # (d,) or (d, t)

@@ -391,8 +391,19 @@ def _require_grad_family(config: GPConfig) -> None:
 
 
 def _g012(S: jax.Array, config: GPConfig):
-    """(g, g', g'') of the radial profile at scaled sqdist S (amp excluded)."""
+    """(g, g', g'') of the radial profile at scaled sqdist S (amp excluded).
+
+    Only defined for the grad-capable families; every call path must be
+    guarded by _require_grad_family first (joint_cross does this
+    unconditionally before reaching here) — other families would silently
+    get the Matérn-5/2 profile below.
+    """
     fam = config.covariance
+    if fam not in _GRAD_OK_FAMILIES:
+        raise ValueError(
+            f"_g012: family {fam.value} has no twice-differentiable radial "
+            "profile (caller must run _require_grad_family first)"
+        )
     if fam is CovarianceFamily.POWER_EXPONENTIAL:
         g = jnp.exp(-0.5 * S)
         return g, -0.5 * g, 0.25 * g
@@ -432,15 +443,28 @@ def joint_cross(
     *,
     grad_rows: bool = False,
     grad_cols: bool = False,
+    value_cols: bool = True,
 ) -> jax.Array:
     """Cross covariance between (value | gradient) observation sets.
 
     Rows index X1 (n1 value rows, then n1*d gradient rows in row-major
-    (point, dim) order when grad_rows); columns index X2 likewise. NO
+    (point, dim) order when grad_rows); columns index X2 likewise
+    (n2 value columns when value_cols, then n2*d gradient columns when
+    grad_cols — value_cols=False skips the value blocks, so gradient-only
+    serving never materializes columns it would immediately discard). NO
     nugget/jitter (distinct points); `gram_joint` adds the diagonal.
     """
-    if grad_rows or grad_cols:
-        _require_grad_family(config)
+    if not (grad_rows or grad_cols):
+        # value-only request: the plain cross kernel is correct for EVERY
+        # family (the _g012 profiles below only cover the grad-capable
+        # ones — ADVICE r3: don't let e.g. Matérn-3/2 silently fall
+        # through to the Matérn-5/2 branch)
+        if not value_cols:
+            raise ValueError("joint_cross: nothing requested")
+        return cross_covariance(X1, X2, params, config)
+    if not (value_cols or grad_cols):
+        raise ValueError("joint_cross: no columns requested")
+    _require_grad_family(config)
     n1, d = X1.shape
     n2 = X2.shape[0]
     amp = jnp.exp(params.log_amp)
@@ -449,23 +473,25 @@ def joint_cross(
     S = _sqdist(U, V)
     g, g1, g2 = _g012(S, config)
     blocks_vv = amp * g
-    if not (grad_rows or grad_cols):
-        return blocks_vv
     ell = _ell_vec(params, config, d)
     inv2 = 1.0 / (ell * ell)  # (d,)
     # Dw[i, j, a] = (x1_i - x2_j)_a / ell_a^2
     Dw = (X1[:, None, :] - X2[None, :, :]) * inv2[None, None, :]
+    top_blocks = [blocks_vv] if value_cols else []
     if grad_cols:
         # Cov(f(x1_i), df/dx_b(x2_j)) = -2 amp g' Dw  -> (n1, n2*d)
         vg = (-2.0 * amp) * g1[:, :, None] * Dw
-        top = jnp.concatenate([blocks_vv, vg.reshape(n1, n2 * d)], axis=1)
-    else:
-        top = blocks_vv
+        top_blocks.append(vg.reshape(n1, n2 * d))
+    top = top_blocks[0] if len(top_blocks) == 1 else jnp.concatenate(
+        top_blocks, axis=1
+    )
     if not grad_rows:
         return top
-    # Cov(df/dx_a(x1_i), f(x2_j)) = +2 amp g' Dw  -> (n1*d, n2)
-    gv = (2.0 * amp) * g1[:, :, None] * Dw
-    gv = gv.transpose(0, 2, 1).reshape(n1 * d, n2)
+    bottom_blocks = []
+    if value_cols:
+        # Cov(df/dx_a(x1_i), f(x2_j)) = +2 amp g' Dw  -> (n1*d, n2)
+        gv = (2.0 * amp) * g1[:, :, None] * Dw
+        bottom_blocks.append(gv.transpose(0, 2, 1).reshape(n1 * d, n2))
     if grad_cols:
         # Cov(df/dx_a(x1_i), df/dx_b(x2_j))
         gg = (-4.0 * amp) * g2[:, :, None, None] * (
@@ -473,10 +499,11 @@ def joint_cross(
         ) - (2.0 * amp) * g1[:, :, None, None] * (
             jnp.eye(d, dtype=S.dtype) * inv2[None, :]
         )[None, None, :, :]
-        gg = gg.transpose(0, 2, 1, 3).reshape(n1 * d, n2 * d)
-        bottom = jnp.concatenate([gv, gg], axis=1)
-    else:
-        bottom = gv
+        bottom_blocks.append(gg.transpose(0, 2, 1, 3).reshape(n1 * d, n2 * d))
+    bottom = (
+        bottom_blocks[0] if len(bottom_blocks) == 1
+        else jnp.concatenate(bottom_blocks, axis=1)
+    )
     return jnp.concatenate([top, bottom], axis=0)
 
 
