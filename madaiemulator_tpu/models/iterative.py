@@ -885,11 +885,23 @@ def predict_iterative_from_state(
     with_variance: bool = True,
     variance_method: str = "exact",
     row_chunk: int = 2048,
+    variance_rhs: int = 128,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Serve one query batch from the cached state: per chunk, one
-    cross-covariance build + GEMMs for the mean, and (with_variance) ONE
-    PCG solve k* -> C^-1 k* — no training-grade solves, no preconditioner
+    cross-covariance build + GEMMs for the mean, and (with_variance) the
+    PCG solves k* -> C^-1 k* — no training-grade solves, no preconditioner
     rebuild. Memory high-water mark O(N * (rank + query_chunk)).
+
+    variance_rhs strip-mines the exact variance solve: each query chunk's
+    PCG runs in sub-batches of <= variance_rhs right-hand-side columns
+    (an inner lax.map), while the mean path keeps the full chunk-wide
+    GEMMs. The default 128 sits below the axon worker's measured
+    wide-RHS crash threshold (>= 256 columns crash at N = 65,536 —
+    docs/ROUND3.md), so EXACT variances are now safe at the 64k serving
+    scale instead of silently requiring the Woodbury approximation
+    (VERDICT r3 weak #4 / next #3). Results are independent of the
+    split (each column's Krylov solve is independent; parity pinned in
+    tests/test_iterative.py).
 
     variance_method="precond" replaces the per-chunk PCG variance solve
     with the cached preconditioner's Woodbury apply (k*^T P^-1 k*,
@@ -944,9 +956,35 @@ def predict_iterative_from_state(
         if variance_method == "precond":
             CiKs = pre.solve(Ks)  # Woodbury apply: O(n * rank * c)
         else:
-            CiKs, _, _ = pcg_solve(
-                mv, Ks, pre, tol=state.cg_tol, max_iters=state.cg_max_iters
-            )
+            n_rows, c = Ks.shape
+            sub = min(variance_rhs, c)
+            if c > sub:
+                # strip-mine the wide-RHS solve: pad columns to a multiple
+                # of `sub` (zero RHS solves are exact no-ops) and lax.map
+                # over (n, sub) blocks
+                cpad = (-c) % sub
+                Kp = (
+                    jnp.pad(Ks, ((0, 0), (0, cpad))) if cpad else Ks
+                )
+                blocks = Kp.reshape(n_rows, -1, sub).transpose(1, 0, 2)
+
+                def solve_block(Kb):
+                    s, _, _ = pcg_solve(
+                        mv, Kb, pre, tol=state.cg_tol,
+                        max_iters=state.cg_max_iters,
+                    )
+                    return s
+
+                CiKs = (
+                    lax.map(solve_block, blocks)
+                    .transpose(1, 0, 2)
+                    .reshape(n_rows, -1)[:, :c]
+                )
+            else:
+                CiKs, _, _ = pcg_solve(
+                    mv, Ks, pre, tol=state.cg_tol,
+                    max_iters=state.cg_max_iters,
+                )
         var = kss - jnp.sum(Ks * CiKs, axis=0)
         G = Hs.T - jnp.dot(CiH.T, Ks, precision=lax.Precision.HIGHEST)
         W = lax.linalg.triangular_solve(LA, G, left_side=True, lower=True)
@@ -975,6 +1013,7 @@ def predict_iterative(
     state: Optional[IterativePosteriorState] = None,
     variance_method: str = "exact",
     row_chunk: int = 2048,
+    variance_rhs: int = 128,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Posterior mean (and optionally variance) with no N x N buffer.
 
@@ -998,5 +1037,5 @@ def predict_iterative(
     return predict_iterative_from_state(
         state, data, Xs, query_chunk=query_chunk,
         with_variance=with_variance, variance_method=variance_method,
-        row_chunk=row_chunk,
+        row_chunk=row_chunk, variance_rhs=variance_rhs,
     )
