@@ -35,6 +35,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from madaiemulator_tpu.utils.compile_cache import enable_compile_cache
+
+    cache = enable_compile_cache()
+    emit(compile_cache=cache)
+
     from madaiemulator_tpu.models.fit import (
         _bounds_arrays,
         _u_to_params,
