@@ -57,6 +57,8 @@ from madaiemulator_tpu.models.multivariate import (
     MultivariateEmulator,
     fit_multivariate,
     predict_multivariate,
+    predict_multivariate_gradient,
+    project_gradients,
     project_noise,
 )
 from madaiemulator_tpu.models.multifidelity import (
@@ -64,6 +66,7 @@ from madaiemulator_tpu.models.multifidelity import (
     fit_multifidelity,
     predict_multifidelity,
 )
+from madaiemulator_tpu.utils.compile_cache import enable_compile_cache
 from madaiemulator_tpu.models.calibrate import (
     CalibrationResult,
     calibrate,
@@ -135,6 +138,9 @@ __all__ = [
     "MultivariateEmulator",
     "fit_multivariate",
     "project_noise",
+    "enable_compile_cache",
+    "project_gradients",
+    "predict_multivariate_gradient",
     "MultiFidelityEmulator",
     "fit_multifidelity",
     "predict_multifidelity",

@@ -52,9 +52,25 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
         wave inside the not-ruled-out-yet region (needs
         --experiment_file). Points print in natural parameter space.
 
+    interactive_emulator sensitivity <state_file>
+        variance-based global sensitivity analysis: Sobol first-order and
+        total indices per parameter per observable, estimated over the
+        emulator in-graph (models/sensitivity.py); --main_effects also
+        writes the Oakley-O'Hagan main-effect curves. The reference has
+        no sensitivity tooling.
+
     interactive_emulator convert <in_state> <out_state>
         re-encodes a snapshot between the text and .npz formats (chosen
         by the output extension); payload-identical, exact f64 round trip.
+
+    Multi-fidelity: a MULTIFIDELITY model file (io/modelfile.py grammar)
+    routes estimate_thetas to AR(1) co-kriging (models/multifidelity.py);
+    the trained emulator persists under its own snapshot grammar and
+    serves through interactive_mode / print_thetas / sensitivity / convert.
+
+    Gradient-enhanced: estimate_thetas --gradients_file trains joint
+    value+gradient GPs; the snapshot (format version 3) persists the
+    projected gradient blocks and serves through every dense path.
 
 The math runs through the same jit paths as the library API; the CLI is a
 thin shell. Training defaults to float64 on CPU for reference-grade
@@ -180,6 +196,15 @@ def _build_parser() -> argparse.ArgumentParser:
         "a stochastic simulator; lands on the covariance diagonal and is "
         "stored in the snapshot (format version 2)",
     )
+    est.add_argument(
+        "--gradients_file", default=None,
+        help="observed output GRADIENTS (whitespace floats, N*t*d values: "
+        "per design point, per output, the d partials df/dx w.r.t. the "
+        "raw inputs). Trains every component as a joint value+gradient GP "
+        "(gradient-enhanced emulation; needs --covariance_fn="
+        "power_exponential or matern52*). Stored in the snapshot (format "
+        "version 3; dense fit/serve only)",
+    )
 
     im = sub.add_parser("interactive_mode", help="serve queries over stdin/stdout")
     im.add_argument("state_file")
@@ -204,8 +229,15 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     im.add_argument(
         "--query_chunk", type=int, default=128,
-        help="iterative serving: queries (= PCG right-hand sides with "
-        "--variance_method=exact) answered per solve",
+        help="iterative serving: queries answered per cross-covariance "
+        "build",
+    )
+    im.add_argument(
+        "--variance_rhs", type=int, default=128,
+        help="iterative serving with --variance_method=exact: PCG "
+        "right-hand-side columns per solve (strip-mined inside each query "
+        "chunk; the default sits below the measured TPU-worker wide-RHS "
+        "crash threshold, so exact variances are safe at N = 65,536)",
     )
 
     pt = sub.add_parser("print_thetas", help="print fitted hyperparameters")
@@ -364,6 +396,45 @@ def _build_parser() -> argparse.ArgumentParser:
     des.add_argument("--cg_tol", type=float, default=1e-6)
     des.add_argument("--cg_max_iters", type=int, default=256)
 
+    sen = sub.add_parser(
+        "sensitivity",
+        help="global sensitivity analysis (Sobol indices) of a trained "
+        "emulator",
+        description=(
+            "Variance-based global sensitivity analysis over the trained "
+            "emulator (models/sensitivity.py): Sobol first-order and total "
+            "indices per input parameter (per observable), estimated from "
+            "a Saltelli pick-freeze design evaluated entirely in-graph — "
+            "n*(d+2) batched emulator predictions, no simulator runs. "
+            "Indices are fractions of output variance over the design box. "
+            "Optionally also writes Oakley-O'Hagan main-effect curves "
+            "(--main_effects). The reference has no sensitivity tooling."
+        ),
+    )
+    sen.add_argument("state_file")
+    sen.add_argument("--n", type=int, default=4096,
+                     help="Saltelli base-design size (n*(d+2) evaluations)")
+    sen.add_argument("--seed", type=int, default=0)
+    sen.add_argument("--dtype", choices=["float64", "float32"],
+                     default="float64")
+    sen.add_argument(
+        "--output", default="-", metavar="PATH",
+        help="Sobol table destination ('-' = stdout): one row per "
+        "(parameter, observable): first-order and total index",
+    )
+    sen.add_argument(
+        "--main_effects", default=None, metavar="PATH",
+        help="also write main-effect curves E[f | x_i = v]: one row per "
+        "grid value v, columns = grid value then per (param, observable) "
+        "curve",
+    )
+    sen.add_argument("--grid", type=int, default=33,
+                     help="main-effects grid resolution")
+    sen.add_argument("--effects_n", type=int, default=2048,
+                     help="main-effects Monte Carlo samples per grid value")
+    sen.add_argument("--query_chunk", type=int, default=4096)
+    sen.add_argument("--quiet", action="store_true")
+
     cvt = sub.add_parser(
         "convert",
         help="convert a state file between the text and npz formats",
@@ -383,6 +454,12 @@ def _build_parser() -> argparse.ArgumentParser:
 def _setup_jax(dtype: str):
     import jax
 
+    from madaiemulator_tpu.utils.compile_cache import enable_compile_cache
+
+    # every CLI invocation is a fresh process: persist compiled executables
+    # so a second run at the same shapes skips XLA entirely (the round-3
+    # 168 s compile tax; MADAI_COMPILE_CACHE=off disables)
+    enable_compile_cache()
     if dtype == "float64":
         # reference-grade numerics want f64 => CPU backend (TPU f64 is
         # emulated); float32 keeps whatever accelerator is configured.
@@ -398,7 +475,11 @@ def cmd_estimate_thetas(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from madaiemulator_tpu.io.modelfile import read_model_file
+    from madaiemulator_tpu.io.modelfile import (
+        is_multifidelity_model_file,
+        read_gradients_file,
+        read_model_file,
+    )
     from madaiemulator_tpu.io.snapshot import write_snapshot_auto
     from madaiemulator_tpu.models.multivariate import (
         fit_multivariate,
@@ -406,6 +487,8 @@ def cmd_estimate_thetas(args) -> int:
     )
     from madaiemulator_tpu.utils.config import COVARIANCE_CLI_NAMES, GPConfig
 
+    if is_multifidelity_model_file(args.model_file):
+        return _estimate_thetas_multifidelity(args, dtype)
     mf = read_model_file(args.model_file)
     try:
         cov = COVARIANCE_CLI_NAMES[args.covariance_fn]
@@ -446,6 +529,25 @@ def cmd_estimate_thetas(args) -> int:
             print("error: --noise_file variances must be >= 0",
                   file=sys.stderr)
             return 2
+    gradients = None
+    if getattr(args, "gradients_file", None):
+        if args.fit_method == "iterative":
+            print(
+                "error: --gradients_file needs --fit_method=dense (the "
+                "matrix-free engine has no joint value+gradient operator)",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            gradients = jnp.asarray(
+                read_gradients_file(
+                    args.gradients_file, mf.npoints, mf.nparams, mf.noutputs
+                ),
+                dtype=dtype,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     if args.fit_method == "iterative":
         emu = fit_multivariate_iterative(
             jax.random.key(args.seed),
@@ -478,17 +580,23 @@ def cmd_estimate_thetas(args) -> int:
                     file=sys.stderr,
                 )
                 return 2
-        emu = fit_multivariate(
-            jax.random.key(args.seed),
-            jnp.asarray(mf.X, dtype=dtype),
-            jnp.asarray(mf.Y, dtype=dtype),
-            cfg,
-            pca_variance=args.pca_variance,
-            restart_chunk=args.restart_chunk,
-            alpha_grid=alpha_grid,
-            alpha_refine=args.alpha_refine,
-            noise=noise,
-        )
+        try:
+            emu = fit_multivariate(
+                jax.random.key(args.seed),
+                jnp.asarray(mf.X, dtype=dtype),
+                jnp.asarray(mf.Y, dtype=dtype),
+                cfg,
+                pca_variance=args.pca_variance,
+                restart_chunk=args.restart_chunk,
+                alpha_grid=alpha_grid,
+                alpha_refine=args.alpha_refine,
+                noise=noise,
+                gradients=gradients,
+            )
+        except ValueError as e:
+            # e.g. --gradients_file with a once-differentiable kernel
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     if not args.quiet:
         lls = np.asarray(emu.restart_log_likelihoods)
         for i in range(emu.n_components):
@@ -510,6 +618,84 @@ def cmd_estimate_thetas(args) -> int:
     return 0
 
 
+def _estimate_thetas_multifidelity(args, dtype) -> int:
+    """estimate_thetas on a MULTIFIDELITY model file: AR(1) co-kriging over
+    the levels (models/multifidelity.py), snapshot via the MF grammar."""
+    import jax
+    import numpy as _np
+
+    from madaiemulator_tpu.io.modelfile import read_multifidelity_model_file
+    from madaiemulator_tpu.io.snapshot import write_snapshot_auto
+    from madaiemulator_tpu.models.multifidelity import fit_multifidelity
+    from madaiemulator_tpu.utils.config import COVARIANCE_CLI_NAMES, GPConfig
+
+    if args.fit_method == "iterative":
+        print(
+            "error: multi-fidelity training is dense per level (the "
+            "expensive levels are small by construction); drop "
+            "--fit_method=iterative",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        mf = read_multifidelity_model_file(args.model_file)
+    except ValueError as e:
+        print(f"error: bad multi-fidelity model file: {e}", file=sys.stderr)
+        return 2
+    try:
+        cov = COVARIANCE_CLI_NAMES[args.covariance_fn]
+    except KeyError:
+        print(
+            f"error: unknown --covariance_fn={args.covariance_fn!r}; "
+            f"choose from {sorted(COVARIANCE_CLI_NAMES)}",
+            file=sys.stderr,
+        )
+        return 2
+    cfg = GPConfig(
+        nparams=mf.nparams,
+        covariance=cov,
+        regression_order=args.regression_order,
+        n_restarts=args.restarts,
+        max_opt_steps=args.steps,
+        cholesky_method=args.cholesky_method,
+        gram_method=args.gram_method,
+        cholesky_update_precision=args.update_precision,
+        linesearch=args.linesearch,
+    )
+    import jax.numpy as jnp
+
+    emu = fit_multifidelity(
+        jax.random.key(args.seed),
+        [jnp.asarray(X, dtype=dtype) for X in mf.designs],
+        [jnp.asarray(y, dtype=dtype) for y in mf.targets],
+        cfg,
+        lower_values=[
+            None if lv is None else jnp.asarray(lv, dtype=dtype)
+            for lv in mf.lower_values
+        ],
+        restart_chunk=args.restart_chunk,
+    )
+    if not args.quiet:
+        rho = _np.asarray(emu.rho) if emu.n_levels > 1 else _np.zeros(0)
+        for k, lv in enumerate(emu.levels):
+            msg = (
+                f"level {k}: N={lv.data.X.shape[0]}"
+                + (f", rho={rho[k - 1]:.6g}" if k > 0 else "")
+            )
+            print(msg, file=sys.stderr)
+    write_snapshot_auto(
+        args.state_file, emu, param_names=mf.param_names,
+        output_names=[mf.output_name],
+    )
+    if not args.quiet:
+        print(
+            f"wrote {args.state_file}: {emu.n_levels} fidelity level(s), "
+            f"d={mf.nparams}",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def cmd_interactive_mode(args) -> int:
     dtype = _setup_jax(args.dtype)
     import jax.numpy as jnp
@@ -524,10 +710,34 @@ def cmd_interactive_mode(args) -> int:
     )
 
     iterative_serve = args.serve_method == "iterative"
-    emu, param_names, output_names = read_snapshot_auto(
-        args.state_file, dtype=dtype, build_states=not iterative_serve
-    )
-    if iterative_serve:
+    try:
+        emu, param_names, output_names = read_snapshot_auto(
+            args.state_file, dtype=dtype, build_states=not iterative_serve
+        )
+    except ValueError as e:
+        # e.g. a gradient-enhanced (v3) snapshot asked to serve iteratively
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+
+    if isinstance(emu, MultiFidelityEmulator):
+        if args.serve_method != "dense":
+            print(
+                "error: multi-fidelity snapshots serve dense only "
+                "(per-level cross-covariance GEMM + TRSMs); drop "
+                f"--serve_method={args.serve_method}",
+                file=sys.stderr,
+            )
+            return 2
+        from madaiemulator_tpu.models.multifidelity import (
+            predict_multifidelity,
+        )
+
+        def predict_multivariate(e, q):  # noqa: F811 — same call shape
+            mean, var = predict_multifidelity(e, q)
+            return mean[:, None], var[:, None]  # scalar output -> (m, 1)
+
+    elif iterative_serve:
         # Per-snapshot serving cache (preconditioner + training solves),
         # built ONCE: each drained query batch then costs one variance
         # solve per chunk, not a fit-grade re-solve (VERDICT r2 weak #1).
@@ -541,9 +751,15 @@ def cmd_interactive_mode(args) -> int:
                 e, q, states=iter_states,
                 variance_method=args.variance_method,
                 query_chunk=args.query_chunk,
+                variance_rhs=args.variance_rhs,
             )
     elif args.serve_method == "fast":
-        fast_states = precompute_fast_multivariate(emu)
+        try:
+            fast_states = precompute_fast_multivariate(emu)
+        except ValueError as e:
+            # gradient-enhanced snapshots have no GEMM-only path
+            print(f"error: {e}", file=sys.stderr)
+            return 2
 
         def predict_multivariate(e, q):  # noqa: F811 — same call shape
             return predict_multivariate_fast(e, fast_states, q)
@@ -659,6 +875,22 @@ def cmd_interactive_mode(args) -> int:
     return 0
 
 
+def _reject_multifidelity(emu, subcommand: str) -> bool:
+    """Multi-fidelity snapshots only train/serve/convert via the CLI; the
+    workflow subcommands run on multivariate emulators."""
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+
+    if isinstance(emu, MultiFidelityEmulator):
+        print(
+            f"error: {subcommand} does not support multi-fidelity "
+            "snapshots; query them through interactive_mode or the "
+            "library API (models/multifidelity.py)",
+            file=sys.stderr,
+        )
+        return True
+    return False
+
+
 def cmd_calibrate(args) -> int:
     dtype = _setup_jax(args.dtype)
     import jax
@@ -670,6 +902,8 @@ def cmd_calibrate(args) -> int:
     emu, param_names, output_names = read_snapshot_auto(
         args.state_file, dtype=dtype, build_states=not args.matrix_free
     )
+    if _reject_multifidelity(emu, "calibrate"):
+        return 2
     states = None
     if args.matrix_free:
         from madaiemulator_tpu.models.multivariate import (
@@ -769,6 +1003,8 @@ def cmd_validate(args) -> int:
     emu, param_names, output_names = read_snapshot_auto(
         args.state_file, dtype=dtype, build_states=not args.matrix_free
     )
+    if _reject_multifidelity(emu, "validate"):
+        return 2
     Y_true = None
     if args.model_file is not None:
         from madaiemulator_tpu.io.modelfile import read_model_file
@@ -853,6 +1089,8 @@ def cmd_design(args) -> int:
     emu, param_names, output_names = read_snapshot_auto(
         args.state_file, dtype=dtype, build_states=not args.matrix_free
     )
+    if _reject_multifidelity(emu, "design"):
+        return 2
     iter_kwargs = (
         dict(rank=args.rank, cg_tol=args.cg_tol,
              cg_max_iters=args.cg_max_iters)
@@ -923,6 +1161,103 @@ def cmd_design(args) -> int:
     return 0
 
 
+def cmd_sensitivity(args) -> int:
+    dtype = _setup_jax(args.dtype)
+    import jax
+    import jax.numpy as jnp
+
+    from madaiemulator_tpu.io.snapshot import read_snapshot_auto
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.sensitivity import (
+        main_effects,
+        multivariate_mean_fn,
+        sobol_indices,
+    )
+
+    emu, param_names, output_names = read_snapshot_auto(
+        args.state_file, dtype=dtype
+    )
+    if isinstance(emu, MultiFidelityEmulator):
+        from madaiemulator_tpu.models.multifidelity import (
+            predict_multifidelity,
+        )
+        from madaiemulator_tpu.utils.designs import unapply_scaling
+
+        def predict_fn(Xs):
+            mean, _ = predict_multifidelity(
+                emu, unapply_scaling(Xs, emu.scaling)
+            )
+            return mean[:, None]
+
+        d = emu.levels[0].data.X.shape[1]
+    else:
+        predict_fn = multivariate_mean_fn(emu)
+        d = emu.X.shape[1]
+    key = jax.random.key(args.seed)
+    res = sobol_indices(
+        predict_fn, d, key, n=args.n, query_chunk=args.query_chunk,
+        dtype=dtype,
+    )
+    first = np.atleast_2d(np.asarray(res.first).T).T  # (d, t)
+    total = np.atleast_2d(np.asarray(res.total).T).T
+    if first.ndim == 1:
+        first, total = first[:, None], total[:, None]
+    t = first.shape[1]
+    if not args.quiet:
+        print(
+            f"sensitivity: Sobol indices from an n={args.n} Saltelli "
+            f"design ({args.n * (d + 2)} emulator evaluations); "
+            f"interactions = total - first",
+            file=sys.stderr,
+        )
+        for j, name in enumerate(param_names):
+            tot = float(np.max(total[j]))
+            print(
+                f"  {name}: max total index {tot:.3f} across "
+                f"{t} observable(s)",
+                file=sys.stderr,
+            )
+    dest = sys.stdout if args.output == "-" else open(args.output, "w")
+    try:
+        dest.write("# Sobol indices: param observable first total\n")
+        for j, name in enumerate(param_names):
+            for u, out_name in enumerate(output_names):
+                dest.write(
+                    f"{name} {out_name} {first[j, u]:.17g} "
+                    f"{total[j, u]:.17g}\n"
+                )
+    finally:
+        if dest is not sys.stdout:
+            dest.close()
+    if args.main_effects is not None:
+        gv, eff = main_effects(
+            predict_fn, d, jax.random.key(args.seed + 1), grid=args.grid,
+            n=args.effects_n, query_chunk=args.query_chunk, dtype=dtype,
+        )
+        gv = np.asarray(gv)
+        eff = np.asarray(eff)  # (d, grid) or (d, grid, t)
+        if eff.ndim == 2:
+            eff = eff[:, :, None]
+        with open(args.main_effects, "w") as f:
+            cols = " ".join(
+                f"{p}:{o}" for p in param_names for o in output_names
+            )
+            f.write(
+                "# main effects E[f | x_i = v], x_i scaled to [0,1]: "
+                f"v {cols}\n"
+            )
+            for g in range(len(gv)):
+                row = eff[:, g, :].reshape(-1)
+                f.write(
+                    f"{gv[g]:.17g} "
+                    + " ".join(f"{v:.17g}" for v in row) + "\n"
+                )
+        if not args.quiet:
+            print(f"wrote main-effect curves to {args.main_effects}",
+                  file=sys.stderr)
+    return 0
+
+
 def cmd_convert(args) -> int:
     _setup_jax("float64")
     from madaiemulator_tpu.io.snapshot import (
@@ -932,26 +1267,55 @@ def cmd_convert(args) -> int:
 
     # container-only load: conversion re-encodes the payload and must not
     # pay (or require memory for) the serve-time factorizations
-    emu, param_names, output_names = read_snapshot_auto(
-        args.in_state, build_states=False
-    )
+    try:
+        emu, param_names, output_names = read_snapshot_auto(
+            args.in_state, build_states=False
+        )
+    except ValueError:
+        # gradient-enhanced (v3) snapshots refuse the stateless load; pay
+        # the factorization — joint matrices are small-N by construction
+        emu, param_names, output_names = read_snapshot_auto(
+            args.in_state, build_states=True
+        )
     write_snapshot_auto(
         args.out_state, emu, param_names=param_names,
         output_names=output_names,
     )
-    print(
-        f"wrote {args.out_state}: {emu.n_components} component(s), "
-        f"N={emu.X.shape[0]}, d={emu.X.shape[1]}, t={len(output_names)}",
-        file=sys.stderr,
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+
+    desc = (
+        f"{emu.n_levels} fidelity level(s), "
+        f"d={emu.levels[0].data.X.shape[1]}"
+        if isinstance(emu, MultiFidelityEmulator)
+        else f"{emu.n_components} component(s), N={emu.X.shape[0]}, "
+             f"d={emu.X.shape[1]}, t={len(output_names)}"
     )
+    print(f"wrote {args.out_state}: {desc}", file=sys.stderr)
     return 0
 
 
 def cmd_print_thetas(args) -> int:
     _setup_jax("float64")
     from madaiemulator_tpu.io.snapshot import read_snapshot_auto
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
 
     emu, param_names, _ = read_snapshot_auto(args.state_file)
+    if isinstance(emu, MultiFidelityEmulator):
+        print(
+            f"# {emu.n_levels} fidelity level(s); thetas = "
+            "[amp nugget length_scales...] (+ rho for levels >= 1)"
+        )
+        for k, lv in enumerate(emu.levels):
+            row = [
+                float(np.exp(np.asarray(lv.params.log_amp))),
+                float(np.exp(np.asarray(lv.params.log_nugget))),
+                *np.exp(np.asarray(lv.params.log_ls)).ravel(),
+            ]
+            line = " ".join(f"{v:.17g}" for v in row)
+            if k > 0:
+                line += f"  rho {float(np.asarray(lv.rho)):.17g}"
+            print(line)
+        return 0
     amp = np.exp(np.asarray(emu.params.log_amp))
     nug = np.exp(np.asarray(emu.params.log_nugget))
     ls = np.exp(np.asarray(emu.params.log_ls))
@@ -977,6 +1341,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             return cmd_validate(args)
         if args.command == "design":
             return cmd_design(args)
+        if args.command == "sensitivity":
+            return cmd_sensitivity(args)
         if args.command == "convert":
             return cmd_convert(args)
     except BrokenPipeError:

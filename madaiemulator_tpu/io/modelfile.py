@@ -118,3 +118,164 @@ def write_model_file(
         w(" ".join(f"{v:.17g}" for v in row) + "\n")
     for row in Y:
         w(" ".join(f"{v:.17g}" for v in row) + "\n")
+
+
+# --- Multi-fidelity model files ---------------------------------------------
+
+MAGIC_MF_MODEL = "MULTIFIDELITY"
+
+
+@dataclass
+class MultiFidelityModelFile:
+    """Training input for AR(1) co-kriging: per-level designs + targets
+    (level 0 cheapest/largest, the last level is the target fidelity),
+    plus optional OBSERVED lower-level outputs at each level's design
+    (exact recursive co-kriging on nested designs — models/multifidelity).
+    """
+
+    param_names: List[str]
+    output_name: str
+    designs: List[np.ndarray]  # per level: (N_k, d) raw designs
+    targets: List[np.ndarray]  # per level: (N_k,)
+    lower_values: List  # len L-1; entry k-1: (N_k,) observed or None
+
+    @property
+    def nparams(self) -> int:
+        return self.designs[0].shape[1]
+
+    @property
+    def nlevels(self) -> int:
+        return len(self.designs)
+
+
+def read_multifidelity_model_file(
+    source: Union[str, TextIO],
+) -> MultiFidelityModelFile:
+    """FORMAT (text, '#' comments; levels cheapest-first):
+
+        MULTIFIDELITY
+        <nlevels>
+        <nparams>
+        <param name> x nparams
+        <output name>
+        per level k = 0..L-1:
+            <N_k> <has_lower 0|1>     (has_lower must be 0 for level 0)
+            design  (N_k rows x nparams floats)
+            targets (N_k floats)
+            lower   (N_k floats, iff has_lower: the OBSERVED level-(k-1)
+                     output at this level's design points)
+
+    The reference has no multi-fidelity capability (SURVEY §2); this
+    grammar is the training-side counterpart of the MF snapshot
+    (io/snapshot.py MAGIC_MF)."""
+    if isinstance(source, str):
+        with open(source, "r") as f:
+            return read_multifidelity_model_file(f)
+    toks = _tokens(source)
+
+    def next_tok() -> str:
+        try:
+            return next(toks)
+        except StopIteration:
+            raise ValueError("multi-fidelity model file ended early") from None
+
+    if next_tok() != MAGIC_MF_MODEL:
+        raise ValueError("not a MULTIFIDELITY model file")
+    nlevels = int(next_tok())
+    if nlevels < 1:
+        raise ValueError(f"bad nlevels {nlevels}")
+    nparams = int(next_tok())
+    if nparams < 1:
+        raise ValueError(f"bad nparams {nparams}")
+    param_names = [next_tok() for _ in range(nparams)]
+    output_name = next_tok()
+    designs, targets, lower_values = [], [], []
+    for k in range(nlevels):
+        nk = int(next_tok())
+        if nk < 1:
+            raise ValueError(f"level {k}: bad npoints {nk}")
+        has_lower = int(next_tok())
+        if has_lower and k == 0:
+            raise ValueError("level 0 cannot carry lower-level values")
+        vals = [float(next_tok()) for _ in range(nk * nparams)]
+        designs.append(np.asarray(vals, np.float64).reshape(nk, nparams))
+        targets.append(
+            np.asarray([float(next_tok()) for _ in range(nk)], np.float64)
+        )
+        if k > 0:
+            lower_values.append(
+                np.asarray(
+                    [float(next_tok()) for _ in range(nk)], np.float64
+                )
+                if has_lower else None
+            )
+    return MultiFidelityModelFile(
+        param_names=param_names, output_name=output_name,
+        designs=designs, targets=targets, lower_values=lower_values,
+    )
+
+
+def write_multifidelity_model_file(
+    dest: Union[str, TextIO],
+    designs: Sequence[np.ndarray],
+    targets: Sequence[np.ndarray],
+    lower_values: Sequence | None = None,
+    param_names: Sequence[str] | None = None,
+    output_name: str | None = None,
+) -> None:
+    if isinstance(dest, str):
+        with open(dest, "w") as f:
+            write_multifidelity_model_file(
+                f, designs, targets, lower_values, param_names, output_name
+            )
+            return
+    L = len(designs)
+    lower_values = list(lower_values or [None] * (L - 1))
+    d = np.atleast_2d(np.asarray(designs[0])).shape[1]
+    param_names = list(param_names or [f"param_{i}" for i in range(d)])
+    w = dest.write
+    w(f"{MAGIC_MF_MODEL}\n{L}\n{d}\n")
+    for s in param_names:
+        w(f"{s}\n")
+    w(f"{output_name or 'output_0'}\n")
+    for k in range(L):
+        X = np.atleast_2d(np.asarray(designs[k]))
+        y = np.asarray(targets[k]).ravel()
+        low = lower_values[k - 1] if k > 0 else None
+        w(f"{X.shape[0]} {int(low is not None)}\n")
+        for row in X:
+            w(" ".join(f"{v:.17g}" for v in row) + "\n")
+        w(" ".join(f"{v:.17g}" for v in y) + "\n")
+        if low is not None:
+            w(" ".join(f"{v:.17g}" for v in np.asarray(low).ravel()) + "\n")
+
+
+def is_multifidelity_model_file(path: str) -> bool:
+    """Peek at the first non-comment token (the CLI routes on this)."""
+    with open(path, "r") as f:
+        for tok in _tokens(f):
+            return tok == MAGIC_MF_MODEL
+    return False
+
+
+def read_gradients_file(
+    path: str, npoints: int, nparams: int, noutputs: int
+) -> np.ndarray:
+    """Observed output gradients for gradient-enhanced training
+    (estimate_thetas --gradients_file).
+
+    FORMAT: whitespace-separated floats, npoints * noutputs * nparams
+    values — per design point (model-file row order), per output (model-
+    file output order), the nparams partials d f_t / d x_a w.r.t. the RAW
+    inputs. Returns (N, d, t), the layout fit_multivariate(gradients=...)
+    expects ('#' comments allowed)."""
+    with open(path, "r") as f:
+        vals = [float(t) for t in _tokens(f)]
+    want = npoints * noutputs * nparams
+    if len(vals) != want:
+        raise ValueError(
+            f"gradients file has {len(vals)} values; expected "
+            f"N*t*d = {npoints}*{noutputs}*{nparams} = {want}"
+        )
+    arr = np.asarray(vals, np.float64).reshape(npoints, noutputs, nparams)
+    return np.transpose(arr, (0, 2, 1))  # (N, d, t)

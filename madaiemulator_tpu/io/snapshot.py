@@ -47,6 +47,32 @@ VERSION = 1
 # noise-free snapshots stay byte-compatible with every version-1 reader
 # (incl. the native C++ Emulator and the pipe servers).
 VERSION_NOISE = 2
+# version 3 = version 2 + explicit has_noise/has_gradients/
+# has_gradient_noise header flags and trailing PC-space gradient blocks
+# ((n*d) x r, point-major/dim-inner — the layout of MultivariateEmulator.dZ
+# flattened over (point, dim)); written ONLY for gradient-enhanced
+# emulators, so value-only snapshots keep their v1/v2 encodings and every
+# existing reader. The native C++ Emulator rejects v3 with a clear error
+# (joint value+gradient serving is a JAX-path capability; FORMATS.md).
+VERSION_GRADIENTS = 3
+
+# Multi-fidelity (AR(1) co-kriging) snapshots use their OWN magic + grammar:
+# the payload is per-LEVEL scalar GPs (designs, targets, lower-fidelity
+# basis columns, thetas, rho), not a PCA multivariate container, so
+# overloading the main grammar would contort both. Readers dispatch on the
+# magic token (read_snapshot_auto).
+MAGIC_MF = "MADAIEMULATOR_TPU_SNAPSHOT_MF"
+VERSION_MF = 1
+
+
+def _snapshot_version(emu) -> int:
+    # getattr: IterativeMultivariateEmulator has no gradient fields (the
+    # matrix-free engine has no joint value+gradient operator)
+    if getattr(emu, "dZ", None) is not None:
+        return VERSION_GRADIENTS
+    if emu.noise is not None:
+        return VERSION_NOISE
+    return VERSION
 
 
 def _fmt_vec(v) -> str:
@@ -98,13 +124,18 @@ def write_snapshot(
         axis=1,
     )  # (r, ntheta), natural space, reference layout
     w = dest.write
-    version = VERSION if emu.noise is None else VERSION_NOISE
+    version = _snapshot_version(emu)
     w(f"{MAGIC} {version}\n")
     w(f"covariance {cfg.covariance.value}\n")
     w(f"power_exp_alpha {cfg.power_exp_alpha:.17g}\n")
     w(f"regression_order {cfg.regression_order}\n")
     w(f"predict_variance_includes_nugget {int(cfg.predict_variance_includes_nugget)}\n")
     w(f"pca_standardize {int(pca_standardize)}\n")
+    if version >= VERSION_GRADIENTS:
+        w(f"has_noise {int(emu.noise is not None)}\n")
+        w(f"has_gradients {int(emu.dZ is not None)}\n")
+        w(f"has_gradient_noise "
+          f"{int(getattr(emu, 'dZ_noise', None) is not None)}\n")
     w(f"nparams {d}\nnoutputs {t}\nnpoints {n}\nncomponents {r}\n")
     for s in param_names:
         w(f"{s}\n")
@@ -127,6 +158,12 @@ def write_snapshot(
     if emu.noise is not None:
         w("# per-point PC-space observation-noise variances (n x r)\n")
         w(_fmt_mat(emu.noise) + "\n")
+    if getattr(emu, "dZ", None) is not None:
+        w("# PC-space gradient observations ((n*d) x r, point-major)\n")
+        w(_fmt_mat(np.asarray(emu.dZ).reshape(n * d, r)) + "\n")
+    if getattr(emu, "dZ_noise", None) is not None:
+        w("# PC-space gradient-noise variances ((n*d) x r, point-major)\n")
+        w(_fmt_mat(np.asarray(emu.dZ_noise).reshape(n * d, r)) + "\n")
 
 
 def write_snapshot_npz(
@@ -143,13 +180,17 @@ def write_snapshot_npz(
     t = emu.n_outputs
     cfg = emu.config
     pca_standardize = _derived_standardize(emu)
-    extra = (
-        {} if emu.noise is None else {"noise_pc": np.asarray(emu.noise)}
-    )
+    extra = {}
+    if emu.noise is not None:
+        extra["noise_pc"] = np.asarray(emu.noise)
+    if getattr(emu, "dZ", None) is not None:
+        extra["dZ_pc"] = np.asarray(emu.dZ)
+    if getattr(emu, "dZ_noise", None) is not None:
+        extra["dZ_noise_pc"] = np.asarray(emu.dZ_noise)
     np.savez_compressed(
         dest,
         magic=np.array([MAGIC]),
-        version=np.array([VERSION if emu.noise is None else VERSION_NOISE]),
+        version=np.array([_snapshot_version(emu)]),
         covariance=np.array([cfg.covariance.value]),
         power_exp_alpha=np.array([cfg.power_exp_alpha]),
         regression_order=np.array([cfg.regression_order]),
@@ -185,8 +226,13 @@ def read_snapshot_npz(
     returns an IterativeMultivariateEmulator (matrix-free serving — the
     only option when N^2 per component exceeds HBM)."""
     z = np.load(source, allow_pickle=False)
+    if str(z["magic"][0]) == MAGIC_MF:
+        raise ValueError(
+            "multi-fidelity npz snapshot: use read_snapshot_auto / "
+            "read_snapshot_multifidelity_npz"
+        )
     if str(z["magic"][0]) != MAGIC or int(z["version"][0]) not in (
-        VERSION, VERSION_NOISE,
+        VERSION, VERSION_NOISE, VERSION_GRADIENTS,
     ):
         raise ValueError("not a compatible npz snapshot")
     cfg = GPConfig(
@@ -218,34 +264,83 @@ def read_snapshot_npz(
     noisej = (
         jnp.asarray(z["noise_pc"], dtype=dtype) if "noise_pc" in z else None
     )
-    if build_states:
-        emu = MultivariateEmulator(
-            scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params,
-            states=_vmapped_states(params, Xj, Zj, cfg, noise_pc=noisej),
-            config=cfg, noise=noisej,
-        )
-    else:
-        from madaiemulator_tpu.models.multivariate import (
-            IterativeMultivariateEmulator,
-        )
-
-        emu = IterativeMultivariateEmulator(
-            scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params, config=cfg,
-            noise=noisej,
-        )
+    dZj = jnp.asarray(z["dZ_pc"], dtype=dtype) if "dZ_pc" in z else None
+    dZnj = (
+        jnp.asarray(z["dZ_noise_pc"], dtype=dtype)
+        if "dZ_noise_pc" in z else None
+    )
+    emu = _assemble_multivariate(
+        scaling, Xj, Zj, pca, params, cfg, noisej, dZj, dZnj, build_states
+    )
     return emu, list(map(str, z["param_names"])), list(map(str, z["output_names"]))
 
 
-def write_snapshot_auto(dest: str, *args, **kwargs) -> None:
-    """Dispatch on extension: '.npz' -> binary, else text."""
+def _assemble_multivariate(
+    scaling, Xj, Zj, pca, params, cfg, noisej, dZj, dZnj, build_states: bool
+):
+    """Shared text/npz tail: build the serving container from parsed arrays."""
+    if build_states:
+        return MultivariateEmulator(
+            scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params,
+            states=_vmapped_states(params, Xj, Zj, cfg, noise_pc=noisej,
+                                   dZ=dZj, dZ_noise=dZnj),
+            config=cfg, noise=noisej, dZ=dZj, dZ_noise=dZnj,
+        )
+    from madaiemulator_tpu.models.multivariate import (
+        IterativeMultivariateEmulator,
+    )
+
+    if dZj is not None:
+        raise ValueError(
+            "gradient-enhanced snapshots serve through the dense path only "
+            "(build_states=True): the matrix-free engine has no joint "
+            "value+gradient operator"
+        )
+    return IterativeMultivariateEmulator(
+        scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params, config=cfg,
+        noise=noisej,
+    )
+
+
+def write_snapshot_auto(dest: str, emu, *args, **kwargs) -> None:
+    """Dispatch on container type (multivariate vs multi-fidelity) and on
+    extension ('.npz' -> binary, else text)."""
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+
+    if isinstance(emu, MultiFidelityEmulator):
+        writer = (
+            write_snapshot_multifidelity_npz
+            if dest.endswith(".npz")
+            else write_snapshot_multifidelity
+        )
+        # MF emulators are scalar-output: output_names (if given) has one
+        # entry; the MF writers take output_name singular
+        if "output_names" in kwargs:
+            names = kwargs.pop("output_names")
+            kwargs["output_name"] = None if names is None else names[0]
+        writer(dest, emu, *args, **kwargs)
+        return
     writer = write_snapshot_npz if dest.endswith(".npz") else write_snapshot
-    writer(dest, *args, **kwargs)
+    writer(dest, emu, *args, **kwargs)
 
 
 def read_snapshot_auto(source: str, dtype=jnp.float64, build_states: bool = True):
-    """Dispatch on extension: '.npz' -> binary, else text."""
-    reader = read_snapshot_npz if source.endswith(".npz") else read_snapshot
-    return reader(source, dtype=dtype, build_states=build_states)
+    """Dispatch on the snapshot's own magic (multivariate vs multi-fidelity)
+    and on extension ('.npz' -> binary, else text). Multi-fidelity returns
+    a MultiFidelityEmulator (its serving states are always rebuilt — the
+    levels are small by construction; build_states is ignored)."""
+    if source.endswith(".npz"):
+        with np.load(source, allow_pickle=False) as z:
+            is_mf = str(z["magic"][0]) == MAGIC_MF
+        if is_mf:
+            return read_snapshot_multifidelity_npz(source, dtype=dtype)
+        return read_snapshot_npz(source, dtype=dtype,
+                                 build_states=build_states)
+    with open(source, "r") as f:
+        head = f.readline().split()
+    if head and head[0] == MAGIC_MF:
+        return read_snapshot_multifidelity(source, dtype=dtype)
+    return read_snapshot(source, dtype=dtype, build_states=build_states)
 
 
 def _tokens(stream: TextIO):
@@ -279,16 +374,29 @@ def read_snapshot(
             raise ValueError(f"snapshot: expected {name!r}, got {got!r}")
         return tok()
 
-    if tok() != MAGIC:
+    first = tok()
+    if first == MAGIC_MF:
+        raise ValueError(
+            "multi-fidelity snapshot: use read_snapshot_auto / "
+            "read_snapshot_multifidelity"
+        )
+    if first != MAGIC:
         raise ValueError("not a madaiemulator_tpu snapshot")
     version = int(tok())
-    if version not in (VERSION, VERSION_NOISE):
+    if version not in (VERSION, VERSION_NOISE, VERSION_GRADIENTS):
         raise ValueError(f"unsupported snapshot version {version}")
     cov = COVARIANCE_CLI_NAMES[expect("covariance")]
     alpha = float(expect("power_exp_alpha"))
     order = int(expect("regression_order"))
     pred_nug = bool(int(expect("predict_variance_includes_nugget")))
     _pca_std = bool(int(expect("pca_standardize")))
+    if version >= VERSION_GRADIENTS:
+        has_noise = bool(int(expect("has_noise")))
+        has_grad = bool(int(expect("has_gradients")))
+        has_grad_noise = bool(int(expect("has_gradient_noise")))
+    else:
+        has_noise = version >= VERSION_NOISE
+        has_grad = has_grad_noise = False
     d = int(expect("nparams"))
     t = int(expect("noutputs"))
     n = int(expect("npoints"))
@@ -312,7 +420,9 @@ def read_snapshot(
     Z = mat(n, r)
     ntheta = 2 + cov.num_length_scales(d)
     thetas = mat(r, ntheta)
-    noise = mat(n, r) if version >= VERSION_NOISE else None
+    noise = mat(n, r) if has_noise else None
+    dZ = mat(n * d, r).reshape(n, d, r) if has_grad else None
+    dZ_noise = mat(n * d, r).reshape(n, d, r) if has_grad_noise else None
 
     cfg = GPConfig(
         nparams=d,
@@ -339,19 +449,296 @@ def read_snapshot(
         U=jnp.asarray(U, dtype=dtype),
     )
     noisej = None if noise is None else jnp.asarray(noise, dtype=dtype)
-    if build_states:
-        emu = MultivariateEmulator(
-            scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params,
-            states=_vmapped_states(params, Xj, Zj, cfg, noise_pc=noisej),
-            config=cfg, noise=noisej,
-        )
-    else:
-        from madaiemulator_tpu.models.multivariate import (
-            IterativeMultivariateEmulator,
-        )
-
-        emu = IterativeMultivariateEmulator(
-            scaling=scaling, X=Xj, Z=Zj, pca=pca, params=params, config=cfg,
-            noise=noisej,
-        )
+    dZj = None if dZ is None else jnp.asarray(dZ, dtype=dtype)
+    dZnj = None if dZ_noise is None else jnp.asarray(dZ_noise, dtype=dtype)
+    emu = _assemble_multivariate(
+        scaling, Xj, Zj, pca, params, cfg, noisej, dZj, dZnj, build_states
+    )
     return emu, param_names, output_names
+
+
+# --- Multi-fidelity (AR(1) co-kriging) snapshots ----------------------------
+#
+# Grammar (text; '#' comments allowed; floats %.17g):
+#
+#     MADAIEMULATOR_TPU_SNAPSHOT_MF 1
+#     covariance <family> ; power_exp_alpha ; regression_order ;
+#     predict_variance_includes_nugget
+#     nparams <d> ; nlevels <L>
+#     param names (d), output name (1)
+#     design scaling (mins; ranges) — shared across levels
+#     per level k = 0..L-1:
+#         level <k> <N_k> <has_noise 0|1>
+#         thetas [amp nugget length_scales...]        (natural space)
+#         rho <float>                                  (k >= 1 only)
+#         X_k (N_k x d)    scaled design
+#         y_k (N_k)        targets
+#         h_k (N_k)        lower-fidelity basis column (k >= 1 only —
+#                          state/beta depend on it, so it is data)
+#         noise_k (N_k)    per-point noise variances   (if has_noise)
+#
+# Serving states (Cholesky, alpha, beta, ...) are rebuilt on load — the
+# expensive levels are small by construction (that is the point of
+# multi-fidelity), so the rebuild is cheap and keeps the file format free
+# of redundant derived arrays. SURVEY §1 layering note: the snapshot is the
+# train-time/serve-time contract; this extends it to the multi-fidelity
+# modality (VERDICT r3 missing #2).
+
+
+def _mf_rebuild_level(params, data, config):
+    """Rebuild one level's serving factorization (jitted per shape)."""
+    import jax
+
+    from madaiemulator_tpu.models.gp import precompute_predictor
+
+    return jax.jit(
+        lambda p, d: precompute_predictor(p, d, config)
+    )(params, data)
+
+
+def write_snapshot_multifidelity(
+    dest: Union[str, TextIO],
+    emu,
+    param_names: List[str] | None = None,
+    output_name: str | None = None,
+) -> None:
+    """Persist a trained MultiFidelityEmulator (text grammar above)."""
+    if isinstance(dest, str):
+        with open(dest, "w") as f:
+            write_snapshot_multifidelity(f, emu, param_names, output_name)
+            return
+    cfg = emu.config
+    L = emu.n_levels
+    d = emu.levels[0].data.X.shape[1]
+    param_names = list(param_names or [f"param_{i}" for i in range(d)])
+    output_name = output_name or "output_0"
+    w = dest.write
+    w(f"{MAGIC_MF} {VERSION_MF}\n")
+    w(f"covariance {cfg.covariance.value}\n")
+    w(f"power_exp_alpha {cfg.power_exp_alpha:.17g}\n")
+    w(f"regression_order {cfg.regression_order}\n")
+    w(f"predict_variance_includes_nugget "
+      f"{int(cfg.predict_variance_includes_nugget)}\n")
+    w(f"nparams {d}\nnlevels {L}\n")
+    for s in param_names:
+        w(f"{s}\n")
+    w(f"{output_name}\n")
+    w("# design scaling (mins; ranges)\n")
+    w(_fmt_vec(emu.scaling.mins) + "\n")
+    w(_fmt_vec(emu.scaling.ranges) + "\n")
+    for k, lv in enumerate(emu.levels):
+        nk = lv.data.X.shape[0]
+        has_noise = int(lv.data.noise is not None)
+        w(f"level {k} {nk} {has_noise}\n")
+        theta = np.concatenate([
+            np.exp(np.asarray(lv.params.log_amp))[None],
+            np.exp(np.asarray(lv.params.log_nugget))[None],
+            np.exp(np.asarray(lv.params.log_ls)).ravel(),
+        ])
+        w("# thetas [amp nugget ls...]\n")
+        w(_fmt_vec(theta) + "\n")
+        if k > 0:
+            w(f"rho {float(np.asarray(lv.rho)):.17g}\n")
+        w(f"# level {k}: scaled design ({nk} x {d}); targets; "
+          + ("lower-fidelity column; " if k > 0 else "")
+          + ("noise" if has_noise else "") + "\n")
+        w(_fmt_mat(lv.data.X) + "\n")
+        w(_fmt_vec(lv.data.y) + "\n")
+        if k > 0:
+            w(_fmt_vec(lv.data.h_extra[:, 0]) + "\n")
+        if has_noise:
+            w(_fmt_vec(lv.data.noise) + "\n")
+
+
+def read_snapshot_multifidelity(
+    source: Union[str, TextIO], dtype=jnp.float64
+):
+    """Load a multi-fidelity snapshot; rebuilds every level's serving
+    factorization. Returns (MultiFidelityEmulator, param_names,
+    [output_name])."""
+    from madaiemulator_tpu.models.gp import GPData
+    from madaiemulator_tpu.models.multifidelity import (
+        FidelityLevel,
+        MultiFidelityEmulator,
+    )
+
+    if isinstance(source, str):
+        with open(source, "r") as f:
+            return read_snapshot_multifidelity(f, dtype=dtype)
+    toks = _tokens(source)
+
+    def tok() -> str:
+        try:
+            return next(toks)
+        except StopIteration:
+            raise ValueError("snapshot ended early") from None
+
+    def expect(name: str) -> str:
+        got = tok()
+        if got != name:
+            raise ValueError(f"snapshot: expected {name!r}, got {got!r}")
+        return tok()
+
+    if tok() != MAGIC_MF:
+        raise ValueError("not a multi-fidelity snapshot")
+    version = int(tok())
+    if version != VERSION_MF:
+        raise ValueError(f"unsupported multi-fidelity snapshot version {version}")
+    cov = COVARIANCE_CLI_NAMES[expect("covariance")]
+    alpha = float(expect("power_exp_alpha"))
+    order = int(expect("regression_order"))
+    pred_nug = bool(int(expect("predict_variance_includes_nugget")))
+    d = int(expect("nparams"))
+    L = int(expect("nlevels"))
+    param_names = [tok() for _ in range(d)]
+    output_name = tok()
+
+    def vec(k):
+        return np.asarray([float(tok()) for _ in range(k)])
+
+    mins = vec(d)
+    ranges = vec(d)
+    cfg = GPConfig(
+        nparams=d, covariance=cov, regression_order=order,
+        power_exp_alpha=alpha, predict_variance_includes_nugget=pred_nug,
+    )
+    scaling = DesignScaling(
+        mins=jnp.asarray(mins, dtype=dtype),
+        ranges=jnp.asarray(ranges, dtype=dtype),
+    )
+    ntheta = 2 + cov.num_length_scales(d)
+    levels = []
+    for k in range(L):
+        kk = int(expect("level"))
+        if kk != k:
+            raise ValueError(f"snapshot: expected level {k}, got {kk}")
+        nk = int(tok())
+        has_noise = bool(int(tok()))
+        theta = vec(ntheta)
+        rho = float(expect("rho")) if k > 0 else 0.0
+        X = vec(nk * d).reshape(nk, d)
+        y = vec(nk)
+        h = vec(nk)[:, None] if k > 0 else None
+        nz = vec(nk) if has_noise else None
+        params = GPParams(
+            log_amp=jnp.asarray(np.log(theta[0]), dtype=dtype),
+            log_nugget=jnp.asarray(np.log(theta[1]), dtype=dtype),
+            log_ls=jnp.asarray(np.log(theta[2:]), dtype=dtype),
+        )
+        data = GPData(
+            X=jnp.asarray(X, dtype=dtype),
+            y=jnp.asarray(y, dtype=dtype),
+            noise=None if nz is None else jnp.asarray(nz, dtype=dtype),
+            h_extra=None if h is None else jnp.asarray(h, dtype=dtype),
+        )
+        state = _mf_rebuild_level(params, data, cfg)
+        levels.append(FidelityLevel(
+            data=data, params=params, state=state,
+            rho=jnp.asarray(rho, dtype=dtype),
+        ))
+    emu = MultiFidelityEmulator(
+        scaling=scaling, levels=tuple(levels), config=cfg
+    )
+    return emu, param_names, [output_name]
+
+
+def write_snapshot_multifidelity_npz(
+    dest: str,
+    emu,
+    param_names: List[str] | None = None,
+    output_name: str | None = None,
+) -> None:
+    """Binary multi-fidelity snapshot: same payload as the text grammar,
+    per-level arrays suffixed _<k>."""
+    cfg = emu.config
+    L = emu.n_levels
+    d = emu.levels[0].data.X.shape[1]
+    arrays = {}
+    for k, lv in enumerate(emu.levels):
+        arrays[f"X_{k}"] = np.asarray(lv.data.X)
+        arrays[f"y_{k}"] = np.asarray(lv.data.y)
+        arrays[f"log_amp_{k}"] = np.asarray(lv.params.log_amp)
+        arrays[f"log_nugget_{k}"] = np.asarray(lv.params.log_nugget)
+        arrays[f"log_ls_{k}"] = np.asarray(lv.params.log_ls)
+        if k > 0:
+            arrays[f"h_{k}"] = np.asarray(lv.data.h_extra[:, 0])
+            arrays[f"rho_{k}"] = np.asarray(lv.rho)
+        if lv.data.noise is not None:
+            arrays[f"noise_{k}"] = np.asarray(lv.data.noise)
+    np.savez_compressed(
+        dest,
+        magic=np.array([MAGIC_MF]),
+        version=np.array([VERSION_MF]),
+        covariance=np.array([cfg.covariance.value]),
+        power_exp_alpha=np.array([cfg.power_exp_alpha]),
+        regression_order=np.array([cfg.regression_order]),
+        predict_variance_includes_nugget=np.array(
+            [int(cfg.predict_variance_includes_nugget)]
+        ),
+        nlevels=np.array([L]),
+        param_names=np.array(
+            list(param_names or [f"param_{i}" for i in range(d)])
+        ),
+        output_name=np.array([output_name or "output_0"]),
+        mins=np.asarray(emu.scaling.mins),
+        ranges=np.asarray(emu.scaling.ranges),
+        **arrays,
+    )
+
+
+def read_snapshot_multifidelity_npz(source: str, dtype=jnp.float64):
+    """Binary multi-fidelity loader (see read_snapshot_multifidelity)."""
+    from madaiemulator_tpu.models.gp import GPData
+    from madaiemulator_tpu.models.multifidelity import (
+        FidelityLevel,
+        MultiFidelityEmulator,
+    )
+
+    z = np.load(source, allow_pickle=False)
+    if str(z["magic"][0]) != MAGIC_MF or int(z["version"][0]) != VERSION_MF:
+        raise ValueError("not a compatible multi-fidelity npz snapshot")
+    cfg = GPConfig(
+        nparams=int(z["mins"].shape[0]),
+        covariance=COVARIANCE_CLI_NAMES[str(z["covariance"][0])],
+        regression_order=int(z["regression_order"][0]),
+        power_exp_alpha=float(z["power_exp_alpha"][0]),
+        predict_variance_includes_nugget=bool(
+            int(z["predict_variance_includes_nugget"][0])
+        ),
+    )
+    scaling = DesignScaling(
+        mins=jnp.asarray(z["mins"], dtype=dtype),
+        ranges=jnp.asarray(z["ranges"], dtype=dtype),
+    )
+    L = int(z["nlevels"][0])
+    levels = []
+    for k in range(L):
+        params = GPParams(
+            log_amp=jnp.asarray(z[f"log_amp_{k}"], dtype=dtype),
+            log_nugget=jnp.asarray(z[f"log_nugget_{k}"], dtype=dtype),
+            log_ls=jnp.asarray(z[f"log_ls_{k}"], dtype=dtype),
+        )
+        data = GPData(
+            X=jnp.asarray(z[f"X_{k}"], dtype=dtype),
+            y=jnp.asarray(z[f"y_{k}"], dtype=dtype),
+            noise=(
+                jnp.asarray(z[f"noise_{k}"], dtype=dtype)
+                if f"noise_{k}" in z else None
+            ),
+            h_extra=(
+                jnp.asarray(z[f"h_{k}"], dtype=dtype)[:, None]
+                if k > 0 else None
+            ),
+        )
+        state = _mf_rebuild_level(params, data, cfg)
+        rho = (
+            jnp.asarray(z[f"rho_{k}"], dtype=dtype)
+            if k > 0 else jnp.asarray(0.0, dtype=dtype)
+        )
+        levels.append(
+            FidelityLevel(data=data, params=params, state=state, rho=rho)
+        )
+    emu = MultiFidelityEmulator(
+        scaling=scaling, levels=tuple(levels), config=cfg
+    )
+    return emu, list(map(str, z["param_names"])), [str(z["output_name"][0])]

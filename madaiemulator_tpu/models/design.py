@@ -116,8 +116,10 @@ def _nroy_weights(
 
 
 @functools.partial(jax.jit, static_argnames=("config", "n_new"))
-def _variance_select(emu_states, emu_params, X, Z, pca, config, pool, n_new):
-    m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool, config)
+def _variance_select(emu_states, emu_params, X, Z, pca, config, pool, n_new,
+                     dZ=None):
+    m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool,
+                                     config, dZ=dZ)
     _, var = reconstruct_observables(m_pc, v_pc, pca)  # (P, t)
     return _greedy_maximin(pool, _variance_weights(var, pca), n_new)
 
@@ -175,7 +177,7 @@ def active_variance_design(
     if getattr(emu, "states", None) is not None:
         sel, scr = _variance_select(
             emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config, pool,
-            int(n_new),
+            int(n_new), dZ=emu.dZ,
         )
     else:
         _, var = _pool_moments_iterative(emu, pool, states, iter_kwargs)
@@ -195,9 +197,10 @@ def active_variance_design(
 )
 def _nroy_select(
     emu_states, emu_params, X, Z, pca, config, y_exp, exp_var, pool,
-    n_new, threshold,
+    n_new, threshold, dZ=None,
 ):
-    m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool, config)
+    m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool,
+                                     config, dZ=dZ)
     mean, var = reconstruct_observables(m_pc, v_pc, pca)  # (P, t)
     imp = implausibility_from_moments(mean, var, y_exp, exp_var)
     weights, frac = _nroy_weights(imp, threshold, pool.dtype)
@@ -240,7 +243,7 @@ def nroy_wave_design(
     if getattr(emu, "states", None) is not None:
         sel, scr, frac, _ = _nroy_select(
             emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config,
-            y_exp, exp_var, pool, int(n_new), float(threshold),
+            y_exp, exp_var, pool, int(n_new), float(threshold), dZ=emu.dZ,
         )
     else:
         mean, var = _pool_moments_iterative(emu, pool, states, iter_kwargs)

@@ -300,6 +300,13 @@ def loo_cv_multivariate(emu) -> Tuple[LOOResult, jax.Array, jax.Array]:
     """
     from madaiemulator_tpu.models.multivariate import reconstruct_observables
 
+    if getattr(emu, "dZ", None) is not None:
+        raise ValueError(
+            "closed-form LOO is not defined for gradient-enhanced "
+            "emulators: removing a design point must remove its value AND "
+            "gradient rows together, which the per-row Dubrule identity "
+            "cannot express. Validate with a holdout refit instead."
+        )
     # reuse the emulator's OWN factorization states rather than refactoring
     # with the base-config jitter: a component the serve-time jitter rescue
     # saved (multivariate._vmapped_states) would refactor non-SPD here and
@@ -403,6 +410,12 @@ def holdout_cv_multivariate(
     from madaiemulator_tpu.models.multivariate import reconstruct_observables
 
     N = emu.X.shape[0]
+    if getattr(emu, "dZ", None) is not None:
+        raise ValueError(
+            "holdout_cv_multivariate rebuilds a matrix-free serving state, "
+            "which has no joint value+gradient operator; refit the held-in "
+            "subset with fit_multivariate(gradients=...) instead"
+        )
     if not 0 < n_holdout < N:
         raise ValueError(f"n_holdout={n_holdout} must lie in (0, {N})")
     perm = np.asarray(jax.device_get(jax.random.permutation(key, N)))

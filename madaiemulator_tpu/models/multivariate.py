@@ -58,6 +58,13 @@ class MultivariateEmulator(NamedTuple):
     `noise` (optional, (N, r)) holds per-point observation-noise variances
     PROJECTED to PC-score space (see project_noise) — the training-side
     heteroscedastic diagonal each component's factorization was built with.
+
+    `dZ` (optional, (N, d, r)) holds gradient observations PROJECTED to
+    PC-score space in SCALED design coordinates (see project_gradients) —
+    when present every component is a gradient-enhanced (joint value +
+    gradient) GP, and the snapshot persists the block (format version 3).
+    `dZ_noise` carries known per-partial gradient-noise variances in the
+    same layout.
     """
 
     scaling: DesignScaling
@@ -69,6 +76,8 @@ class MultivariateEmulator(NamedTuple):
     config: GPConfig
     restart_log_likelihoods: Optional[jax.Array] = None  # (r, R)
     noise: Optional[jax.Array] = None  # (N, r) PC-space noise variances
+    dZ: Optional[jax.Array] = None  # (N, d, r) PC-space gradient obs
+    dZ_noise: Optional[jax.Array] = None  # (N, d, r) gradient-noise vars
 
     @property
     def n_components(self) -> int:
@@ -79,9 +88,12 @@ class MultivariateEmulator(NamedTuple):
         return self.pca.ymean.shape[0]
 
     def component_data(self, i: int) -> GPData:
-        """GPData of component i, incl. its PC-space noise column."""
+        """GPData of component i, incl. its PC-space noise/gradient blocks."""
         nz = None if self.noise is None else self.noise[:, i]
-        return GPData(X=self.X, y=self.Z[:, i], noise=nz)
+        dz = None if self.dZ is None else self.dZ[:, :, i]
+        dznz = None if self.dZ_noise is None else self.dZ_noise[:, :, i]
+        return GPData(X=self.X, y=self.Z[:, i], noise=nz, dY=dz,
+                      dY_noise=dznz)
 
 
 def pca_decompose(
@@ -162,36 +174,119 @@ def project_noise(noise, pca: PCAState, dtype=None) -> jnp.ndarray:
     return (noise / ystd[None, :] ** 2) @ U2 / lam[None, :]
 
 
+def project_gradients(
+    dY, pca: PCAState, scaling: DesignScaling, dtype=None
+) -> jnp.ndarray:
+    """PC-space gradient observations from raw output gradients.
+
+    dY: (N, d, t) — dY[i, a, u] = observed d f_u / d x_a at design point i,
+    w.r.t. the RAW (unscaled) inputs. Two linear maps stack exactly:
+
+      - design scaling X_s = (x - mins) / ranges gives
+        d/dX_s,a = ranges_a * d/dx_a;
+      - the PC score z_k = u_k^T (y - ymean) / (ystd * sqrt(lambda_k)) is
+        linear in y, so gradients project with the same weights:
+        dz_k/dX_s,a = ranges_a * sum_u dY[:, a, u] U_uk / (ystd_u sqrt(l_k)).
+
+    Unlike the posterior independence approximation, this projection is
+    EXACT (gradients of a linear map). Returns (N, d, r), the layout of
+    MultivariateEmulator.dZ. For t == 1, dY may be (N, d).
+    """
+    t = pca.ymean.shape[0]
+    dY = jnp.asarray(dY)
+    if dtype is not None:
+        dY = dY.astype(dtype)
+    if dY.ndim == 2 and t == 1:
+        dY = dY[:, :, None]
+    if dY.ndim != 3 or dY.shape[2] != t:
+        raise ValueError(f"gradients must be (N, d, t={t}); got {dY.shape}")
+    lam = jnp.maximum(
+        pca.eigenvalues.astype(dY.dtype), jnp.finfo(dY.dtype).tiny
+    )
+    W = pca.U.astype(dY.dtype) / (
+        pca.ystd.astype(dY.dtype)[:, None] * jnp.sqrt(lam)[None, :]
+    )  # (t, r)
+    dZ = jnp.einsum("nat,tr->nar", dY, W)
+    return dZ * scaling.ranges.astype(dY.dtype)[None, :, None]
+
+
+def project_gradient_noise(
+    dY_noise, pca: PCAState, scaling: DesignScaling, dtype=None
+) -> jnp.ndarray:
+    """PC-space gradient-noise VARIANCES from raw per-partial variances
+    (N, d, t) (or (N, d) when t == 1): variances map through the squared
+    weights of project_gradients; cross-PC covariances are dropped under
+    the same independent-component approximation as project_noise."""
+    t = pca.ymean.shape[0]
+    dY_noise = jnp.asarray(dY_noise)
+    if dtype is not None:
+        dY_noise = dY_noise.astype(dtype)
+    if dY_noise.ndim == 2 and t == 1:
+        dY_noise = dY_noise[:, :, None]
+    if dY_noise.ndim != 3 or dY_noise.shape[2] != t:
+        raise ValueError(
+            f"gradient noise must be (N, d, t={t}); got {dY_noise.shape}"
+        )
+    lam = jnp.maximum(
+        pca.eigenvalues.astype(dY_noise.dtype),
+        jnp.finfo(dY_noise.dtype).tiny,
+    )
+    W2 = (
+        pca.U.astype(dY_noise.dtype)
+        / (pca.ystd.astype(dY_noise.dtype)[:, None] * jnp.sqrt(lam)[None, :])
+    ) ** 2  # (t, r)
+    v = jnp.einsum("nat,tr->nar", dY_noise, W2)
+    return v * (scaling.ranges.astype(dY_noise.dtype) ** 2)[None, :, None]
+
+
+def _component_batch(X, Z, noise_pc=None, dZ=None, dZ_noise=None):
+    """(batched GPData, vmap in_axes spec) over the component axis: every
+    optional field is either absent (axis None) or batched on axis 0."""
+    data = GPData(
+        X=X,
+        y=Z.T,
+        noise=None if noise_pc is None else noise_pc.T,
+        dY=None if dZ is None else jnp.moveaxis(dZ, 2, 0),
+        dY_noise=None if dZ_noise is None else jnp.moveaxis(dZ_noise, 2, 0),
+    )
+    axes = GPData(
+        X=None,
+        y=0,
+        noise=None if noise_pc is None else 0,
+        h_extra=None,
+        dY=None if dZ is None else 0,
+        dY_noise=None if dZ_noise is None else 0,
+    )
+    return data, axes
+
+
 def _vmapped_fit(
     key, X, Z, config: GPConfig, restart_chunk: Optional[int] = None,
-    noise_pc=None,
+    noise_pc=None, dZ=None, dZ_noise=None,
 ) -> FitResult:
     r = Z.shape[1]
     keys = jax.random.split(key, r)
-
-    def one(k, z, nz):
-        return fit_gp(k, GPData(X=X, y=z, noise=nz), config,
-                      restart_chunk=restart_chunk)
-
-    if noise_pc is None:
-        return jax.vmap(lambda k, z: one(k, z, None))(keys, Z.T)
-    return jax.vmap(one)(keys, Z.T, noise_pc.T)
+    data, axes = _component_batch(X, Z, noise_pc, dZ, dZ_noise)
+    return jax.vmap(
+        lambda k, d: fit_gp(k, d, config, restart_chunk=restart_chunk),
+        in_axes=(0, axes),
+    )(keys, data)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _vmapped_states_jit(
-    params: GPParams, X, Z, config: GPConfig, noise_pc=None
+    params: GPParams, X, Z, config: GPConfig, noise_pc=None, dZ=None,
+    dZ_noise=None,
 ) -> GPPosteriorState:
-    def one(p, z, nz):
-        return precompute_predictor(p, GPData(X=X, y=z, noise=nz), config)
-
-    if noise_pc is None:
-        return jax.vmap(lambda p, z: one(p, z, None))(params, Z.T)
-    return jax.vmap(one)(params, Z.T, noise_pc.T)
+    data, axes = _component_batch(X, Z, noise_pc, dZ, dZ_noise)
+    return jax.vmap(
+        lambda p, d: precompute_predictor(p, d, config), in_axes=(0, axes)
+    )(params, data)
 
 
 def _vmapped_states(
-    params: GPParams, X, Z, config: GPConfig, noise_pc=None
+    params: GPParams, X, Z, config: GPConfig, noise_pc=None, dZ=None,
+    dZ_noise=None,
 ) -> GPPosteriorState:
     """Per-component serving factorizations with a host-level jitter-rescue
     (memory-flat: the in-graph ladder inside precompute_predictor only runs
@@ -199,12 +294,13 @@ def _vmapped_states(
     merged per component)."""
     import dataclasses as _dc
 
-    states = _vmapped_states_jit(params, X, Z, config, noise_pc)
+    states = _vmapped_states_jit(params, X, Z, config, noise_pc, dZ, dZ_noise)
     if X.dtype == jnp.float64 or bool(jnp.all(states.ok)):
         return states
     for frac in (1e-4, 1e-2):
         cfg2 = _dc.replace(config, jitter=frac)
-        states2 = _vmapped_states_jit(params, X, Z, cfg2, noise_pc)
+        states2 = _vmapped_states_jit(params, X, Z, cfg2, noise_pc, dZ,
+                                      dZ_noise)
         ok = states.ok  # (r,)
         states = jax.tree.map(
             lambda a, b: jnp.where(
@@ -237,6 +333,8 @@ def fit_multivariate(
     alpha_grid: Optional[Tuple[float, ...]] = None,
     alpha_refine: int = 0,
     noise=None,
+    gradients=None,
+    gradient_noise=None,
 ) -> MultivariateEmulator:
     """Train a multivariate emulator (the `estimate_thetas` multivariate path).
 
@@ -249,6 +347,13 @@ def fit_multivariate(
     original y units applied to every output, or (N, t) per-output; see
     project_noise for the PC-space mapping baked into every component's
     training covariance.
+
+    gradients: optional observed output gradients (N, d, t) w.r.t. the RAW
+    inputs ((N, d) when t == 1) — every component then trains as a joint
+    value+gradient GP (gradient-enhanced emulation; needs a twice-
+    differentiable kernel: power_exponential alpha=2 or matern52[_ard]).
+    The PCA projection of gradients is exact (see project_gradients).
+    gradient_noise: known per-partial gradient-noise variances, same shape.
 
     alpha_grid (power-exponential only) profiles the kernel exponent: the
     whole vmapped fit runs once per grid value and the emulator with the
@@ -277,6 +382,7 @@ def fit_multivariate(
                 key, X_raw, Y, cfg_a, pca_variance=pca_variance,
                 standardize=standardize, param_ranges=param_ranges,
                 restart_chunk=restart_chunk, noise=noise,
+                gradients=gradients, gradient_noise=gradient_noise,
             )
             lls = np.asarray(emu_a.restart_log_likelihoods)
             total = float(
@@ -308,13 +414,25 @@ def fit_multivariate(
     noise_pc = (
         None if noise is None else project_noise(noise, pca, dtype=X.dtype)
     )
+    dZ = (
+        None if gradients is None
+        else project_gradients(gradients, pca, scaling, dtype=X.dtype)
+    )
+    dZ_noise = (
+        None if gradient_noise is None
+        else project_gradient_noise(gradient_noise, pca, scaling,
+                                    dtype=X.dtype)
+    )
+    if dZ_noise is not None and dZ is None:
+        raise ValueError("gradient_noise given without gradients")
     logger.info(
         "fit_multivariate: N=%d d=%d t=%d -> r=%d components (pca_variance=%g)",
         X.shape[0], X.shape[1], Y.shape[1], Z.shape[1], pca_variance,
     )
     fit = _vmapped_fit(key, X, Z, config, restart_chunk=restart_chunk,
-                       noise_pc=noise_pc)
-    states = _vmapped_states(fit.params, X, Z, config, noise_pc=noise_pc)
+                       noise_pc=noise_pc, dZ=dZ, dZ_noise=dZ_noise)
+    states = _vmapped_states(fit.params, X, Z, config, noise_pc=noise_pc,
+                             dZ=dZ, dZ_noise=dZ_noise)
     import numpy as _np
 
     lls = _np.asarray(fit.restart_log_likelihoods)
@@ -345,6 +463,8 @@ def fit_multivariate(
         config=config,
         restart_log_likelihoods=fit.restart_log_likelihoods,
         noise=noise_pc,
+        dZ=dZ,
+        dZ_noise=dZ_noise,
     )
 
 
@@ -356,11 +476,16 @@ def _predict_components(
     Z: jax.Array,
     Xs: jax.Array,
     config: GPConfig,
+    dZ=None,
 ):
-    def one(st, p, z):
-        return predict_from_precomputed(st, p, GPData(X=X, y=z), Xs, config)
-
-    return jax.vmap(one)(states, params, Z.T)  # means, vars: (r, m)
+    # noise only enters the stored factorization, but dZ changes the
+    # cross-covariance ROWS (joint value+gradient serving) so it must ride
+    # along with the data
+    data, axes = _component_batch(X, Z, dZ=dZ)
+    return jax.vmap(
+        lambda st, p, d: predict_from_precomputed(st, p, d, Xs, config),
+        in_axes=(0, 0, axes),
+    )(states, params, data)  # means, vars: (r, m)
 
 
 def reconstruct_observables(
@@ -391,9 +516,54 @@ def predict_multivariate(
     """
     Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=emu.X.dtype), emu.scaling)
     m_pc, v_pc = _predict_components(
-        emu.states, emu.params, emu.X, emu.Z, Xs, emu.config
+        emu.states, emu.params, emu.X, emu.Z, Xs, emu.config, dZ=emu.dZ
     )  # (r, m) each
     return reconstruct_observables(m_pc, v_pc, emu.pca)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _predict_gradient_components(states, params, X, Z, Xs, config, dZ=None):
+    from madaiemulator_tpu.models.gp import predict_gradient
+
+    data, axes = _component_batch(X, Z, dZ=dZ)
+    return jax.vmap(
+        lambda st, p, d: predict_gradient(st, p, d, Xs, config),
+        in_axes=(0, 0, axes),
+    )(states, params, data)  # means, vars: (r, m, d)
+
+
+def predict_multivariate_gradient(
+    emu: MultivariateEmulator, Xs_raw: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Posterior mean and marginal variance of the observable gradients
+    d f_u / d x_a w.r.t. the RAW inputs: ((m, d, t), (m, d, t)).
+
+    Chains the per-PC gradient posteriors (models/gp.predict_gradient)
+    back through the two linear maps of project_gradients — the PCA
+    reconstruction (means via sqrt(lambda) U, variances via lambda U^2,
+    the usual independent-component approximation) and the design scaling
+    (divide by ranges; variances by ranges^2). Needs a twice-
+    differentiable kernel; works for values-only and gradient-enhanced
+    emulators alike. Beyond-reference: the reference serves values only
+    [SURVEY §3.2].
+    """
+    Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=emu.X.dtype), emu.scaling)
+    gm_pc, gv_pc = _predict_gradient_components(
+        emu.states, emu.params, emu.X, emu.Z, Xs, emu.config, dZ=emu.dZ
+    )  # (r, m, d) each
+    pca = emu.pca
+    lam = pca.eigenvalues.astype(gm_pc.dtype)
+    U = pca.U.astype(gm_pc.dtype)  # (t, r)
+    ystd = pca.ystd.astype(gm_pc.dtype)
+    Wm = U * jnp.sqrt(lam)[None, :] * ystd[:, None]  # (t, r) mean weights
+    mean = jnp.einsum("rma,tr->mat", gm_pc, Wm)
+    var = jnp.einsum("rma,tr->mat", gv_pc, (U ** 2) * lam[None, :]
+                     * (ystd ** 2)[:, None])
+    inv_rng = 1.0 / emu.scaling.ranges.astype(gm_pc.dtype)  # d/dx = d/dXs / rng
+    return (
+        mean * inv_rng[None, :, None],
+        var * (inv_rng ** 2)[None, :, None],
+    )
 
 
 def precompute_fast_multivariate(emu: MultivariateEmulator):
@@ -403,6 +573,12 @@ def precompute_fast_multivariate(emu: MultivariateEmulator):
     factorizations — no refactorization."""
     from madaiemulator_tpu.models.gp import fast_predictor_from_state
 
+    if emu.dZ is not None:
+        raise ValueError(
+            "fast (GEMM-only) serving does not support gradient-enhanced "
+            "emulators; use predict_multivariate (the joint cross build "
+            "dominates, not the solves)"
+        )
     return jax.vmap(fast_predictor_from_state)(emu.states)
 
 
@@ -587,7 +763,7 @@ def predict_multivariate_iterative(
             state_kw = {
                 k: v for k, v in iter_kwargs.items()
                 if k in ("query_chunk", "with_variance", "variance_method",
-                         "row_chunk")
+                         "row_chunk", "variance_rhs")
             }
             m_i, v_i = predict_iterative_from_state(
                 states[i], d, Xs, **state_kw

@@ -110,7 +110,10 @@ Snapshot LoadSnapshot(std::istream& in) {
   Snapshot s;
   s.version = t.NextInt();
   if (s.version != 1 && s.version != 2)
-    throw std::runtime_error("unsupported snapshot version");
+    throw std::runtime_error(
+        "unsupported snapshot version " + std::to_string(s.version) +
+        " (this reader implements versions 1-2; version 3 carries "
+        "gradient-enhanced payloads served by the JAX path only)");
   Expect(t, "covariance");
   std::string cov = t.Next();
   if (cov == "power_exponential" || cov == "gaussian")

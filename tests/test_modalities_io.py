@@ -1,0 +1,462 @@
+"""Train/serve contract for the round-3 modalities (VERDICT r3 missing #2):
+
+- gradient-enhanced multivariate emulators persist as snapshot v3 (text +
+  npz) and serve through every dense path after a round trip;
+- multi-fidelity emulators persist under their own grammar and serve;
+- the CLI trains both from files (--gradients_file; MULTIFIDELITY model
+  files) and serves them over the interactive_mode pipe;
+- the sensitivity subcommand closes the last library-vs-CLI asymmetry.
+
+SURVEY.md §1 layering note: "the snapshot file is the contract between
+train-time and serve-time" — these tests pin that contract for the new
+modalities.
+"""
+
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu import (
+    GPConfig,
+    fit_multifidelity,
+    fit_multivariate,
+    predict_multifidelity,
+    predict_multivariate,
+    predict_multivariate_gradient,
+)
+from madaiemulator_tpu.io.modelfile import (
+    is_multifidelity_model_file,
+    read_multifidelity_model_file,
+    write_model_file,
+    write_multifidelity_model_file,
+)
+from madaiemulator_tpu.io.snapshot import (
+    read_snapshot_auto,
+    write_snapshot_auto,
+)
+
+CLI = [sys.executable, "-m", "madaiemulator_tpu.cli"]
+
+
+# --- gradient-enhanced multivariate: fit + snapshot v3 ----------------------
+
+
+def _grad_problem(rng, n=15):
+    """d=2, t=2 with analytic gradients: f1 = sin(3 x0) + x1^2, f2 = x0 x1."""
+    X = rng.uniform(0.5, 2.5, size=(n, 2))
+    Y = np.stack([np.sin(3 * X[:, 0]) + X[:, 1] ** 2, X[:, 0] * X[:, 1]],
+                 axis=1)
+    dY = np.empty((n, 2, 2))
+    dY[:, 0, 0] = 3 * np.cos(3 * X[:, 0])  # df1/dx0
+    dY[:, 1, 0] = 2 * X[:, 1]              # df1/dx1
+    dY[:, 0, 1] = X[:, 1]                  # df2/dx0
+    dY[:, 1, 1] = X[:, 0]                  # df2/dx1
+    return X, Y, dY
+
+
+def _fit_grad_multivariate(rng):
+    X, Y, dY = _grad_problem(rng)
+    cfg = GPConfig(nparams=2, regression_order=1, n_restarts=2,
+                   max_opt_steps=30)
+    emu = fit_multivariate(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
+        pca_variance=0.999, gradients=jnp.asarray(dY),
+    )
+    return X, Y, dY, emu
+
+
+def test_gradient_multivariate_fit_and_accuracy(rng):
+    """Gradients flow through PCA projection into every component; the
+    joint fit interpolates values AND reproduces gradients."""
+    X, Y, dY, emu = _fit_grad_multivariate(rng)
+    assert emu.dZ is not None and emu.dZ.shape == (15, 2, emu.n_components)
+    m, v = predict_multivariate(emu, jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(m), Y, atol=5e-3)
+    gm, gv = predict_multivariate_gradient(emu, jnp.asarray(X))
+    assert gm.shape == (15, 2, 2) and gv.shape == (15, 2, 2)
+    # observed gradients are training data for the joint GP -> reproduced
+    np.testing.assert_allclose(np.asarray(gm), dY, atol=0.05)
+    assert bool(jnp.all(gv >= 0))
+
+
+@pytest.mark.parametrize("ext", ["txt", "npz"])
+def test_gradient_snapshot_v3_round_trip(rng, tmp_path, ext):
+    """Snapshot v3 persists the gradient blocks; the reloaded emulator's
+    values, variances AND gradient posteriors match exactly."""
+    X, Y, dY, emu = _fit_grad_multivariate(rng)
+    path = str(tmp_path / f"state.{ext}")
+    write_snapshot_auto(path, emu, ["p0", "p1"], ["o0", "o1"])
+    if ext == "txt":
+        head = open(path).readline().split()
+        assert head == ["MADAIEMULATOR_TPU_SNAPSHOT", "3"]
+    emu2, pn, on = read_snapshot_auto(path)
+    assert pn == ["p0", "p1"] and on == ["o0", "o1"]
+    assert emu2.dZ is not None
+    Xq = rng.uniform(0.6, 2.4, size=(9, 2))
+    m1, v1 = predict_multivariate(emu, jnp.asarray(Xq))
+    m2, v2 = predict_multivariate(emu2, jnp.asarray(Xq))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-8,
+                               atol=1e-14)
+    g1, gv1 = predict_multivariate_gradient(emu, jnp.asarray(Xq))
+    g2, gv2 = predict_multivariate_gradient(emu2, jnp.asarray(Xq))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), rtol=1e-8,
+                               atol=1e-14)
+
+
+def test_gradient_snapshot_rejects_stateless_load(rng, tmp_path):
+    """build_states=False (matrix-free serving) has no joint operator —
+    v3 snapshots must refuse it loudly, not serve garbage."""
+    _, _, _, emu = _fit_grad_multivariate(rng)
+    path = str(tmp_path / "state.txt")
+    write_snapshot_auto(path, emu)
+    with pytest.raises(ValueError, match="dense path"):
+        read_snapshot_auto(path, build_states=False)
+
+
+def test_gradient_noise_round_trip(rng, tmp_path):
+    """dZ_noise (known gradient-noise variances) also persists in v3."""
+    X, Y, dY = _grad_problem(rng)
+    cfg = GPConfig(nparams=2, regression_order=0, n_restarts=2,
+                   max_opt_steps=25)
+    gn = np.full((15, 2, 2), 1e-4)
+    emu = fit_multivariate(
+        jax.random.key(1), jnp.asarray(X), jnp.asarray(Y), cfg,
+        pca_variance=0.999, gradients=jnp.asarray(dY),
+        gradient_noise=jnp.asarray(gn),
+    )
+    assert emu.dZ_noise is not None
+    path = str(tmp_path / "state.txt")
+    write_snapshot_auto(path, emu)
+    emu2, _, _ = read_snapshot_auto(path)
+    np.testing.assert_allclose(
+        np.asarray(emu.dZ_noise), np.asarray(emu2.dZ_noise), rtol=1e-12
+    )
+    Xq = rng.uniform(0.6, 2.4, size=(5, 2))
+    m1, _ = predict_multivariate(emu, jnp.asarray(Xq))
+    m2, _ = predict_multivariate(emu2, jnp.asarray(Xq))
+    # text stores thetas in NATURAL space: the exp/log round trip costs a
+    # ulp that the near-interpolation conditioning amplifies to ~1e-9
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-7)
+
+
+# --- multi-fidelity persistence ----------------------------------------------
+
+
+def _mf_problem(rng):
+    """Classic Forrester-style pair: cheap level biased + scaled."""
+    def hi(x):
+        return np.sin(8 * x[:, 0]) + x[:, 0]
+
+    def lo(x):
+        return 0.6 * hi(x) + 0.4 * x[:, 0] - 0.2
+
+    X_lo = np.linspace(0.0, 1.0, 21)[:, None]
+    X_hi = np.linspace(0.0, 1.0, 6)[:, None]  # nested
+    return (
+        [X_lo, X_hi],
+        [lo(X_lo), hi(X_hi)],
+        [lo(X_hi)],  # observed lower values at the high-fidelity design
+    )
+
+
+def _fit_mf(rng):
+    designs, targets, lower = _mf_problem(rng)
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=3,
+                   max_opt_steps=40)
+    emu = fit_multifidelity(
+        jax.random.key(2),
+        [jnp.asarray(X) for X in designs],
+        [jnp.asarray(y) for y in targets],
+        cfg,
+        lower_values=[jnp.asarray(lower[0])],
+    )
+    return designs, targets, emu
+
+
+@pytest.mark.parametrize("ext", ["txt", "npz"])
+def test_multifidelity_snapshot_round_trip(rng, tmp_path, ext):
+    designs, targets, emu = _fit_mf(rng)
+    path = str(tmp_path / f"state.{ext}")
+    write_snapshot_auto(path, emu, param_names=["x"], output_names=["f"])
+    emu2, pn, on = read_snapshot_auto(path)
+    assert pn == ["x"] and on == ["f"]
+    assert emu2.n_levels == 2
+    np.testing.assert_allclose(
+        float(np.asarray(emu.rho)[0]), float(np.asarray(emu2.rho)[0]),
+        rtol=1e-12,
+    )
+    Xq = np.linspace(0.05, 0.95, 11)[:, None]
+    m1, v1 = predict_multifidelity(emu, jnp.asarray(Xq))
+    m2, v2 = predict_multifidelity(emu2, jnp.asarray(Xq))
+    # thetas round-trip through natural space: one exp/log ulp
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-8,
+                               atol=1e-14)
+    # the reloaded emulator still beats a plausible tolerance on truth
+    truth = np.sin(8 * Xq[:, 0]) + Xq[:, 0]
+    assert float(np.max(np.abs(np.asarray(m2) - truth))) < 0.2
+
+
+def test_multifidelity_model_file_round_trip(rng, tmp_path):
+    designs, targets, lower = _mf_problem(rng)
+    path = str(tmp_path / "model.mf")
+    write_multifidelity_model_file(
+        path, designs, targets, lower_values=lower,
+        param_names=["x"], output_name="f",
+    )
+    assert is_multifidelity_model_file(path)
+    mf = read_multifidelity_model_file(path)
+    assert mf.nlevels == 2 and mf.nparams == 1
+    assert mf.param_names == ["x"] and mf.output_name == "f"
+    for k in range(2):
+        np.testing.assert_array_equal(mf.designs[k], designs[k])
+        np.testing.assert_array_equal(mf.targets[k], targets[k])
+    np.testing.assert_array_equal(mf.lower_values[0], lower[0])
+    # plain model files are not multi-fidelity
+    plain = str(tmp_path / "model.txt")
+    write_model_file(plain, designs[0], targets[0][:, None])
+    assert not is_multifidelity_model_file(plain)
+
+
+# --- CLI: train + pipe-serve both modalities ---------------------------------
+
+
+def test_cli_gradient_train_and_serve(rng, tmp_path):
+    """estimate_thetas --gradients_file trains a v3 snapshot; the pipe
+    serves it; answers match the library on the same snapshot."""
+    n = 12
+    X = np.linspace(0.0, 1.0, n)[:, None]
+    Y = np.sin(2 * np.pi * X)
+    dY = 2 * np.pi * np.cos(2 * np.pi * X)  # (n, 1) = N*t*d values
+    model = tmp_path / "model.txt"
+    grads = tmp_path / "grads.txt"
+    state = tmp_path / "state.txt"
+    write_model_file(str(model), X, Y, ["x"], ["f"])
+    with open(grads, "w") as f:
+        for v in dY.ravel():
+            f.write(f"{v:.17g}\n")
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(state),
+            "--regression_order=1", "--restarts=2", "--steps=40",
+            f"--gradients_file={grads}", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert open(state).readline().split()[1] == "3"
+    # library predictions from the same snapshot
+    emu, _, _ = read_snapshot_auto(str(state))
+    Xq = np.array([[0.2], [0.55], [0.8]])
+    m_lib, v_lib = predict_multivariate(emu, jnp.asarray(Xq))
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state)],
+        input="0.2\n0.55\n0.8\n",
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    vals = [float(v) for v in r.stdout.splitlines()[5:]]
+    means, variances = vals[0::2], vals[1::2]
+    np.testing.assert_allclose(means, np.asarray(m_lib).ravel(), rtol=1e-8)
+    np.testing.assert_allclose(
+        variances, np.asarray(v_lib).ravel(), rtol=1e-6, atol=1e-12
+    )
+    # with only 12 points, gradient enhancement should interpolate sin well
+    np.testing.assert_allclose(
+        means, np.sin(2 * np.pi * Xq[:, 0]), atol=5e-3
+    )
+    # fast serving rejects the gradient snapshot with a clean error
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state), "--serve_method=fast"],
+        input="0.5\n", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "gradient" in r.stderr
+    # iterative serving too
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state), "--serve_method=iterative"],
+        input="0.5\n", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "dense path" in r.stderr
+
+
+def test_cli_gradient_rejects_bad_combinations(rng, tmp_path):
+    model = tmp_path / "model.txt"
+    grads = tmp_path / "grads.txt"
+    X = np.linspace(0, 1, 8)[:, None]
+    write_model_file(str(model), X, np.sin(X), ["x"], ["f"])
+    with open(grads, "w") as f:
+        f.write(" ".join(["0.0"] * 8))
+    # iterative fit has no joint operator
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(tmp_path / "s.txt"),
+            f"--gradients_file={grads}", "--fit_method=iterative", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "joint" in r.stderr
+    # matern32 is not twice differentiable
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(tmp_path / "s.txt"),
+            f"--gradients_file={grads}", "--covariance_fn=matern32",
+            "--quiet",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "twice" in r.stderr
+    # wrong value count
+    with open(grads, "w") as f:
+        f.write("0.0 1.0")
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(tmp_path / "s.txt"),
+            f"--gradients_file={grads}", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "expected" in r.stderr
+
+
+def test_cli_multifidelity_train_serve_print(rng, tmp_path):
+    """A MULTIFIDELITY model file routes estimate_thetas to co-kriging;
+    interactive_mode serves the MF snapshot; print_thetas shows rho."""
+    designs, targets, lower = _mf_problem(rng)
+    model = tmp_path / "model.mf"
+    state = tmp_path / "state.txt"
+    write_multifidelity_model_file(
+        str(model), designs, targets, lower_values=lower,
+        param_names=["x"], output_name="f",
+    )
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(state),
+            "--regression_order=1", "--restarts=3", "--steps=40", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert open(state).readline().split()[0] == (
+        "MADAIEMULATOR_TPU_SNAPSHOT_MF"
+    )
+    # print_thetas shows per-level thetas and rho
+    r = subprocess.run(
+        CLI + ["print_thetas", str(state)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    rows = [l for l in r.stdout.splitlines() if l and not l.startswith("#")]
+    assert len(rows) == 2 and "rho" in rows[1]
+    # pipe serving matches the library on the reloaded snapshot
+    emu, _, _ = read_snapshot_auto(str(state))
+    Xq = np.array([[0.3], [0.7]])
+    m_lib, v_lib = predict_multifidelity(emu, jnp.asarray(Xq))
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state)],
+        input="0.3\n0.7\n",
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "1" and lines[1] == "x" and lines[2] == "2"
+    vals = [float(v) for v in lines[5:]]
+    np.testing.assert_allclose(vals[0::2], np.asarray(m_lib), rtol=1e-8)
+    np.testing.assert_allclose(
+        vals[1::2], np.asarray(v_lib), rtol=1e-6, atol=1e-12
+    )
+    # workflow subcommands reject MF snapshots cleanly
+    exp = tmp_path / "exp.txt"
+    exp.write_text("1\n0.5 0.01\n")
+    r = subprocess.run(
+        CLI + ["calibrate", str(state), str(exp), "--n_steps=10", "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "multi-fidelity" in r.stderr
+
+
+def test_cli_convert_handles_v3_and_mf(rng, tmp_path):
+    """convert re-encodes v3 and MF snapshots text <-> npz losslessly."""
+    _, _, _, emu = _fit_grad_multivariate(rng)
+    t1 = str(tmp_path / "g.txt")
+    write_snapshot_auto(t1, emu)
+    t2 = str(tmp_path / "g.npz")
+    r = subprocess.run(CLI + ["convert", t1, t2], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    e1, _, _ = read_snapshot_auto(t1)
+    e2, _, _ = read_snapshot_auto(t2)
+    Xq = rng.uniform(0.6, 2.4, size=(5, 2))
+    m1, _ = predict_multivariate(e1, jnp.asarray(Xq))
+    m2, _ = predict_multivariate(e2, jnp.asarray(Xq))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12)
+
+    _, _, emu_mf = _fit_mf(rng)
+    m1p = str(tmp_path / "mf.txt")
+    write_snapshot_auto(m1p, emu_mf, param_names=["x"],
+                        output_names=["f"])
+    m2p = str(tmp_path / "mf.npz")
+    r = subprocess.run(CLI + ["convert", m1p, m2p], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    ea, _, _ = read_snapshot_auto(m1p)
+    eb, pn, on = read_snapshot_auto(m2p)
+    assert pn == ["x"] and on == ["f"]
+    Xq = np.linspace(0.1, 0.9, 7)[:, None]
+    ma, _ = predict_multifidelity(ea, jnp.asarray(Xq))
+    mb, _ = predict_multifidelity(eb, jnp.asarray(Xq))
+    np.testing.assert_allclose(np.asarray(ma), np.asarray(mb), rtol=1e-12)
+
+
+def test_cli_sensitivity_subcommand(rng, tmp_path):
+    """sensitivity writes a Sobol table; the dominant parameter of an
+    additive anisotropic function gets the dominant total index."""
+    n = 40
+    X = rng.uniform(size=(n, 2))
+    # x0 drives ~25x the variance of x1
+    Y = (np.sin(4 * X[:, 0]) + 0.2 * X[:, 1])[:, None]
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.txt"
+    write_model_file(str(model), X, Y, ["a", "b"], ["f"])
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(state),
+            "--regression_order=0", "--restarts=3", "--steps=40", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    out = tmp_path / "sobol.txt"
+    eff = tmp_path / "effects.txt"
+    r = subprocess.run(
+        CLI + [
+            "sensitivity", str(state), "--n=2048", "--quiet",
+            f"--output={out}", f"--main_effects={eff}", "--grid=9",
+            "--effects_n=512",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    rows = [
+        l.split() for l in out.read_text().splitlines()
+        if l and not l.startswith("#")
+    ]
+    assert [r_[0] for r_ in rows] == ["a", "b"]
+    assert all(r_[1] == "f" for r_ in rows)
+    tot = {r_[0]: float(r_[3]) for r_ in rows}
+    assert tot["a"] > 5 * max(tot["b"], 1e-3)
+    # main-effect file: grid rows x (1 + d*t) columns
+    erows = [
+        l.split() for l in eff.read_text().splitlines()
+        if l and not l.startswith("#")
+    ]
+    assert len(erows) == 9 and all(len(r_) == 3 for r_ in erows)
+    # the x0 curve has much larger swing than the x1 curve
+    curves = np.asarray([[float(v) for v in r_[1:]] for r_ in erows])
+    assert np.ptp(curves[:, 0]) > 3 * np.ptp(curves[:, 1])

@@ -115,6 +115,30 @@ def test_native_rejects_bad_file(tmp_path, lib):
         native.NativeEmulator(str(p))
 
 
+def test_native_rejects_v3_gradient_snapshot(rng, tmp_path, lib):
+    """The documented version boundary (FORMATS.md): snapshot v3 carries
+    gradient-enhanced payloads the C++ reader does not implement — it must
+    refuse with a clear error, not mis-parse."""
+    from madaiemulator_tpu.models.multivariate import (
+        fit_multivariate as _fit,
+    )
+
+    X = rng.uniform(0.0, 1.0, size=(10, 1))
+    Y = np.sin(3 * X)
+    dY = 3 * np.cos(3 * X)
+    cfg = GPConfig(nparams=1, regression_order=0, n_restarts=2,
+                   max_opt_steps=20)
+    emu = _fit(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
+        pca_variance=0.999, gradients=jnp.asarray(dY),
+    )
+    state = str(tmp_path / "v3.txt")
+    write_snapshot(state, emu)
+    assert open(state).readline().split()[1] == "3"
+    with pytest.raises(RuntimeError, match="native load failed"):
+        native.NativeEmulator(state)
+
+
 def test_native_pipe_binary_matches_python_cli(rng, tmp_path, lib):
     """The C++ madai_query binary speaks the same pipe protocol as the
     Python interactive_mode."""
