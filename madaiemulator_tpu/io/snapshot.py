@@ -52,8 +52,10 @@ VERSION_NOISE = 2
 # ((n*d) x r, point-major/dim-inner — the layout of MultivariateEmulator.dZ
 # flattened over (point, dim)); written ONLY for gradient-enhanced
 # emulators, so value-only snapshots keep their v1/v2 encodings and every
-# existing reader. The native C++ Emulator rejects v3 with a clear error
-# (joint value+gradient serving is a JAX-path capability; FORMATS.md).
+# existing reader. The native C++ Emulator implements v3 in full (it
+# rebuilds the joint value+gradient GLS system from the dZ blocks); the
+# matrix-free loader rejects v3 — the PCG engine has no joint operator
+# (FORMATS.md).
 VERSION_GRADIENTS = 3
 
 # Multi-fidelity (AR(1) co-kriging) snapshots use their OWN magic + grammar:

@@ -48,12 +48,20 @@ struct Snapshot {
   std::vector<double> Z;                   // (n*r), PC scores
   std::vector<double> thetas;              // (r*ntheta): amp, nugget, ls...
   std::vector<double> noise;  // (n*r) PC-space obs-noise variances, or empty
+  // v3 gradient-enhanced payload (empty for value-only snapshots):
+  // PC-space gradient observations / known gradient-noise variances,
+  // ((n*d) x r) row-major with point-major/dim-inner rows — the layout of
+  // MultivariateEmulator.dZ flattened over (point, dim).
+  std::vector<double> dZ;
+  std::vector<double> dZ_noise;
   int ntheta() const;
 };
 
-// Parses the MADAIEMULATOR_TPU_SNAPSHOT v1/v2 text format (v2 appends a
-// per-point PC-space observation-noise block;
-// madaiemulator_tpu/io/snapshot.py is the writer). Throws std::runtime_error.
+// Parses the MADAIEMULATOR_TPU_SNAPSHOT v1/v2/v3 text format (v2 appends a
+// per-point PC-space observation-noise block; v3 adds explicit payload
+// flags + trailing PC-space gradient blocks for gradient-enhanced
+// emulators; madaiemulator_tpu/io/snapshot.py is the writer). Throws
+// std::runtime_error.
 Snapshot LoadSnapshot(std::istream& in);
 Snapshot LoadSnapshotFile(const std::string& path);
 
@@ -72,20 +80,31 @@ class Emulator {
                      std::vector<double>& errors) const;
 
  private:
+  // nr = training rows: n for value-only snapshots, n*(1+d) for
+  // gradient-enhanced (v3) ones — the joint (value, gradient) system of
+  // models/gp.py training_gram/training_basis/training_targets.
   struct ComponentState {
-    std::vector<double> L;       // (n*n) lower Cholesky of C
-    std::vector<double> alpha;   // (n) = C^-1 (z - H beta)
+    std::vector<double> L;       // (nr*nr) lower Cholesky of C
+    std::vector<double> alpha;   // (nr) = C^-1 (z - H beta)
     std::vector<double> beta;    // (p)
     std::vector<double> LA;      // (p*p) lower Cholesky of H^T C^-1 H
-    std::vector<double> LinvH;   // (n*p) = L^-1 H
+    std::vector<double> LinvH;   // (nr*p) = L^-1 H
   };
   void Precompute();
   void PredictComponent(int c, const std::vector<double>& xs, double* mean,
                         double* var) const;
   double Kernel(const double* a, const double* b, const double* theta) const;
+  // gradient-enhanced (v3) helpers — mirror ops/kernels.py joint_cross:
+  // (g, g', g'') of the radial profile at scaled sqdist S (amp excluded)
+  void G012(double S, double* g, double* g1, double* g2) const;
+  double LengthScale(const double* theta, int k) const;
+  double ScaledSqdist(const double* a, const double* b,
+                      const double* theta) const;
+  double GradPriorScale() const;  // c_g = -2 g'(0)
 
   Snapshot s_;
-  int p_ = 0;  // regression basis size
+  int p_ = 0;       // regression basis size
+  int nrows_ = 0;   // training rows: n, or n*(1+d) with gradients
   std::vector<ComponentState> comps_;
 };
 

@@ -6,7 +6,11 @@
 //   beta = A^-1 H^T C^-1 z ; alpha = C^-1 (z - H beta)
 //   mean = h.beta + k*.alpha
 //   var  = k(x,x) - ||L^-1 k*||^2 + ||LA^-1 (h - LinvH^T L^-1 k*)||^2
-// then PCA reconstruction as in models/multivariate.py.
+// then PCA reconstruction as in models/multivariate.py. Gradient-enhanced
+// (v3) snapshots extend the same GLS system to the joint value+gradient
+// rows of ops/kernels.py gram_joint / models/gp.py training_basis: the
+// training dimension becomes n*(1+d) and k* gains analytic
+// kernel-derivative rows; the query surface is unchanged.
 
 #include "madai_tpu/emulator.hpp"
 
@@ -109,11 +113,10 @@ Snapshot LoadSnapshot(std::istream& in) {
     throw std::runtime_error("not a madaiemulator_tpu snapshot");
   Snapshot s;
   s.version = t.NextInt();
-  if (s.version != 1 && s.version != 2)
+  if (s.version < 1 || s.version > 3)
     throw std::runtime_error(
         "unsupported snapshot version " + std::to_string(s.version) +
-        " (this reader implements versions 1-2; version 3 carries "
-        "gradient-enhanced payloads served by the JAX path only)");
+        " (this reader implements versions 1-3)");
   Expect(t, "covariance");
   std::string cov = t.Next();
   if (cov == "power_exponential" || cov == "gaussian")
@@ -136,6 +139,33 @@ Snapshot LoadSnapshot(std::istream& in) {
   s.predict_variance_includes_nugget = t.NextInt() != 0;
   Expect(t, "pca_standardize");
   s.pca_standardize = t.NextInt() != 0;
+  // v3: explicit payload flags govern which trailing blocks are present
+  // (io/snapshot.py write_snapshot); v2's noise block is unconditional.
+  bool has_noise = false, has_gradients = false, has_gradient_noise = false;
+  if (s.version >= 3) {
+    Expect(t, "has_noise");
+    has_noise = t.NextInt() != 0;
+    Expect(t, "has_gradients");
+    has_gradients = t.NextInt() != 0;
+    Expect(t, "has_gradient_noise");
+    has_gradient_noise = t.NextInt() != 0;
+    if (has_gradient_noise && !has_gradients)
+      throw std::runtime_error(
+          "snapshot: gradient-noise block without gradients");
+  } else if (s.version == 2) {
+    has_noise = true;
+  }
+  if (has_gradients) {
+    // gradient observations need a radial profile twice differentiable at
+    // zero distance (ops/kernels.py _require_grad_family)
+    const bool ok =
+        (s.cov == Covariance::kPowerExponential && s.power_exp_alpha == 2.0) ||
+        s.cov == Covariance::kMatern52 || s.cov == Covariance::kMatern52Ard;
+    if (!ok)
+      throw std::runtime_error(
+          "snapshot: gradient-enhanced payload with a covariance family "
+          "that has no twice-differentiable radial profile");
+  }
   Expect(t, "nparams");
   s.nparams = t.NextInt();
   Expect(t, "noutputs");
@@ -162,8 +192,12 @@ Snapshot LoadSnapshot(std::istream& in) {
   s.X = vec(s.npoints * s.nparams);
   s.Z = vec(s.npoints * s.ncomponents);
   s.thetas = vec(s.ncomponents * s.ntheta());
-  if (s.version >= 2)  // trailing per-point PC-space noise block (n x r)
+  if (has_noise)  // per-point PC-space noise block (n x r)
     s.noise = vec(s.npoints * s.ncomponents);
+  if (has_gradients)  // PC-space gradients ((n*d) x r, point-major)
+    s.dZ = vec(s.npoints * s.nparams * s.ncomponents);
+  if (has_gradient_noise)
+    s.dZ_noise = vec(s.npoints * s.nparams * s.ncomponents);
   return s;
 }
 
@@ -209,12 +243,60 @@ double Emulator::Kernel(const double* a, const double* b,
   return amp * (1.0 + sq + sq * sq / 3.0) * std::exp(-sq);
 }
 
+double Emulator::LengthScale(const double* theta, int k) const {
+  const bool ard = s_.cov == Covariance::kPowerExponential ||
+                   s_.cov == Covariance::kMatern32Ard ||
+                   s_.cov == Covariance::kMatern52Ard;
+  return theta[ard ? 2 + k : 2];
+}
+
+double Emulator::ScaledSqdist(const double* a, const double* b,
+                              const double* theta) const {
+  double acc = 0.0;
+  for (int k = 0; k < s_.nparams; ++k) {
+    double dk = (a[k] - b[k]) / LengthScale(theta, k);
+    acc += dk * dk;
+  }
+  return acc;
+}
+
+// (g, g', g'') of the radial profile at scaled sqdist S, amp excluded —
+// mirrors ops/kernels.py _g012 for the grad-capable families only
+// (power_exponential alpha=2, matern52[_ard]); LoadSnapshot guards this.
+void Emulator::G012(double S, double* g, double* g1, double* g2) const {
+  if (s_.cov == Covariance::kPowerExponential) {
+    double e = std::exp(-0.5 * S);
+    *g = e;
+    *g1 = -0.5 * e;
+    *g2 = 0.25 * e;
+    return;
+  }
+  // Matern-5/2: g(s) = (1 + sqrt(5) r + 5 s / 3) e^{-sqrt(5) r}, r=sqrt(s)
+  double r = std::sqrt(S);
+  double sq5 = std::sqrt(5.0);
+  double e = std::exp(-sq5 * r);
+  *g = (1.0 + sq5 * r + (5.0 / 3.0) * S) * e;
+  *g1 = -(5.0 / 6.0) * (1.0 + sq5 * r) * e;
+  *g2 = (25.0 / 12.0) * e;
+}
+
+double Emulator::GradPriorScale() const {
+  // c_g = -2 g'(0): prior Var(df/dx_a) = amp * c_g / ell_a^2
+  return s_.cov == Covariance::kPowerExponential ? 1.0 : 5.0 / 3.0;
+}
+
 void Emulator::Precompute() {
   const int n = s_.npoints, d = s_.nparams, r = s_.ncomponents;
   const int nt = s_.ntheta();
+  const bool grad = !s_.dZ.empty();
+  nrows_ = grad ? n * (1 + d) : n;
+  const int m = nrows_;
   comps_.resize(r);
-  // regression basis H (n*p), shared across components
-  std::vector<double> H(n * p_);
+  // regression basis H (m*p), shared across components. With gradient
+  // observations (v3) the basis gains the derivative rows dh/dx in the
+  // same (point, dim) row-major order as the joint covariance
+  // (models/gp.py training_basis / regression_basis_grad).
+  std::vector<double> H(m * p_, 0.0);
   for (int i = 0; i < n; ++i) {
     H[i * p_] = 1.0;
     int col = 1;
@@ -222,36 +304,95 @@ void Emulator::Precompute() {
       for (int k = 0; k < d; ++k)
         H[i * p_ + col++] = std::pow(s_.X[i * d + k], q);
   }
+  if (grad) {
+    // row n + i*d + a holds d/dx_a h(X_i); the basis has no cross terms,
+    // so each power-q block's only nonzero is column 1+(q-1)*d+a
+    for (int i = 0; i < n; ++i)
+      for (int a = 0; a < d; ++a) {
+        double* row = &H[(n + i * d + a) * p_];
+        for (int q = 1; q <= s_.regression_order; ++q)
+          row[1 + (q - 1) * d + a] =
+              q * std::pow(s_.X[i * d + a], q - 1);
+      }
+  }
   for (int c = 0; c < r; ++c) {
     const double* th = &s_.thetas[c * nt];
+    const double amp = th[0];
     ComponentState& st = comps_[c];
-    st.L.assign(n * n, 0.0);
+    st.L.assign(m * m, 0.0);
     for (int i = 0; i < n; ++i)
       for (int j = 0; j <= i; ++j) {
         double v = Kernel(&s_.X[i * d], &s_.X[j * d], th);
-        st.L[i * n + j] = v;
-        st.L[j * n + i] = v;
+        st.L[i * m + j] = v;
+        st.L[j * m + i] = v;
       }
+    if (grad) {
+      // joint value+gradient blocks (ops/kernels.py joint_cross with
+      // grad_rows=grad_cols=True): Dw_a = (X_i - X_j)_a / ell_a^2
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j) {
+          double S = ScaledSqdist(&s_.X[i * d], &s_.X[j * d], th);
+          double g, g1, g2;
+          G012(S, &g, &g1, &g2);
+          for (int a = 0; a < d; ++a) {
+            const double ea = LengthScale(th, a);
+            const double dwa =
+                (s_.X[i * d + a] - s_.X[j * d + a]) / (ea * ea);
+            // Cov(df/dx_a(X_i), f(X_j)) = +2 amp g' Dw_a
+            st.L[(n + i * d + a) * m + j] = 2.0 * amp * g1 * dwa;
+            // Cov(f(X_i), df/dx_a(X_j)) = -2 amp g' Dw_a
+            st.L[i * m + (n + j * d + a)] = -2.0 * amp * g1 * dwa;
+            for (int b = 0; b < d; ++b) {
+              const double eb = LengthScale(th, b);
+              const double dwb =
+                  (s_.X[i * d + b] - s_.X[j * d + b]) / (eb * eb);
+              // Cov(df/dx_a(X_i), df/dx_b(X_j))
+              double gg = -4.0 * amp * g2 * dwa * dwb;
+              if (a == b) gg -= 2.0 * amp * g1 / (ea * ea);
+              st.L[(n + i * d + a) * m + (n + j * d + b)] = gg;
+            }
+          }
+        }
+    }
     const double nugget = th[1];
-    for (int i = 0; i < n; ++i) st.L[i * n + i] += nugget;
+    for (int i = 0; i < n; ++i) st.L[i * m + i] += nugget;
     if (!s_.noise.empty())  // heteroscedastic known observation noise
-      for (int i = 0; i < n; ++i) st.L[i * n + i] += s_.noise[i * r + c];
-    if (!CholeskyLower(st.L, n))
+      for (int i = 0; i < n; ++i) st.L[i * m + i] += s_.noise[i * r + c];
+    if (grad) {
+      // gradient rows carry the same relative regularization in gradient
+      // units, nugget * c_g / ell_a^2, plus known gradient noise
+      // (ops/kernels.py gram_joint; jitter is 0 at f64)
+      const double cg = GradPriorScale();
+      for (int i = 0; i < n; ++i)
+        for (int a = 0; a < d; ++a) {
+          const int idx = n + i * d + a;
+          const double ea = LengthScale(th, a);
+          st.L[idx * m + idx] += nugget * cg / (ea * ea);
+          if (!s_.dZ_noise.empty())
+            st.L[idx * m + idx] += s_.dZ_noise[(i * d + a) * r + c];
+        }
+    }
+    if (!CholeskyLower(st.L, m))
       throw std::runtime_error("snapshot covariance is not SPD");
+    // training targets: z, extended with row-major flattened gradients
+    std::vector<double> z(m);
+    for (int i = 0; i < n; ++i) z[i] = s_.Z[i * r + c];
+    if (grad)
+      for (int i = 0; i < n * d; ++i) z[n + i] = s_.dZ[i * r + c];
     // LinvH = L^-1 H, column by column
-    st.LinvH.assign(n * p_, 0.0);
-    std::vector<double> colbuf(n);
+    st.LinvH.assign(m * p_, 0.0);
+    std::vector<double> colbuf(m);
     for (int j = 0; j < p_; ++j) {
-      for (int i = 0; i < n; ++i) colbuf[i] = H[i * p_ + j];
-      SolveLower(st.L, n, colbuf.data());
-      for (int i = 0; i < n; ++i) st.LinvH[i * p_ + j] = colbuf[i];
+      for (int i = 0; i < m; ++i) colbuf[i] = H[i * p_ + j];
+      SolveLower(st.L, m, colbuf.data());
+      for (int i = 0; i < m; ++i) st.LinvH[i * p_ + j] = colbuf[i];
     }
     // A = LinvH^T LinvH ; LA = chol(A)
     st.LA.assign(p_ * p_, 0.0);
     for (int a = 0; a < p_; ++a)
       for (int b = 0; b <= a; ++b) {
         double sum = 0.0;
-        for (int i = 0; i < n; ++i)
+        for (int i = 0; i < m; ++i)
           sum += st.LinvH[i * p_ + a] * st.LinvH[i * p_ + b];
         st.LA[a * p_ + b] = sum;
         st.LA[b * p_ + a] = sum;
@@ -259,26 +400,25 @@ void Emulator::Precompute() {
     if (!CholeskyLower(st.LA, p_))
       throw std::runtime_error("regression normal matrix is not SPD");
     // beta = A^-1 LinvH^T (L^-1 z)
-    std::vector<double> Linvz(n);
-    for (int i = 0; i < n; ++i) Linvz[i] = s_.Z[i * r + c];
-    SolveLower(st.L, n, Linvz.data());
+    std::vector<double> Linvz = z;
+    SolveLower(st.L, m, Linvz.data());
     st.beta.assign(p_, 0.0);
     for (int a = 0; a < p_; ++a) {
       double sum = 0.0;
-      for (int i = 0; i < n; ++i) sum += st.LinvH[i * p_ + a] * Linvz[i];
+      for (int i = 0; i < m; ++i) sum += st.LinvH[i * p_ + a] * Linvz[i];
       st.beta[a] = sum;
     }
     SolveLower(st.LA, p_, st.beta.data());
     SolveUpperT(st.LA, p_, st.beta.data());
     // alpha = C^-1 (z - H beta)
-    st.alpha.assign(n, 0.0);
-    for (int i = 0; i < n; ++i) {
+    st.alpha.assign(m, 0.0);
+    for (int i = 0; i < m; ++i) {
       double hb = 0.0;
       for (int a = 0; a < p_; ++a) hb += H[i * p_ + a] * st.beta[a];
-      st.alpha[i] = s_.Z[i * r + c] - hb;
+      st.alpha[i] = z[i] - hb;
     }
-    SolveLower(st.L, n, st.alpha.data());
-    SolveUpperT(st.L, n, st.alpha.data());
+    SolveLower(st.L, m, st.alpha.data());
+    SolveUpperT(st.L, m, st.alpha.data());
   }
 }
 
@@ -286,11 +426,26 @@ void Emulator::PredictComponent(int c, const std::vector<double>& xs,
                                 double* mean, double* var) const {
   const int n = s_.npoints, d = s_.nparams;
   const int nt = s_.ntheta();
+  const bool grad = !s_.dZ.empty();
+  const int m_rows = nrows_;
   const double* th = &s_.thetas[c * nt];
+  const double amp = th[0];
   const ComponentState& st = comps_[c];
-  // k* and h(x*)
-  std::vector<double> ks(n);
+  // k*: value rows, then (v3) gradient rows
+  // Cov(df/dx_a(X_i), f(x*)) = +2 amp g'(S) (X_i - x*)_a / ell_a^2
+  std::vector<double> ks(m_rows);
   for (int i = 0; i < n; ++i) ks[i] = Kernel(&s_.X[i * d], xs.data(), th);
+  if (grad)
+    for (int i = 0; i < n; ++i) {
+      double S = ScaledSqdist(&s_.X[i * d], xs.data(), th);
+      double g, g1, g2;
+      G012(S, &g, &g1, &g2);
+      for (int a = 0; a < d; ++a) {
+        const double ea = LengthScale(th, a);
+        ks[n + i * d + a] =
+            2.0 * amp * g1 * (s_.X[i * d + a] - xs[a]) / (ea * ea);
+      }
+    }
   std::vector<double> h(p_);
   h[0] = 1.0;
   {
@@ -300,19 +455,19 @@ void Emulator::PredictComponent(int c, const std::vector<double>& xs,
   }
   double m = 0.0;
   for (int a = 0; a < p_; ++a) m += h[a] * st.beta[a];
-  for (int i = 0; i < n; ++i) m += ks[i] * st.alpha[i];
+  for (int i = 0; i < m_rows; ++i) m += ks[i] * st.alpha[i];
   *mean = m;
   // v = L^-1 k*
   std::vector<double> v = ks;
-  SolveLower(st.L, n, v.data());
+  SolveLower(st.L, m_rows, v.data());
   double kss = th[0] + (s_.predict_variance_includes_nugget ? th[1] : 0.0);
   double vv = 0.0;
-  for (int i = 0; i < n; ++i) vv += v[i] * v[i];
+  for (int i = 0; i < m_rows; ++i) vv += v[i] * v[i];
   // g = h - LinvH^T v ; w = LA^-1 g
   std::vector<double> g(p_);
   for (int a = 0; a < p_; ++a) {
     double s = h[a];
-    for (int i = 0; i < n; ++i) s -= st.LinvH[i * p_ + a] * v[i];
+    for (int i = 0; i < m_rows; ++i) s -= st.LinvH[i * p_ + a] * v[i];
     g[a] = s;
   }
   SolveLower(st.LA, p_, g.data());

@@ -115,26 +115,69 @@ def test_native_rejects_bad_file(tmp_path, lib):
         native.NativeEmulator(str(p))
 
 
-def test_native_rejects_v3_gradient_snapshot(rng, tmp_path, lib):
-    """The documented version boundary (FORMATS.md): snapshot v3 carries
-    gradient-enhanced payloads the C++ reader does not implement — it must
-    refuse with a clear error, not mis-parse."""
-    from madaiemulator_tpu.models.multivariate import (
-        fit_multivariate as _fit,
+@pytest.mark.parametrize(
+    "cov,order,grad_noise",
+    [
+        (CovarianceFamily.POWER_EXPONENTIAL, 1, False),
+        (CovarianceFamily.POWER_EXPONENTIAL, 2, True),
+        (CovarianceFamily.MATERN52, 1, False),
+        (CovarianceFamily.MATERN52_ARD, 0, True),
+    ],
+)
+def test_native_matches_jax_v3_gradient_snapshot(
+    rng, tmp_path, lib, cov, order, grad_noise
+):
+    """Version-3 snapshot (gradient-enhanced payload): the C++ Emulator
+    rebuilds the joint (value, gradient) GLS system of models/gp.py
+    training_gram/training_basis from the PC-space dZ blocks and stays in
+    cross-implementation parity with the JAX serving path."""
+    X = rng.uniform(0.0, 1.0, size=(12, 2))
+    Y = np.stack(
+        [np.sin(3 * X[:, 0]) + X[:, 1], X[:, 0] * X[:, 1]], axis=1
     )
-
-    X = rng.uniform(0.0, 1.0, size=(10, 1))
-    Y = np.sin(3 * X)
-    dY = 3 * np.cos(3 * X)
-    cfg = GPConfig(nparams=1, regression_order=0, n_restarts=2,
-                   max_opt_steps=20)
-    emu = _fit(
+    dY = np.stack(
+        [
+            np.stack([3 * np.cos(3 * X[:, 0]), np.ones(12)], axis=1),
+            np.stack([X[:, 1], X[:, 0]], axis=1),
+        ],
+        axis=2,
+    )  # (N, d, t)
+    cfg = GPConfig(nparams=2, covariance=cov, regression_order=order,
+                   n_restarts=2, max_opt_steps=25)
+    kw = {}
+    if grad_noise:
+        kw["gradient_noise"] = jnp.asarray(
+            10.0 ** rng.uniform(-4, -2, size=(12, 2, 2))
+        )
+    emu = fit_multivariate(
         jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
-        pca_variance=0.999, gradients=jnp.asarray(dY),
+        pca_variance=0.999, gradients=jnp.asarray(dY), **kw,
     )
     state = str(tmp_path / "v3.txt")
     write_snapshot(state, emu)
     assert open(state).readline().split()[1] == "3"
+    ne = native.NativeEmulator(state)
+    Xq = rng.uniform(0.1, 0.9, size=(8, 2))
+    mj, vj = predict_multivariate(emu, jnp.asarray(Xq))
+    for i in range(8):
+        mc, vc = ne.query(Xq[i])
+        np.testing.assert_allclose(mc, np.asarray(mj[i]), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(vc, np.asarray(vj[i]), rtol=1e-6, atol=1e-9)
+
+
+def test_native_rejects_v3_gradient_with_nongrad_family(rng, tmp_path, lib):
+    """A v3 snapshot whose covariance family has no twice-differentiable
+    radial profile (e.g. Matérn-3/2) is malformed by construction — the
+    reader must refuse loudly, matching ops/kernels.py
+    _require_grad_family."""
+    _, _, emu = trained(rng, cov=CovarianceFamily.MATERN32)
+    state = str(tmp_path / "bad_v3.txt")
+    write_snapshot(state, emu)
+    # graft a v3 header with gradient flags onto a Matérn-3/2 snapshot
+    lines = open(state).read().splitlines(keepends=True)
+    lines[0] = lines[0].replace(" 1\n", " 3\n")
+    lines.insert(6, "has_noise 0\nhas_gradients 1\nhas_gradient_noise 0\n")
+    open(state, "w").writelines(lines)
     with pytest.raises(RuntimeError, match="native load failed"):
         native.NativeEmulator(state)
 
