@@ -15,6 +15,7 @@
 
 #include <cstddef>
 #include <istream>
+#include <memory>
 #include <stdexcept>
 #include <string>
 #include <vector>
@@ -65,19 +66,43 @@ struct Snapshot {
 Snapshot LoadSnapshot(std::istream& in);
 Snapshot LoadSnapshotFile(const std::string& path);
 
-class Emulator {
+// Common serving interface over every snapshot family (dense multivariate
+// v1-v3 and multi-fidelity) so embedding consumers, the pipe binary, and
+// the C ABI dispatch on the file's magic token instead of its class.
+class EmulatorBase {
+ public:
+  virtual ~EmulatorBase() = default;
+  virtual int number_of_parameters() const = 0;
+  virtual int number_of_outputs() const = 0;
+  virtual const std::vector<std::string>& parameter_names() const = 0;
+  virtual const std::vector<std::string>& output_names() const = 0;
+  // Posterior mean and variance per output at one raw (unscaled) point x.
+  // means/errors are resized to noutputs. "errors" carries variances, like
+  // the reference's QueryEmulator.
+  virtual void QueryEmulator(const std::vector<double>& x,
+                             std::vector<double>& means,
+                             std::vector<double>& errors) const = 0;
+};
+
+// Sniffs the magic token and constructs the matching emulator class.
+std::unique_ptr<EmulatorBase> LoadEmulatorAuto(const std::string& path);
+
+class Emulator : public EmulatorBase {
  public:
   explicit Emulator(const std::string& statefile);
   explicit Emulator(const Snapshot& snapshot);
 
-  int number_of_parameters() const { return s_.nparams; }
-  int number_of_outputs() const { return s_.noutputs; }
+  int number_of_parameters() const override { return s_.nparams; }
+  int number_of_outputs() const override { return s_.noutputs; }
+  const std::vector<std::string>& parameter_names() const override {
+    return s_.param_names;
+  }
+  const std::vector<std::string>& output_names() const override {
+    return s_.output_names;
+  }
 
-  // Posterior mean and variance per output at one raw (unscaled) point x.
-  // means/errors are resized to noutputs. "errors" carries variances, like
-  // the reference's QueryEmulator.
   void QueryEmulator(const std::vector<double>& x, std::vector<double>& means,
-                     std::vector<double>& errors) const;
+                     std::vector<double>& errors) const override;
 
  private:
   // nr = training rows: n for value-only snapshots, n*(1+d) for
@@ -106,6 +131,77 @@ class Emulator {
   int p_ = 0;       // regression basis size
   int nrows_ = 0;   // training rows: n, or n*(1+d) with gradients
   std::vector<ComponentState> comps_;
+};
+
+// --- Multi-fidelity (AR(1) co-kriging) snapshots ---------------------------
+// Grammar: MADAIEMULATOR_TPU_SNAPSHOT_MF 1 (io/snapshot.py
+// write_snapshot_multifidelity). The payload is per-LEVEL scalar GPs; each
+// level >= 1 carries one extra GLS basis column (the lower level's value at
+// its design) whose coefficient is the AR(1) scale rho
+// (models/multifidelity.py, Le Gratiet's recursive form).
+
+struct MFLevel {
+  int npoints = 0;
+  bool has_noise = false;
+  std::vector<double> theta;  // (ntheta): amp, nugget, length scales
+  double rho = 0.0;           // stored AR(1) scale (levels >= 1)
+  std::vector<double> X;      // (n_k * d), scaled design
+  std::vector<double> y;      // (n_k) targets
+  std::vector<double> h;      // (n_k) lower-fidelity basis column (k >= 1)
+  std::vector<double> noise;  // (n_k) per-point noise variances, or empty
+};
+
+struct MFSnapshot {
+  int version = 0;
+  Covariance cov = Covariance::kPowerExponential;
+  double power_exp_alpha = 2.0;
+  int regression_order = 0;
+  bool predict_variance_includes_nugget = true;
+  int nparams = 0;
+  std::vector<std::string> param_names, output_names;  // output_names: 1
+  std::vector<double> mins, ranges;                    // (d), (d)
+  std::vector<MFLevel> levels;
+  int ntheta() const;
+};
+
+MFSnapshot LoadSnapshotMF(std::istream& in);
+MFSnapshot LoadSnapshotMFFile(const std::string& path);
+
+// Recursive co-kriging serving: level 0 is an ordinary GLS GP; level k's
+// query basis gains the level-(k-1) recursive mean as its last column, and
+// the variance propagates rho_k^2 * var_{k-1} + varGP_k
+// (models/multifidelity.py _predict_recursive).
+class MultiFidelityEmulator : public EmulatorBase {
+ public:
+  explicit MultiFidelityEmulator(const std::string& statefile);
+  explicit MultiFidelityEmulator(const MFSnapshot& snapshot);
+
+  int number_of_parameters() const override { return s_.nparams; }
+  int number_of_outputs() const override { return 1; }
+  int number_of_levels() const { return (int)s_.levels.size(); }
+  const std::vector<std::string>& parameter_names() const override {
+    return s_.param_names;
+  }
+  const std::vector<std::string>& output_names() const override {
+    return s_.output_names;
+  }
+
+  void QueryEmulator(const std::vector<double>& x, std::vector<double>& means,
+                     std::vector<double>& errors) const override;
+
+ private:
+  struct LevelState {
+    int p = 0;                   // basis width: p_poly (+1 for k >= 1)
+    std::vector<double> L;       // (n*n) lower Cholesky of C
+    std::vector<double> alpha;   // (n) = C^-1 (y - H beta)
+    std::vector<double> beta;    // (p); beta.back() == rho for k >= 1
+    std::vector<double> LA;      // (p*p) lower Cholesky of H^T C^-1 H
+    std::vector<double> LinvH;   // (n*p) = L^-1 H
+  };
+  void Precompute();
+
+  MFSnapshot s_;
+  std::vector<LevelState> levels_;
 };
 
 }  // namespace madai_tpu

@@ -98,6 +98,44 @@ void SolveUpperT(const std::vector<double>& L, int n, double* b) {
   }
 }
 
+// kernel evaluation shared by the dense and multi-fidelity emulators;
+// theta layout [amp, nugget, length scales...] (reference natural space)
+double KernelEval(Covariance cov, double pe_alpha, int d, const double* a,
+                  const double* b, const double* theta) {
+  const double amp = theta[0];
+  if (cov == Covariance::kPowerExponential) {
+    double acc = 0.0;
+    for (int k = 0; k < d; ++k) {
+      double dk = std::fabs(a[k] - b[k]) / theta[2 + k];
+      acc += (pe_alpha == 2.0) ? dk * dk : std::pow(dk, pe_alpha);
+    }
+    return amp * std::exp(-0.5 * acc);
+  }
+  const bool ard =
+      cov == Covariance::kMatern32Ard || cov == Covariance::kMatern52Ard;
+  double r2 = 0.0;
+  for (int k = 0; k < d; ++k) {
+    double dk = (a[k] - b[k]) / theta[ard ? 2 + k : 2];
+    r2 += dk * dk;
+  }
+  double r = std::sqrt(r2);
+  if (cov == Covariance::kMatern32 || cov == Covariance::kMatern32Ard) {
+    double sq = std::sqrt(3.0) * r;
+    return amp * (1.0 + sq) * std::exp(-sq);
+  }
+  double sq = std::sqrt(5.0) * r;
+  return amp * (1.0 + sq + sq * sq / 3.0) * std::exp(-sq);
+}
+
+// polynomial regression basis row h(x) (no cross terms, matching
+// models/gp.py regression_basis): [1, x^1 per dim, ..., x^order per dim]
+void PolyBasisRow(const double* xs, int d, int order, double* row) {
+  row[0] = 1.0;
+  int col = 1;
+  for (int q = 1; q <= order; ++q)
+    for (int k = 0; k < d; ++k) row[col++] = std::pow(xs[k], q);
+}
+
 }  // namespace
 
 int Snapshot::ntheta() const {
@@ -217,30 +255,7 @@ Emulator::Emulator(const Snapshot& snapshot) : s_(snapshot) {
 
 double Emulator::Kernel(const double* a, const double* b,
                         const double* theta) const {
-  const double amp = theta[0];
-  if (s_.cov == Covariance::kPowerExponential) {
-    double acc = 0.0;
-    for (int k = 0; k < s_.nparams; ++k) {
-      double dk = std::fabs(a[k] - b[k]) / theta[2 + k];
-      acc += (s_.power_exp_alpha == 2.0) ? dk * dk
-                                         : std::pow(dk, s_.power_exp_alpha);
-    }
-    return amp * std::exp(-0.5 * acc);
-  }
-  const bool ard = s_.cov == Covariance::kMatern32Ard ||
-                   s_.cov == Covariance::kMatern52Ard;
-  double r2 = 0.0;
-  for (int k = 0; k < s_.nparams; ++k) {
-    double dk = (a[k] - b[k]) / theta[ard ? 2 + k : 2];
-    r2 += dk * dk;
-  }
-  double r = std::sqrt(r2);
-  if (s_.cov == Covariance::kMatern32 || s_.cov == Covariance::kMatern32Ard) {
-    double sq = std::sqrt(3.0) * r;
-    return amp * (1.0 + sq) * std::exp(-sq);
-  }
-  double sq = std::sqrt(5.0) * r;
-  return amp * (1.0 + sq + sq * sq / 3.0) * std::exp(-sq);
+  return KernelEval(s_.cov, s_.power_exp_alpha, s_.nparams, a, b, theta);
 }
 
 double Emulator::LengthScale(const double* theta, int k) const {
@@ -447,12 +462,7 @@ void Emulator::PredictComponent(int c, const std::vector<double>& xs,
       }
     }
   std::vector<double> h(p_);
-  h[0] = 1.0;
-  {
-    int col = 1;
-    for (int q = 1; q <= s_.regression_order; ++q)
-      for (int k = 0; k < d; ++k) h[col++] = std::pow(xs[k], q);
-  }
+  PolyBasisRow(xs.data(), d, s_.regression_order, h.data());
   double m = 0.0;
   for (int a = 0; a < p_; ++a) m += h[a] * st.beta[a];
   for (int i = 0; i < m_rows; ++i) m += ks[i] * st.alpha[i];
@@ -501,18 +511,248 @@ void Emulator::QueryEmulator(const std::vector<double>& x,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Multi-fidelity (AR(1) co-kriging) serving — io/snapshot.py
+// write_snapshot_multifidelity grammar, models/multifidelity.py math.
+// ---------------------------------------------------------------------------
+
+int MFSnapshot::ntheta() const {
+  const bool ard = cov == Covariance::kPowerExponential ||
+                   cov == Covariance::kMatern32Ard ||
+                   cov == Covariance::kMatern52Ard;
+  return 2 + (ard ? nparams : 1);
+}
+
+MFSnapshot LoadSnapshotMF(std::istream& in) {
+  Tokens t(in);
+  if (t.Next() != "MADAIEMULATOR_TPU_SNAPSHOT_MF")
+    throw std::runtime_error("not a multi-fidelity snapshot");
+  MFSnapshot s;
+  s.version = t.NextInt();
+  if (s.version != 1)
+    throw std::runtime_error("unsupported multi-fidelity snapshot version " +
+                             std::to_string(s.version));
+  Expect(t, "covariance");
+  std::string cov = t.Next();
+  if (cov == "power_exponential" || cov == "gaussian")
+    s.cov = Covariance::kPowerExponential;
+  else if (cov == "matern32")
+    s.cov = Covariance::kMatern32;
+  else if (cov == "matern52")
+    s.cov = Covariance::kMatern52;
+  else if (cov == "matern32_ard")
+    s.cov = Covariance::kMatern32Ard;
+  else if (cov == "matern52_ard")
+    s.cov = Covariance::kMatern52Ard;
+  else
+    throw std::runtime_error("unknown covariance " + cov);
+  Expect(t, "power_exp_alpha");
+  s.power_exp_alpha = t.NextDouble();
+  Expect(t, "regression_order");
+  s.regression_order = t.NextInt();
+  Expect(t, "predict_variance_includes_nugget");
+  s.predict_variance_includes_nugget = t.NextInt() != 0;
+  Expect(t, "nparams");
+  s.nparams = t.NextInt();
+  Expect(t, "nlevels");
+  const int L = t.NextInt();
+  if (L < 1) throw std::runtime_error("snapshot: nlevels < 1");
+  const int d = s.nparams;
+  for (int k = 0; k < d; ++k) s.param_names.push_back(t.Next());
+  s.output_names.push_back(t.Next());
+  auto vec = [&t](int k) {
+    std::vector<double> v(k);
+    for (int i = 0; i < k; ++i) v[i] = t.NextDouble();
+    return v;
+  };
+  s.mins = vec(d);
+  s.ranges = vec(d);
+  const int nt = s.ntheta();
+  for (int k = 0; k < L; ++k) {
+    Expect(t, "level");
+    if (t.NextInt() != k)
+      throw std::runtime_error("snapshot: levels out of order");
+    MFLevel lv;
+    lv.npoints = t.NextInt();
+    lv.has_noise = t.NextInt() != 0;
+    lv.theta = vec(nt);
+    if (k > 0) {
+      Expect(t, "rho");
+      lv.rho = t.NextDouble();
+    }
+    lv.X = vec(lv.npoints * d);
+    lv.y = vec(lv.npoints);
+    if (k > 0) lv.h = vec(lv.npoints);
+    if (lv.has_noise) lv.noise = vec(lv.npoints);
+    s.levels.push_back(std::move(lv));
+  }
+  return s;
+}
+
+MFSnapshot LoadSnapshotMFFile(const std::string& path) {
+  std::ifstream f(path);
+  if (!f) throw std::runtime_error("cannot open " + path);
+  return LoadSnapshotMF(f);
+}
+
+MultiFidelityEmulator::MultiFidelityEmulator(const std::string& statefile)
+    : MultiFidelityEmulator(LoadSnapshotMFFile(statefile)) {}
+
+MultiFidelityEmulator::MultiFidelityEmulator(const MFSnapshot& snapshot)
+    : s_(snapshot) {
+  Precompute();
+}
+
+void MultiFidelityEmulator::Precompute() {
+  const int d = s_.nparams;
+  const int p_poly = 1 + s_.regression_order * d;
+  levels_.resize(s_.levels.size());
+  for (size_t k = 0; k < s_.levels.size(); ++k) {
+    const MFLevel& lv = s_.levels[k];
+    LevelState& st = levels_[k];
+    const int n = lv.npoints;
+    const int p = st.p = p_poly + (k > 0 ? 1 : 0);
+    const double* th = lv.theta.data();
+    // C = K + nugget I (+ known noise); jitter is 0 at f64 parity
+    st.L.assign(n * n, 0.0);
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j <= i; ++j) {
+        double v = KernelEval(s_.cov, s_.power_exp_alpha, d, &lv.X[i * d],
+                              &lv.X[j * d], th);
+        st.L[i * n + j] = v;
+        st.L[j * n + i] = v;
+      }
+    for (int i = 0; i < n; ++i) {
+      st.L[i * n + i] += th[1];
+      if (lv.has_noise) st.L[i * n + i] += lv.noise[i];
+    }
+    if (!CholeskyLower(st.L, n))
+      throw std::runtime_error("multi-fidelity level covariance is not SPD");
+    // H: poly basis + (k >= 1) the lower-fidelity column — its GLS
+    // coefficient is rho (models/multifidelity.py)
+    std::vector<double> H(n * p, 0.0);
+    for (int i = 0; i < n; ++i) {
+      PolyBasisRow(&lv.X[i * d], d, s_.regression_order, &H[i * p]);
+      if (k > 0) H[i * p + p - 1] = lv.h[i];
+    }
+    st.LinvH.assign(n * p, 0.0);
+    std::vector<double> colbuf(n);
+    for (int j = 0; j < p; ++j) {
+      for (int i = 0; i < n; ++i) colbuf[i] = H[i * p + j];
+      SolveLower(st.L, n, colbuf.data());
+      for (int i = 0; i < n; ++i) st.LinvH[i * p + j] = colbuf[i];
+    }
+    st.LA.assign(p * p, 0.0);
+    for (int a = 0; a < p; ++a)
+      for (int b = 0; b <= a; ++b) {
+        double sum = 0.0;
+        for (int i = 0; i < n; ++i)
+          sum += st.LinvH[i * p + a] * st.LinvH[i * p + b];
+        st.LA[a * p + b] = sum;
+        st.LA[b * p + a] = sum;
+      }
+    if (!CholeskyLower(st.LA, p))
+      throw std::runtime_error(
+          "multi-fidelity regression normal matrix is not SPD");
+    std::vector<double> Linvy = lv.y;
+    SolveLower(st.L, n, Linvy.data());
+    st.beta.assign(p, 0.0);
+    for (int a = 0; a < p; ++a) {
+      double sum = 0.0;
+      for (int i = 0; i < n; ++i) sum += st.LinvH[i * p + a] * Linvy[i];
+      st.beta[a] = sum;
+    }
+    SolveLower(st.LA, p, st.beta.data());
+    SolveUpperT(st.LA, p, st.beta.data());
+    st.alpha.assign(n, 0.0);
+    for (int i = 0; i < n; ++i) {
+      double hb = 0.0;
+      for (int a = 0; a < p; ++a) hb += H[i * p + a] * st.beta[a];
+      st.alpha[i] = lv.y[i] - hb;
+    }
+    SolveLower(st.L, n, st.alpha.data());
+    SolveUpperT(st.L, n, st.alpha.data());
+  }
+}
+
+void MultiFidelityEmulator::QueryEmulator(const std::vector<double>& x,
+                                          std::vector<double>& means,
+                                          std::vector<double>& errors) const {
+  const int d = s_.nparams;
+  if ((int)x.size() != d)
+    throw std::invalid_argument("QueryEmulator: wrong point dimension");
+  std::vector<double> xs(d);
+  for (int k = 0; k < d; ++k) xs[k] = (x[k] - s_.mins[k]) / s_.ranges[k];
+  // recursive serve (models/multifidelity.py _predict_recursive):
+  // mean_k = h.beta + k*.alpha with the level-(k-1) recursive mean as the
+  // last basis column; var_k = rho_k^2 var_{k-1} + varGP_k, where the
+  // stored rho propagates the variance and beta.back() scales the mean
+  // (identical by construction; matches the Python reader's convention).
+  double mean = 0.0, var = 0.0;
+  for (size_t k = 0; k < s_.levels.size(); ++k) {
+    const MFLevel& lv = s_.levels[k];
+    const LevelState& st = levels_[k];
+    const int n = lv.npoints;
+    const int p = st.p;
+    const double* th = lv.theta.data();
+    std::vector<double> ks(n);
+    for (int i = 0; i < n; ++i)
+      ks[i] =
+          KernelEval(s_.cov, s_.power_exp_alpha, d, &lv.X[i * d], xs.data(), th);
+    std::vector<double> h(p);
+    PolyBasisRow(xs.data(), d, s_.regression_order, h.data());
+    if (k > 0) h[p - 1] = mean;  // lower level's recursive mean
+    double m = 0.0;
+    for (int a = 0; a < p; ++a) m += h[a] * st.beta[a];
+    for (int i = 0; i < n; ++i) m += ks[i] * st.alpha[i];
+    std::vector<double> v = ks;
+    SolveLower(st.L, n, v.data());
+    double kss = th[0] + (s_.predict_variance_includes_nugget ? th[1] : 0.0);
+    double vv = 0.0;
+    for (int i = 0; i < n; ++i) vv += v[i] * v[i];
+    std::vector<double> g(p);
+    for (int a = 0; a < p; ++a) {
+      double s = h[a];
+      for (int i = 0; i < n; ++i) s -= st.LinvH[i * p + a] * v[i];
+      g[a] = s;
+    }
+    SolveLower(st.LA, p, g.data());
+    double ww = 0.0;
+    for (int a = 0; a < p; ++a) ww += g[a] * g[a];
+    double var_gp = kss - vv + ww;
+    if (var_gp < 0.0) var_gp = 0.0;
+    mean = m;
+    var = (k > 0 ? lv.rho * lv.rho * var : 0.0) + var_gp;
+  }
+  means.assign(1, mean);
+  errors.assign(1, var);
+}
+
+std::unique_ptr<EmulatorBase> LoadEmulatorAuto(const std::string& path) {
+  std::ifstream f(path);
+  if (!f) throw std::runtime_error("cannot open " + path);
+  std::string magic;
+  f >> magic;
+  f.close();
+  if (magic == "MADAIEMULATOR_TPU_SNAPSHOT_MF")
+    return std::unique_ptr<EmulatorBase>(new MultiFidelityEmulator(path));
+  return std::unique_ptr<EmulatorBase>(new Emulator(path));
+}
+
 }  // namespace madai_tpu
 
 // ---------------------------------------------------------------------------
 // C ABI for ctypes / FFI consumers (the moral equivalent of the reference's
-// R-binding .C() surface, ref: src/libRbind/rbind.c).
+// R-binding .C() surface, ref: src/libRbind/rbind.c). Dispatches on the
+// snapshot's magic token: dense multivariate (v1-v3) and multi-fidelity
+// snapshots serve through the same four functions.
 // ---------------------------------------------------------------------------
 
 extern "C" {
 
 void* madai_emulator_load(const char* path, char* err, int errlen) {
   try {
-    return new madai_tpu::Emulator(std::string(path));
+    return madai_tpu::LoadEmulatorAuto(std::string(path)).release();
   } catch (const std::exception& e) {
     if (err && errlen > 0) std::snprintf(err, errlen, "%s", e.what());
     return nullptr;
@@ -520,18 +760,18 @@ void* madai_emulator_load(const char* path, char* err, int errlen) {
 }
 
 int madai_emulator_nparams(void* h) {
-  return static_cast<madai_tpu::Emulator*>(h)->number_of_parameters();
+  return static_cast<madai_tpu::EmulatorBase*>(h)->number_of_parameters();
 }
 
 int madai_emulator_noutputs(void* h) {
-  return static_cast<madai_tpu::Emulator*>(h)->number_of_outputs();
+  return static_cast<madai_tpu::EmulatorBase*>(h)->number_of_outputs();
 }
 
 // x: (nparams), means/vars: (noutputs). Returns 0 on success.
 int madai_emulator_query(void* h, const double* x, double* means,
                          double* vars) {
   try {
-    auto* e = static_cast<madai_tpu::Emulator*>(h);
+    auto* e = static_cast<madai_tpu::EmulatorBase*>(h);
     std::vector<double> xv(x, x + e->number_of_parameters());
     std::vector<double> m, v;
     e->QueryEmulator(xv, m, v);
@@ -544,7 +784,7 @@ int madai_emulator_query(void* h, const double* x, double* means,
 }
 
 void madai_emulator_free(void* h) {
-  delete static_cast<madai_tpu::Emulator*>(h);
+  delete static_cast<madai_tpu::EmulatorBase*>(h);
 }
 
 }  // extern "C"

@@ -1,6 +1,8 @@
 // Minimal native serving binary: the C++ twin of `interactive_emulator
 // interactive_mode` (same pipe protocol), proving the embedding API serves
-// the snapshot contract with zero Python. Usage: madai_query <state_file>
+// the snapshot contract with zero Python. Dispatches on the snapshot's
+// magic token: dense multivariate (v1-v3) and multi-fidelity snapshots.
+// Usage: madai_query <state_file>
 #include <cstdio>
 #include <iostream>
 
@@ -12,22 +14,21 @@ int main(int argc, char** argv) {
     return 2;
   }
   try {
-    madai_tpu::Emulator emu{std::string(argv[1])};
-    const int d = emu.number_of_parameters();
-    const int t = emu.number_of_outputs();
-    const auto snap = madai_tpu::LoadSnapshotFile(argv[1]);
+    auto emu = madai_tpu::LoadEmulatorAuto(std::string(argv[1]));
+    const int d = emu->number_of_parameters();
     std::printf("%d\n", d);
-    for (const auto& s : snap.param_names) std::printf("%s\n", s.c_str());
-    std::printf("%d\n", 2 * t);
-    for (const auto& s : snap.output_names) std::printf("mean_%s\n", s.c_str());
-    for (const auto& s : snap.output_names)
+    for (const auto& s : emu->parameter_names()) std::printf("%s\n", s.c_str());
+    std::printf("%d\n", 2 * emu->number_of_outputs());
+    for (const auto& s : emu->output_names())
+      std::printf("mean_%s\n", s.c_str());
+    for (const auto& s : emu->output_names())
       std::printf("variance_%s\n", s.c_str());
     std::fflush(stdout);
     std::vector<double> x(d), means, vars;
     while (true) {
       for (int k = 0; k < d; ++k)
         if (!(std::cin >> x[k])) return 0;  // EOF mid-header is a clean stop
-      emu.QueryEmulator(x, means, vars);
+      emu->QueryEmulator(x, means, vars);
       for (double v : means) std::printf("%.17g\n", v);
       for (double v : vars) std::printf("%.17g\n", v);
       std::fflush(stdout);

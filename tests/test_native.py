@@ -182,6 +182,93 @@ def test_native_rejects_v3_gradient_with_nongrad_family(rng, tmp_path, lib):
         native.NativeEmulator(state)
 
 
+def _trained_mf(rng, levels=2, noise=False, cov=CovarianceFamily.POWER_EXPONENTIAL):
+    from madaiemulator_tpu.models.multifidelity import fit_multifidelity
+
+    def f_lo(x):
+        return 0.5 * (6 * x - 2) ** 2 * np.sin(12 * x - 4) + 10 * (x - 0.5) - 5
+
+    def f_hi(x):
+        return (6 * x - 2) ** 2 * np.sin(12 * x - 4)
+
+    x_lo = np.linspace(0, 1, 21)
+    x_hi = np.array([0.0, 0.4, 0.6, 1.0])
+    cfg = GPConfig(nparams=1, covariance=cov, regression_order=1,
+                   n_restarts=3, max_opt_steps=40)
+    designs = [x_lo[:, None], x_hi[:, None]]
+    targets = [f_lo(x_lo), f_hi(x_hi)]
+    lower = [f_lo(x_hi)]
+    nz = None
+    if noise:
+        nz = [10.0 ** rng.uniform(-4, -2, size=21), None]
+    if levels == 3:
+        x_mid = np.linspace(0, 1, 9)
+        designs = [x_lo[:, None], x_mid[:, None], x_hi[:, None]]
+        targets = [f_lo(x_lo), 0.7 * f_hi(x_mid) + 1.0, f_hi(x_hi)]
+        lower = [f_lo(x_mid), 0.7 * f_hi(x_hi) + 1.0]
+        nz = None
+    return fit_multifidelity(
+        jax.random.key(0), designs, targets, cfg,
+        lower_values=lower, noise=nz,
+    )
+
+
+@pytest.mark.parametrize(
+    "levels,noise,cov",
+    [
+        (2, False, CovarianceFamily.POWER_EXPONENTIAL),
+        (2, True, CovarianceFamily.POWER_EXPONENTIAL),
+        (3, False, CovarianceFamily.MATERN52),
+    ],
+)
+def test_native_matches_jax_multifidelity(rng, tmp_path, lib, levels, noise, cov):
+    """Multi-fidelity snapshots serve through the SAME C ABI: the native
+    MultiFidelityEmulator rebuilds every level's GLS state and recurses
+    mean/variance exactly as models/multifidelity.py _predict_recursive."""
+    from madaiemulator_tpu.io.snapshot import write_snapshot_multifidelity
+    from madaiemulator_tpu.models.multifidelity import predict_multifidelity
+
+    emu = _trained_mf(rng, levels=levels, noise=noise, cov=cov)
+    state = str(tmp_path / "mf.txt")
+    write_snapshot_multifidelity(state, emu, ["x"], "y")
+    ne = native.NativeEmulator(state)
+    assert ne.nparams == 1 and ne.noutputs == 1
+    xq = np.linspace(0.05, 0.95, 9)
+    mj, vj = predict_multifidelity(emu, xq[:, None])
+    for i in range(9):
+        mc, vc = ne.query(xq[i: i + 1])
+        np.testing.assert_allclose(mc[0], float(mj[i]), rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(vc[0], float(vj[i]), rtol=1e-6, atol=1e-10)
+
+
+def test_native_pipe_binary_serves_multifidelity(rng, tmp_path, lib):
+    """madai_query dispatches on the MF magic token and speaks the same
+    pipe protocol over a multi-fidelity snapshot."""
+    from madaiemulator_tpu.io.snapshot import write_snapshot_multifidelity
+    from madaiemulator_tpu.models.multifidelity import predict_multifidelity
+
+    emu = _trained_mf(rng)
+    state = str(tmp_path / "mf.txt")
+    write_snapshot_multifidelity(state, emu, ["x"], "y")
+    native.build()
+    r = subprocess.run(
+        [str(native._NATIVE_DIR / "build" / "madai_query"), state],
+        input="0.25\n0.75\n", capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    # header: d, names, 2t, output labels
+    assert lines[0] == "1" and lines[1] == "x"
+    assert lines[2] == "2" and lines[3] == "mean_y" and lines[4] == "variance_y"
+    vals = [float(v) for v in lines[5:]]
+    assert len(vals) == 4
+    mj, vj = predict_multifidelity(emu, np.array([[0.25], [0.75]]))
+    np.testing.assert_allclose(vals[0], float(mj[0]), rtol=1e-7)
+    np.testing.assert_allclose(vals[2], float(mj[1]), rtol=1e-7)
+    np.testing.assert_allclose(vals[1], float(vj[0]), rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(vals[3], float(vj[1]), rtol=1e-6, atol=1e-10)
+
+
 def test_native_pipe_binary_matches_python_cli(rng, tmp_path, lib):
     """The C++ madai_query binary speaks the same pipe protocol as the
     Python interactive_mode."""
