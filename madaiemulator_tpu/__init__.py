@@ -66,6 +66,13 @@ from madaiemulator_tpu.models.multifidelity import (
     fit_multifidelity,
     predict_multifidelity,
 )
+from madaiemulator_tpu.models.sparse import (
+    SparseMultivariateEmulator,
+    fit_multivariate_sparse,
+    fit_sgpr,
+    predict_multivariate_sparse,
+    predict_sgpr,
+)
 from madaiemulator_tpu.utils.compile_cache import enable_compile_cache
 from madaiemulator_tpu.models.calibrate import (
     CalibrationResult,
@@ -144,6 +151,11 @@ __all__ = [
     "MultiFidelityEmulator",
     "fit_multifidelity",
     "predict_multifidelity",
+    "SparseMultivariateEmulator",
+    "fit_multivariate_sparse",
+    "fit_sgpr",
+    "predict_multivariate_sparse",
+    "predict_sgpr",
     "predict_multivariate",
     "CalibrationResult",
     "calibrate",

@@ -72,6 +72,11 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
     value+gradient GPs; the snapshot (format version 3) persists the
     projected gradient blocks and serves through every dense path.
 
+    Sparse (SGPR): estimate_thetas --inducing=M trains past the exact
+    one-chip envelope (O(N*M^2) — N ~ 1e6 at M=512-1024); the snapshot
+    stores the O(M^2) serve state under its own grammar and serves
+    through interactive_mode / print_thetas / sensitivity / convert.
+
 The math runs through the same jit paths as the library API; the CLI is a
 thin shell. Training defaults to float64 on CPU for reference-grade
 numerics; pass --dtype=float32 to fit on an accelerator.
@@ -204,6 +209,20 @@ def _build_parser() -> argparse.ArgumentParser:
         "(gradient-enhanced emulation; needs --covariance_fn="
         "power_exponential or matern52*). Stored in the snapshot (format "
         "version 3; dense fit/serve only)",
+    )
+    est.add_argument(
+        "--inducing", type=int, default=0, metavar="M",
+        help="train SPARSE (SGPR, models/sparse.py): M inducing points "
+        "(greedy-maximin subset of the design) replace the N x N Gram "
+        "with O(N*M^2) work — one chip trains N ~ 1e6 at M=512-1024. "
+        "The snapshot stores the O(M^2) serve state under its own "
+        "grammar. Excludes --fit_method=iterative / --gradients_file / "
+        "--alpha_grid",
+    )
+    est.add_argument(
+        "--inducing_opt_steps", type=int, default=0, metavar="K",
+        help="sparse: refine inducing LOCATIONS jointly with the "
+        "hyperparameters by K Adam steps on the ELBO after LBFGS",
     )
 
     im = sub.add_parser("interactive_mode", help="serve queries over stdin/stdout")
@@ -529,6 +548,42 @@ def cmd_estimate_thetas(args) -> int:
             print("error: --noise_file variances must be >= 0",
                   file=sys.stderr)
             return 2
+    if getattr(args, "inducing", 0):
+        if args.fit_method == "iterative" or args.gradients_file \
+                or args.alpha_grid:
+            print(
+                "error: --inducing (sparse SGPR) excludes "
+                "--fit_method=iterative, --gradients_file and "
+                "--alpha_grid (models/sparse.py)",
+                file=sys.stderr,
+            )
+            return 2
+        from madaiemulator_tpu.models.sparse import fit_multivariate_sparse
+
+        emu = fit_multivariate_sparse(
+            jax.random.key(args.seed),
+            jnp.asarray(mf.X, dtype=dtype),
+            jnp.asarray(mf.Y, dtype=dtype),
+            cfg,
+            pca_variance=args.pca_variance,
+            inducing=args.inducing,
+            inducing_opt_steps=args.inducing_opt_steps,
+            restart_chunk=args.restart_chunk,
+            noise=noise,
+        )
+        from madaiemulator_tpu.io.snapshot import write_snapshot_auto as _w
+
+        _w(args.state_file, emu, param_names=mf.param_names,
+           output_names=mf.output_names)
+        if not args.quiet:
+            print(
+                f"wrote {args.state_file}: sparse (SGPR), "
+                f"{emu.n_components} component(s), m={emu.Z.shape[0]} "
+                f"inducing, N={mf.npoints}, d={mf.nparams}, "
+                f"t={mf.noutputs}",
+                file=sys.stderr,
+            )
+        return 0
     gradients = None
     if getattr(args, "gradients_file", None):
         if args.fit_method == "iterative":
@@ -719,6 +774,7 @@ def cmd_interactive_mode(args) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
     from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
 
     if isinstance(emu, MultiFidelityEmulator):
         if args.serve_method != "dense":
@@ -736,6 +792,22 @@ def cmd_interactive_mode(args) -> int:
         def predict_multivariate(e, q):  # noqa: F811 — same call shape
             mean, var = predict_multifidelity(e, q)
             return mean[:, None], var[:, None]  # scalar output -> (m, 1)
+
+    elif isinstance(emu, SparseMultivariateEmulator):
+        if args.serve_method != "dense":
+            print(
+                "error: sparse (SGPR) snapshots already serve from an "
+                "O(m^2) state — there is no fast/iterative variant; drop "
+                f"--serve_method={args.serve_method}",
+                file=sys.stderr,
+            )
+            return 2
+        from madaiemulator_tpu.models.sparse import (
+            predict_multivariate_sparse,
+        )
+
+        def predict_multivariate(e, q):  # noqa: F811 — same call shape
+            return predict_multivariate_sparse(e, q)
 
     elif iterative_serve:
         # Per-snapshot serving cache (preconditioner + training solves),
@@ -891,6 +963,31 @@ def _reject_multifidelity(emu, subcommand: str) -> bool:
     return False
 
 
+def _is_sparse(emu) -> bool:
+    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
+
+    return isinstance(emu, SparseMultivariateEmulator)
+
+
+def _reject_sparse(emu, subcommand: str) -> bool:
+    """Sparse (SGPR) snapshots serve through interactive_mode/sensitivity/
+    print_thetas/convert; the remaining workflow subcommands need
+    training-set arrays the O(m^2) serve distillate deliberately does not
+    carry (models/sparse.py)."""
+    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
+
+    if isinstance(emu, SparseMultivariateEmulator):
+        print(
+            f"error: {subcommand} does not support sparse (SGPR) "
+            "snapshots — their payload is the O(m^2) serve state with no "
+            "training arrays; use the library API (models/sparse.py) on "
+            "the original data",
+            file=sys.stderr,
+        )
+        return True
+    return False
+
+
 def cmd_calibrate(args) -> int:
     dtype = _setup_jax(args.dtype)
     import jax
@@ -903,6 +1000,8 @@ def cmd_calibrate(args) -> int:
         args.state_file, dtype=dtype, build_states=not args.matrix_free
     )
     if _reject_multifidelity(emu, "calibrate"):
+        return 2
+    if _reject_sparse(emu, "calibrate"):
         return 2
     states = None
     if args.matrix_free:
@@ -1005,6 +1104,8 @@ def cmd_validate(args) -> int:
     )
     if _reject_multifidelity(emu, "validate"):
         return 2
+    if _reject_sparse(emu, "validate"):
+        return 2
     Y_true = None
     if args.model_file is not None:
         from madaiemulator_tpu.io.modelfile import read_model_file
@@ -1090,6 +1191,8 @@ def cmd_design(args) -> int:
         args.state_file, dtype=dtype, build_states=not args.matrix_free
     )
     if _reject_multifidelity(emu, "design"):
+        return 2
+    if _reject_sparse(emu, "design"):
         return 2
     iter_kwargs = (
         dict(rank=args.rank, cg_tol=args.cg_tol,
@@ -1190,6 +1293,19 @@ def cmd_sensitivity(args) -> int:
             return mean[:, None]
 
         d = emu.levels[0].data.X.shape[1]
+    elif _is_sparse(emu):
+        from madaiemulator_tpu.models.sparse import (
+            predict_multivariate_sparse,
+        )
+        from madaiemulator_tpu.utils.designs import unapply_scaling
+
+        def predict_fn(Xs):
+            mean, _ = predict_multivariate_sparse(
+                emu, unapply_scaling(Xs, emu.scaling)
+            )
+            return mean
+
+        d = emu.Z.shape[1]
     else:
         predict_fn = multivariate_mean_fn(emu)
         d = emu.X.shape[1]
@@ -1283,13 +1399,22 @@ def cmd_convert(args) -> int:
     )
     from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
 
-    desc = (
-        f"{emu.n_levels} fidelity level(s), "
-        f"d={emu.levels[0].data.X.shape[1]}"
-        if isinstance(emu, MultiFidelityEmulator)
-        else f"{emu.n_components} component(s), N={emu.X.shape[0]}, "
-             f"d={emu.X.shape[1]}, t={len(output_names)}"
-    )
+    if isinstance(emu, MultiFidelityEmulator):
+        desc = (
+            f"{emu.n_levels} fidelity level(s), "
+            f"d={emu.levels[0].data.X.shape[1]}"
+        )
+    elif _is_sparse(emu):
+        desc = (
+            f"sparse (SGPR), {emu.n_components} component(s), "
+            f"m={emu.Z.shape[0]} inducing, d={emu.Z.shape[1]}, "
+            f"t={len(output_names)}"
+        )
+    else:
+        desc = (
+            f"{emu.n_components} component(s), N={emu.X.shape[0]}, "
+            f"d={emu.X.shape[1]}, t={len(output_names)}"
+        )
     print(f"wrote {args.out_state}: {desc}", file=sys.stderr)
     return 0
 

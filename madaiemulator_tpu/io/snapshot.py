@@ -305,10 +305,19 @@ def _assemble_multivariate(
 
 
 def write_snapshot_auto(dest: str, emu, *args, **kwargs) -> None:
-    """Dispatch on container type (multivariate vs multi-fidelity) and on
-    extension ('.npz' -> binary, else text)."""
+    """Dispatch on container type (multivariate / multi-fidelity / sparse)
+    and on extension ('.npz' -> binary, else text)."""
     from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
 
+    if isinstance(emu, SparseMultivariateEmulator):
+        writer = (
+            write_snapshot_sparse_npz
+            if dest.endswith(".npz")
+            else write_snapshot_sparse
+        )
+        writer(dest, emu, *args, **kwargs)
+        return
     if isinstance(emu, MultiFidelityEmulator):
         writer = (
             write_snapshot_multifidelity_npz
@@ -327,21 +336,27 @@ def write_snapshot_auto(dest: str, emu, *args, **kwargs) -> None:
 
 
 def read_snapshot_auto(source: str, dtype=jnp.float64, build_states: bool = True):
-    """Dispatch on the snapshot's own magic (multivariate vs multi-fidelity)
-    and on extension ('.npz' -> binary, else text). Multi-fidelity returns
-    a MultiFidelityEmulator (its serving states are always rebuilt — the
-    levels are small by construction; build_states is ignored)."""
+    """Dispatch on the snapshot's own magic (multivariate / multi-fidelity /
+    sparse SGPR) and on extension ('.npz' -> binary, else text).
+    Multi-fidelity returns a MultiFidelityEmulator (its serving states are
+    always rebuilt — the levels are small by construction); sparse returns
+    a SparseMultivariateEmulator (its payload IS the serve state);
+    build_states only affects the dense multivariate family."""
     if source.endswith(".npz"):
         with np.load(source, allow_pickle=False) as z:
-            is_mf = str(z["magic"][0]) == MAGIC_MF
-        if is_mf:
+            magic = str(z["magic"][0])
+        if magic == MAGIC_MF:
             return read_snapshot_multifidelity_npz(source, dtype=dtype)
+        if magic == "MADAIEMULATOR_TPU_SNAPSHOT_SGPR":
+            return read_snapshot_sparse_npz(source, dtype=dtype)
         return read_snapshot_npz(source, dtype=dtype,
                                  build_states=build_states)
     with open(source, "r") as f:
         head = f.readline().split()
     if head and head[0] == MAGIC_MF:
         return read_snapshot_multifidelity(source, dtype=dtype)
+    if head and head[0] == "MADAIEMULATOR_TPU_SNAPSHOT_SGPR":
+        return read_snapshot_sparse(source, dtype=dtype)
     return read_snapshot(source, dtype=dtype, build_states=build_states)
 
 
@@ -744,3 +759,306 @@ def read_snapshot_multifidelity_npz(source: str, dtype=jnp.float64):
         scaling=scaling, levels=tuple(levels), config=cfg
     )
     return emu, list(map(str, z["param_names"])), [str(z["output_name"][0])]
+
+
+# --- Sparse (SGPR) snapshots -------------------------------------------------
+#
+# Grammar (text; '#' comments; floats %.17g):
+#
+#     MADAIEMULATOR_TPU_SNAPSHOT_SGPR 1
+#     covariance <family> ; power_exp_alpha ; regression_order ;
+#     predict_variance_includes_nugget ; pca_standardize
+#     nparams <d> ; noutputs <t> ; ninducing <m> ; ncomponents <r>
+#     param names (d), output names (t)
+#     design scaling (mins; ranges)
+#     pca: ymean; ystd; eigenvalues; U (t x r)
+#     Z (m x d)                          shared inducing points, scaled
+#     thetas (r x ntheta)                [amp nugget ls...] natural space
+#     per component c = 0..r-1:
+#         Lm (m x m)  lower chol(K_mm + jitter)
+#         LB (m x m)  lower chol(I + A A^T)
+#         c  (m)      LB^-1 A D^-1/2 (y - H beta)
+#         beta (p)    GLS trend coefficients   (p = 1 + order*d)
+#         LA (p x p)  lower chol(H^T Sigma^-1 H)
+#         E  (m x p)  GLS variance operator
+#
+# Unlike every other snapshot family, the payload IS the serve state
+# (models/sparse.SGPRServeState): a sparse fit's training set can be a
+# million points — persisting it to rebuild factorizations on load would
+# defeat the O(m^2) serving distillate that is the point of SGPR. Lm is
+# stored rather than rebuilt so a state fitted at one dtype serves
+# bit-consistently at another (the jitter and kernel roundings of a
+# rebuild would not match the LB/c/E computed at fit time).
+
+MAGIC_SGPR = "MADAIEMULATOR_TPU_SNAPSHOT_SGPR"
+VERSION_SGPR = 1
+
+
+def write_snapshot_sparse(
+    dest: Union[str, TextIO],
+    emu,
+    param_names: List[str] | None = None,
+    output_names: List[str] | None = None,
+) -> None:
+    """Persist a SparseMultivariateEmulator (text grammar above)."""
+    if isinstance(dest, str):
+        with open(dest, "w") as f:
+            write_snapshot_sparse(f, emu, param_names, output_names)
+            return
+    cfg = emu.config
+    m, d = emu.Z.shape
+    t = emu.n_outputs
+    r = emu.n_components
+    param_names = list(param_names or [f"param_{i}" for i in range(d)])
+    output_names = list(output_names or [f"output_{j}" for j in range(t)])
+    standardize = bool(np.any(np.asarray(emu.pca.ystd) != 1.0))
+    thetas = np.concatenate(
+        [
+            np.exp(np.asarray(emu.params.log_amp))[:, None],
+            np.exp(np.asarray(emu.params.log_nugget))[:, None],
+            np.exp(np.asarray(emu.params.log_ls)).reshape(r, -1),
+        ],
+        axis=1,
+    )
+    w = dest.write
+    w(f"{MAGIC_SGPR} {VERSION_SGPR}\n")
+    w(f"covariance {cfg.covariance.value}\n")
+    w(f"power_exp_alpha {cfg.power_exp_alpha:.17g}\n")
+    w(f"regression_order {cfg.regression_order}\n")
+    w(f"predict_variance_includes_nugget "
+      f"{int(cfg.predict_variance_includes_nugget)}\n")
+    w(f"pca_standardize {int(standardize)}\n")
+    w(f"nparams {d}\nnoutputs {t}\nninducing {m}\nncomponents {r}\n")
+    for s in param_names:
+        w(f"{s}\n")
+    for s in output_names:
+        w(f"{s}\n")
+    w("# design scaling (mins; ranges)\n")
+    w(_fmt_vec(emu.scaling.mins) + "\n")
+    w(_fmt_vec(emu.scaling.ranges) + "\n")
+    w("# pca: ymean; ystd; eigenvalues; U (t x r)\n")
+    w(_fmt_vec(emu.pca.ymean) + "\n")
+    w(_fmt_vec(emu.pca.ystd) + "\n")
+    w(_fmt_vec(emu.pca.eigenvalues) + "\n")
+    w(_fmt_mat(emu.pca.U) + "\n")
+    w("# inducing points Z (m x d), scaled\n")
+    w(_fmt_mat(emu.Z) + "\n")
+    w("# thetas per component (r x ntheta) [amp nugget ls...]\n")
+    w(_fmt_mat(thetas) + "\n")
+    st = emu.states
+    for c in range(r):
+        w(f"# component {c}: Lm; LB; c; beta; LA; E\n")
+        w(_fmt_mat(st.Lm[c]) + "\n")
+        w(_fmt_mat(st.LB[c]) + "\n")
+        w(_fmt_vec(st.c[c]) + "\n")
+        w(_fmt_vec(st.beta[c]) + "\n")
+        w(_fmt_mat(st.LA[c]) + "\n")
+        w(_fmt_mat(st.E[c]) + "\n")
+
+
+def read_snapshot_sparse(source: Union[str, TextIO], dtype=jnp.float64):
+    """Load a sparse snapshot. Returns (SparseMultivariateEmulator,
+    param_names, output_names) — ready to serve, nothing rebuilt."""
+    from madaiemulator_tpu.models.multivariate import PCAState
+    from madaiemulator_tpu.models.sparse import (
+        SGPRServeState,
+        SparseMultivariateEmulator,
+    )
+    from madaiemulator_tpu.ops.kernels import GPParams
+    from madaiemulator_tpu.utils.designs import DesignScaling
+
+    if isinstance(source, str):
+        with open(source, "r") as f:
+            return read_snapshot_sparse(f, dtype=dtype)
+    toks = _tokens(source)
+
+    def tok() -> str:
+        try:
+            return next(toks)
+        except StopIteration:
+            raise ValueError("snapshot ended early") from None
+
+    def expect(name: str) -> str:
+        got = tok()
+        if got != name:
+            raise ValueError(f"snapshot: expected {name!r}, got {got!r}")
+        return tok()
+
+    if tok() != MAGIC_SGPR:
+        raise ValueError("not a sparse (SGPR) snapshot")
+    version = int(tok())
+    if version != VERSION_SGPR:
+        raise ValueError(f"unsupported sparse snapshot version {version}")
+    cov = COVARIANCE_CLI_NAMES[expect("covariance")]
+    alpha = float(expect("power_exp_alpha"))
+    order = int(expect("regression_order"))
+    pred_nug = bool(int(expect("predict_variance_includes_nugget")))
+    int(expect("pca_standardize"))  # metadata; ystd carries the effect
+    d = int(expect("nparams"))
+    t = int(expect("noutputs"))
+    m = int(expect("ninducing"))
+    r = int(expect("ncomponents"))
+    param_names = [tok() for _ in range(d)]
+    output_names = [tok() for _ in range(t)]
+
+    def vec(k):
+        return np.asarray([float(tok()) for _ in range(k)])
+
+    scaling = DesignScaling(
+        mins=jnp.asarray(vec(d), dtype=dtype),
+        ranges=jnp.asarray(vec(d), dtype=dtype),
+    )
+    pca = PCAState(
+        ymean=jnp.asarray(vec(t), dtype=dtype),
+        ystd=jnp.asarray(vec(t), dtype=dtype),
+        eigenvalues=jnp.asarray(vec(r), dtype=dtype),
+        U=jnp.asarray(vec(t * r).reshape(t, r), dtype=dtype),
+    )
+    Z = jnp.asarray(vec(m * d).reshape(m, d), dtype=dtype)
+    cfg = GPConfig(
+        nparams=d, covariance=cov, regression_order=order,
+        power_exp_alpha=alpha, predict_variance_includes_nugget=pred_nug,
+    )
+    ntheta = 2 + cov.num_length_scales(d)
+    th = vec(r * ntheta).reshape(r, ntheta)
+    params = GPParams(
+        log_amp=jnp.asarray(np.log(th[:, 0]), dtype=dtype),
+        log_nugget=jnp.asarray(np.log(th[:, 1]), dtype=dtype),
+        log_ls=jnp.asarray(np.log(th[:, 2:]), dtype=dtype),
+    )
+    p = 1 + order * d
+    Lm = np.empty((r, m, m)); LB = np.empty((r, m, m))
+    cc = np.empty((r, m)); beta = np.empty((r, p))
+    LA = np.empty((r, p, p)); E = np.empty((r, m, p))
+    for c in range(r):
+        Lm[c] = vec(m * m).reshape(m, m)
+        LB[c] = vec(m * m).reshape(m, m)
+        cc[c] = vec(m)
+        beta[c] = vec(p)
+        LA[c] = vec(p * p).reshape(p, p)
+        E[c] = vec(m * p).reshape(m, p)
+    states = SGPRServeState(
+        Z=jnp.broadcast_to(Z, (r, m, d)),
+        Lm=jnp.asarray(Lm, dtype=dtype),
+        LB=jnp.asarray(LB, dtype=dtype),
+        c=jnp.asarray(cc, dtype=dtype),
+        beta=jnp.asarray(beta, dtype=dtype),
+        LA=jnp.asarray(LA, dtype=dtype),
+        E=jnp.asarray(E, dtype=dtype),
+        ok=jnp.ones((r,), bool),
+    )
+    emu = SparseMultivariateEmulator(
+        scaling=scaling, pca=pca, Z=Z, params=params, states=states,
+        config=cfg,
+    )
+    return emu, param_names, output_names
+
+
+def write_snapshot_sparse_npz(
+    dest: str,
+    emu,
+    param_names: List[str] | None = None,
+    output_names: List[str] | None = None,
+) -> None:
+    """Binary sparse snapshot: same payload as the text grammar."""
+    cfg = emu.config
+    m, d = emu.Z.shape
+    t = emu.n_outputs
+    r = emu.n_components
+    standardize = bool(np.any(np.asarray(emu.pca.ystd) != 1.0))
+    st = emu.states
+    np.savez_compressed(
+        dest,
+        magic=np.array([MAGIC_SGPR]),
+        version=np.array([VERSION_SGPR]),
+        covariance=np.array([cfg.covariance.value]),
+        power_exp_alpha=np.array([cfg.power_exp_alpha]),
+        regression_order=np.array([cfg.regression_order]),
+        predict_variance_includes_nugget=np.array(
+            [int(cfg.predict_variance_includes_nugget)]
+        ),
+        pca_standardize=np.array([int(standardize)]),
+        param_names=np.array(
+            list(param_names or [f"param_{i}" for i in range(d)])
+        ),
+        output_names=np.array(
+            list(output_names or [f"output_{j}" for j in range(t)])
+        ),
+        mins=np.asarray(emu.scaling.mins),
+        ranges=np.asarray(emu.scaling.ranges),
+        ymean=np.asarray(emu.pca.ymean),
+        ystd=np.asarray(emu.pca.ystd),
+        eigenvalues=np.asarray(emu.pca.eigenvalues),
+        U=np.asarray(emu.pca.U),
+        Z=np.asarray(emu.Z),
+        log_amp=np.asarray(emu.params.log_amp),
+        log_nugget=np.asarray(emu.params.log_nugget),
+        log_ls=np.asarray(emu.params.log_ls),
+        Lm=np.asarray(st.Lm),
+        LB=np.asarray(st.LB),
+        c=np.asarray(st.c),
+        beta=np.asarray(st.beta),
+        LA=np.asarray(st.LA),
+        E=np.asarray(st.E),
+    )
+
+
+def read_snapshot_sparse_npz(source: str, dtype=jnp.float64):
+    """Binary twin of read_snapshot_sparse."""
+    from madaiemulator_tpu.models.multivariate import PCAState
+    from madaiemulator_tpu.models.sparse import (
+        SGPRServeState,
+        SparseMultivariateEmulator,
+    )
+    from madaiemulator_tpu.ops.kernels import GPParams
+    from madaiemulator_tpu.utils.designs import DesignScaling
+
+    with np.load(source, allow_pickle=False) as z:
+        if (str(z["magic"][0]) != MAGIC_SGPR
+                or int(z["version"][0]) != VERSION_SGPR):
+            raise ValueError("not a sparse (SGPR) .npz snapshot")
+        cfg = GPConfig(
+            nparams=int(z["mins"].shape[0]),
+            covariance=COVARIANCE_CLI_NAMES[str(z["covariance"][0])],
+            regression_order=int(z["regression_order"][0]),
+            power_exp_alpha=float(z["power_exp_alpha"][0]),
+            predict_variance_includes_nugget=bool(
+                int(z["predict_variance_includes_nugget"][0])
+            ),
+        )
+        scaling = DesignScaling(
+            mins=jnp.asarray(z["mins"], dtype=dtype),
+            ranges=jnp.asarray(z["ranges"], dtype=dtype),
+        )
+        pca = PCAState(
+            ymean=jnp.asarray(z["ymean"], dtype=dtype),
+            ystd=jnp.asarray(z["ystd"], dtype=dtype),
+            eigenvalues=jnp.asarray(z["eigenvalues"], dtype=dtype),
+            U=jnp.asarray(z["U"], dtype=dtype),
+        )
+        Z = jnp.asarray(z["Z"], dtype=dtype)
+        params = GPParams(
+            log_amp=jnp.asarray(z["log_amp"], dtype=dtype),
+            log_nugget=jnp.asarray(z["log_nugget"], dtype=dtype),
+            log_ls=jnp.asarray(z["log_ls"], dtype=dtype),
+        )
+        r, m, _ = z["Lm"].shape
+        states = SGPRServeState(
+            Z=jnp.broadcast_to(Z, (r, m, Z.shape[1])),
+            Lm=jnp.asarray(z["Lm"], dtype=dtype),
+            LB=jnp.asarray(z["LB"], dtype=dtype),
+            c=jnp.asarray(z["c"], dtype=dtype),
+            beta=jnp.asarray(z["beta"], dtype=dtype),
+            LA=jnp.asarray(z["LA"], dtype=dtype),
+            E=jnp.asarray(z["E"], dtype=dtype),
+            ok=jnp.ones((r,), bool),
+        )
+        emu = SparseMultivariateEmulator(
+            scaling=scaling, pca=pca, Z=Z, params=params, states=states,
+            config=cfg,
+        )
+        return (
+            emu,
+            list(map(str, z["param_names"])),
+            list(map(str, z["output_names"])),
+        )

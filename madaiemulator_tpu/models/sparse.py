@@ -1,0 +1,492 @@
+"""Sparse variational GP regression (SGPR): one-chip training past the
+exact-GP envelope.
+
+The dense path factors an (N, N) Gram — the measured one-chip limit is
+N=65,536 end-to-end (docs/ROUND3.md); the matrix-free PCG path stretches
+components to N~131k but every likelihood evaluation still touches all
+N^2 kernel entries. SGPR (Titsias 2009, collapsed variational bound)
+replaces the Gram with an m-point inducing summary: every ELBO
+evaluation is ONE (m, N) cross-kernel + one (m, N)x(N, m) GEMM — O(N m^2)
+FLOPs that tile perfectly onto the MXU — plus O(m^3) factorizations of
+m x m matrices. At N=1e6, m=1024 the dominant operand is a 4 GB f32
+cross-kernel: a single 16 GB chip trains N = ONE MILLION points directly,
+15x past the exact envelope. The reference (SURVEY.md §2; mount empty)
+has no approximate-inference capability at all — its N ceiling is its
+dense Cholesky.
+
+Model: the SAME universal-kriging GP the rest of the framework serves
+(polynomial GLS trend, stationary kernel, nugget + optional per-point
+noise), approximated with inducing points Z (m, d):
+
+    ELBO = log N(y | H beta, Q_nn + D) - 1/2 sum_i (k_ii - q_ii) / D_i
+    Q_nn = K_nm K_mm^-1 K_mn ,   D = diag(nugget + noise_i)
+
+beta is GLS-profiled under Q_nn + D exactly as the dense path profiles it
+under K_nn + D (models/gp.py _lml_value); config.reml adds the same
+-1/2 log|H^T Sigma^-1 H| envelope. All Sigma^-1 products use the Woodbury
+identity through two small Choleskys (Lm of K_mm, LB of I + A A^T with
+A = Lm^-1 K_mn D^-1/2) — nothing (N, N) is ever materialized.
+
+Serving needs NO training-set arrays: SGPRServeState is O(m^2 + m p)
+(inducing factorizations + GLS operators), so a trained N=1M emulator
+serves from a few MB. The predictive variance includes the same
+GLS trend-estimation correction as the dense path (the ||LA^-1 g||^2
+term), with the model cross-covariance Q_*n in place of K_*n.
+
+TPU notes: the ELBO is plain-autodiff differentiable (the Choleskys are
+m x m — backward through them is cheap; no closed-form VJP needed), jits
+end-to-end, and vmaps over restarts and PCA components exactly like the
+dense fit. Inducing locations come from the in-graph greedy-maximin
+selector (models/design.py) and can optionally be refined jointly with
+the hyperparameters by Adam on the ELBO (`inducing_opt_steps`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from madaiemulator_tpu.models.fit import (
+    _bounds_arrays,
+    _run_lbfgs,
+    _u_to_params,
+    sample_restarts,
+)
+from madaiemulator_tpu.models.gp import GPData, regression_basis
+from madaiemulator_tpu.ops import kernels, linalg
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import GPConfig
+
+
+class SGPRServeState(NamedTuple):
+    """Serve-time distillate of an SGPR fit — O(m^2), no N-sized arrays.
+
+    mean(x*) = h(x*) beta + v2^T c,  v1 = Lm^-1 k_m(x*), v2 = LB^-1 v1
+    var(x*)  = k** - ||v1||^2 + ||v2||^2 + ||LA^-1 (h - E^T v1)||^2
+    """
+
+    Z: jax.Array      # (m, d) inducing points, scaled design space
+    Lm: jax.Array     # (m, m) chol(K_mm + jitter I)
+    LB: jax.Array     # (m, m) chol(I + A A^T)
+    c: jax.Array      # (m,)  = LB^-1 A D^-1/2 (y - H beta)
+    beta: jax.Array   # (p,)  GLS trend coefficients
+    LA: jax.Array     # (p, p) chol(H^T Sigma^-1 H)
+    E: jax.Array      # (m, p) = A D^1/2 Sigma^-1 H  (GLS variance operator)
+    ok: jax.Array     # scalar bool: all three factorizations succeeded
+
+
+class SGPRFitResult(NamedTuple):
+    params: GPParams          # best-of-restarts hyperparameters (log space)
+    Z: jax.Array              # (m, d) inducing points actually used
+    elbo: jax.Array           # its ELBO value
+    restart_elbos: jax.Array  # (R,)
+    state: SGPRServeState     # ready-to-serve distillate
+
+
+def _mm_jitter(dtype) -> float:
+    # K_mm has no nugget; a small relative jitter keeps the m x m
+    # factorization SPD at working precision (standard SGPR practice).
+    return 1e-6 if dtype == jnp.float64 else 1e-5
+
+
+def _sgpr_core(
+    params: GPParams,
+    data: GPData,
+    config: GPConfig,
+    Z: jax.Array,
+):
+    """Shared Woodbury factorizations for the ELBO and the serve state.
+
+    Returns (Lm, A, LB, D, H, SinvH, LA, beta, r, ok) — every Sigma^-1
+    product downstream is two (m, m)/(p, p) triangular solves away.
+    """
+    X, y = data.X, data.y
+    n = X.shape[0]
+    dtype = y.dtype
+    amp = jnp.exp(params.log_amp)
+    m = Z.shape[0]
+    Kmm = kernels.cross_covariance(Z, Z, params, config)
+    Kmm = 0.5 * (Kmm + Kmm.T) + (
+        _mm_jitter(dtype) * amp
+    ) * jnp.eye(m, dtype=dtype)
+    Lm = linalg.xla_cholesky(Kmm)
+    ok = linalg.chol_ok(Lm)
+    Lm = jnp.where(ok, Lm, jnp.eye(m, dtype=dtype))
+    Kmn = kernels.cross_covariance(Z, X, params, config)  # (m, n)
+    D = jnp.exp(params.log_nugget) + (
+        data.noise.astype(dtype) if data.noise is not None
+        else jnp.zeros((n,), dtype)
+    )
+    rsD = jax.lax.rsqrt(D)
+    A = linalg.solve_lower(Lm, Kmn) * rsD[None, :]  # (m, n)
+    B = jnp.eye(m, dtype=dtype) + jnp.dot(
+        A, A.T, preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    LB = linalg.xla_cholesky(B)
+    ok = jnp.logical_and(ok, linalg.chol_ok(LB))
+    LB = jnp.where(ok, LB, jnp.eye(m, dtype=dtype))
+
+    H = regression_basis(X, config.regression_order)
+    if data.h_extra is not None:
+        H = jnp.concatenate([H, data.h_extra.astype(dtype)], axis=1)
+
+    def sigma_inv(V):
+        """Sigma^-1 V for (n, k) V, Sigma = Q_nn + D (Woodbury)."""
+        W = rsD[:, None] * V
+        AW = jnp.dot(A, W, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+        T = linalg.cho_solve(LB, AW)
+        return rsD[:, None] * (W - jnp.dot(
+            A.T, T, preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ))
+
+    SinvH = sigma_inv(H)  # (n, p)
+    G = jnp.dot(H.T, SinvH, preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    G = 0.5 * (G + G.T)
+    LA = linalg.xla_cholesky(G)
+    ok = jnp.logical_and(ok, linalg.chol_ok(LA))
+    LA = jnp.where(ok, LA, jnp.eye(G.shape[0], dtype=dtype))
+    beta = linalg.cho_solve(LA, jnp.dot(SinvH.T, y))
+    r = y - jnp.dot(H, beta)
+    return Lm, A, LB, D, rsD, H, SinvH, LA, beta, r, ok, sigma_inv
+
+
+def elbo(
+    params: GPParams,
+    data: GPData,
+    config: GPConfig,
+    Z: jax.Array,
+) -> jax.Array:
+    """Collapsed SGPR evidence lower bound with GLS-profiled trend.
+
+    -inf when any factorization fails (the fit treats it like the dense
+    path treats a non-SPD Gram). Plain autodiff gives exact gradients in
+    (params, Z) — every Cholesky is m x m or p x p.
+    """
+    (Lm, A, LB, D, rsD, H, SinvH, LA, beta, r, ok,
+     sigma_inv) = _sgpr_core(params, data, config, Z)
+    del Lm, H, SinvH
+    n = data.y.shape[0]
+    amp = jnp.exp(params.log_amp)
+    Sr = sigma_inv(r[:, None])[:, 0]
+    quad = jnp.dot(r, Sr)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB))) + jnp.sum(jnp.log(D))
+    # Titsias trace correction: sum_i (k_ii - q_ii)/D_i, k_ii = amp for
+    # every stationary family, q_ii = D_i ||A_:,i||^2
+    trace = jnp.sum(amp / D) - jnp.sum(A * A)
+    ll = (
+        -0.5 * quad - 0.5 * logdet - 0.5 * n * math.log(2.0 * math.pi)
+        - 0.5 * trace
+    )
+    if config.reml:
+        ll = ll - 0.5 * linalg.logdet_from_chol(LA)
+    neg_inf = jnp.asarray(-jnp.inf, dtype=ll.dtype)
+    ll = jnp.where(jnp.isfinite(ll), ll, neg_inf)
+    return jnp.where(ok, ll, neg_inf)
+
+
+def sgpr_precompute(
+    params: GPParams,
+    data: GPData,
+    config: GPConfig,
+    Z: jax.Array,
+) -> SGPRServeState:
+    """Build the O(m^2) serve state (training arrays are NOT retained)."""
+    (Lm, A, LB, D, rsD, H, SinvH, LA, beta, r, ok,
+     _) = _sgpr_core(params, data, config, Z)
+    dtype = data.y.dtype
+    c = linalg.solve_lower(LB, jnp.dot(A, rsD * r))
+    E = jnp.dot(
+        A, jnp.sqrt(D)[:, None] * SinvH,
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return SGPRServeState(Z=Z, Lm=Lm, LB=LB, c=c, beta=beta, LA=LA, E=E,
+                          ok=ok)
+
+
+def predict_sgpr(
+    state: SGPRServeState,
+    params: GPParams,
+    config: GPConfig,
+    Xs: jax.Array,
+    hs_extra: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Posterior mean/variance at SCALED queries (s, d) -> ((s,), (s,)).
+
+    Pure O(s m) work per query batch — the million training points are
+    folded into the state. Variance = Titsias posterior variance + the
+    GLS trend-estimation correction (same structure as the dense
+    predict_from_precomputed)."""
+    Hs = regression_basis(Xs, config.regression_order)
+    if hs_extra is not None:
+        Hs = jnp.concatenate([Hs, hs_extra.astype(Hs.dtype)], axis=1)
+    Ksm = kernels.cross_covariance(state.Z, Xs, params, config)  # (m, s)
+    v1 = linalg.solve_lower(state.Lm, Ksm)
+    v2 = linalg.solve_lower(state.LB, v1)
+    mean = jnp.dot(Hs, state.beta) + jnp.dot(v2.T, state.c)
+    kss = kernels.kdiag(Xs, params, config)
+    var = kss - jnp.sum(v1 * v1, axis=0) + jnp.sum(v2 * v2, axis=0)
+    G = Hs.T - jnp.dot(state.E.T, v1)  # (p, s)
+    W = linalg.solve_lower(state.LA, G)
+    var = var + jnp.sum(W * W, axis=0)
+    return mean, jnp.maximum(var, 0.0)
+
+
+def select_inducing(X: jax.Array, m: int) -> jax.Array:
+    """Greedy maximin inducing subset of the (scaled) design — in-graph,
+    deterministic (models/design.py selector with uniform weights)."""
+    from madaiemulator_tpu.models.design import _greedy_maximin
+
+    if m >= X.shape[0]:
+        return X
+    idx, _ = _greedy_maximin(
+        X, jnp.ones((X.shape[0],), X.dtype), m
+    )
+    return X[idx]
+
+
+def fit_sgpr(
+    key: jax.Array,
+    data: GPData,
+    config: GPConfig,
+    inducing: int | jax.Array = 512,
+    n_restarts: int | None = None,
+    max_steps: int | None = None,
+    inducing_opt_steps: int = 0,
+    inducing_lr: float = 1e-2,
+    restart_chunk: int | None = None,
+) -> SGPRFitResult:
+    """Sparse fit: vmapped multi-restart LBFGS on the ELBO.
+
+    inducing: either m (greedy-maximin subset of the design) or an
+    explicit (m, d) scaled array. inducing_opt_steps > 0 appends a joint
+    Adam refinement of (hyperparameters, Z) on the ELBO — inducing
+    locations are continuous parameters here, something the dense path
+    has no analogue of. restart_chunk bounds peak memory like
+    models/fit.fit_gp: one restart's live set is dominated by the (m, N)
+    whitened cross-kernel (~2 GB at N=1e6, m=512 f32), so chunking keeps
+    million-point fits on a 16 GB chip.
+
+    jit-able end to end; restarts vmap exactly like models/fit.fit_gp
+    (same bounded reparameterization, same dead-start semantics via -inf).
+    """
+    if data.dY is not None:
+        raise ValueError(
+            "fit_sgpr: gradient observations are dense-path only "
+            "(the inducing approximation has no joint-operator yet)"
+        )
+    R = config.n_restarts if n_restarts is None else n_restarts
+    steps = config.max_opt_steps if max_steps is None else max_steps
+    dtype = data.y.dtype
+    Z = (
+        select_inducing(data.X, int(inducing))
+        if isinstance(inducing, int)
+        else jnp.asarray(inducing, dtype)
+    )
+    lo, hi = _bounds_arrays(config, dtype)
+    u0 = sample_restarts(key, config, R, dtype=dtype)
+
+    def objective(u):
+        u = jax.tree.map(lambda a: a.astype(dtype), u)
+        return -elbo(_u_to_params(u, lo, hi), data, config, Z)
+
+    def one(u):
+        return _run_lbfgs(u, objective, steps, linesearch=config.linesearch)
+
+    run = jax.vmap(one)
+    if restart_chunk is None or restart_chunk >= R:
+        best_u, best_neg = run(u0)
+    else:
+        if R % restart_chunk != 0:
+            raise ValueError(
+                f"n_restarts={R} not divisible by restart_chunk="
+                f"{restart_chunk}"
+            )
+        groups = R // restart_chunk
+        u0g = jax.tree.map(
+            lambda a: a.reshape((groups, restart_chunk) + a.shape[1:]), u0
+        )
+        best_ug, best_negg = jax.lax.map(run, u0g)
+        best_u = jax.tree.map(
+            lambda a: a.reshape((R,) + a.shape[2:]), best_ug
+        )
+        best_neg = best_negg.reshape(R)
+    elbos = -best_neg
+    i = jnp.argmax(jnp.where(jnp.isfinite(elbos), elbos, -jnp.inf))
+    u_best = jax.tree.map(lambda a: a[i], best_u)
+
+    if inducing_opt_steps > 0:
+        opt = optax.adam(inducing_lr)
+
+        def joint_obj(carry):
+            u, Zc = carry
+            u = jax.tree.map(lambda a: a.astype(dtype), u)
+            return -elbo(_u_to_params(u, lo, hi), data, config, Zc)
+
+        st0 = opt.init((u_best, Z))
+
+        def step(carry, _):
+            (u, Zc), st, bu, bZ, bv = carry
+            v, g = jax.value_and_grad(joint_obj)((u, Zc))
+            better = jnp.isfinite(v) & (v < bv)
+            bu = jax.tree.map(lambda a, b: jnp.where(better, a, b), u, bu)
+            bZ = jnp.where(better, Zc, bZ)
+            bv = jnp.where(better, v, bv)
+            up, st = opt.update(g, st)
+            u, Zc = optax.apply_updates((u, Zc), up)
+            return ((u, Zc), st, bu, bZ, bv), None
+
+        big = jnp.asarray(jnp.inf, dtype)
+        (_, _, u_best, Z, neg_best), _ = jax.lax.scan(
+            step, ((u_best, Z), st0, u_best, Z, big), None,
+            length=inducing_opt_steps,
+        )
+        best_elbo = -neg_best
+    else:
+        best_elbo = elbos[i]
+
+    params = _u_to_params(
+        jax.tree.map(lambda a: a.astype(dtype), u_best), lo, hi
+    )
+    state = sgpr_precompute(params, data, config, Z)
+    return SGPRFitResult(
+        params=params, Z=Z, elbo=best_elbo, restart_elbos=elbos, state=state
+    )
+
+
+# --- multivariate (PCA) sparse emulator -------------------------------------
+
+
+class SparseMultivariateEmulator(NamedTuple):
+    """PCA multivariate emulator with per-component SGPR posteriors.
+
+    The structural twin of MultivariateEmulator at the million-point
+    scale: same PCA container, same reconstruction, but each PC score is
+    a sparse GP whose serve state is O(m^2) — the emulator keeps NO
+    training-set arrays at all (design, targets, noise are folded into
+    the states at fit time). Z (the inducing set) is shared across
+    components; hyperparameters are per-component.
+    """
+
+    scaling: "DesignScaling"          # design scaling (raw -> [0,1]^d)
+    pca: "PCAState"
+    Z: jax.Array                      # (m, d) shared inducing points
+    params: GPParams                  # batched over components (r, ...)
+    states: SGPRServeState            # batched over components
+    config: GPConfig
+
+    @property
+    def n_components(self) -> int:
+        return self.pca.eigenvalues.shape[0]
+
+    @property
+    def n_outputs(self) -> int:
+        return self.pca.ymean.shape[0]
+
+
+def fit_multivariate_sparse(
+    key: jax.Array,
+    X_raw: jax.Array,
+    Y: jax.Array,
+    config: GPConfig,
+    pca_variance: float = 0.95,
+    standardize: bool = True,
+    param_ranges=None,
+    inducing: int | jax.Array = 512,
+    n_restarts: int | None = None,
+    max_steps: int | None = None,
+    inducing_opt_steps: int = 0,
+    inducing_lr: float = 1e-2,
+    restart_chunk: int | None = None,
+    noise=None,
+) -> SparseMultivariateEmulator:
+    """Sparse multivariate fit: PCA -> per-PC SGPR (shared inducing set).
+
+    The components run as a host loop over ONE jitted per-component fit
+    (identical shapes -> one compile, reused r times; unlike the dense
+    path the per-component live set is O(N m), so sequencing components
+    is the memory-sane default at N ~ 1e6). noise is (N,) or (N, t)
+    per-point observation variances, projected to PC space exactly as the
+    dense path (models/multivariate.project_noise).
+    """
+    from madaiemulator_tpu.models.multivariate import (
+        pca_decompose,
+        project_noise,
+    )
+    from madaiemulator_tpu.utils.designs import apply_scaling, fit_scaling
+
+    X_raw = jnp.asarray(X_raw)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    dtype = Y.dtype
+    scaling = fit_scaling(X_raw, ranges=param_ranges)
+    Xs = apply_scaling(X_raw.astype(dtype), scaling)
+    pca, Zsc = pca_decompose(Y, pca_variance, standardize=standardize)
+    Zsc = Zsc.astype(dtype)
+    r = Zsc.shape[1]
+    noise_pc = (
+        None if noise is None
+        else project_noise(noise, pca, dtype=dtype)
+    )
+    Zi = (
+        select_inducing(Xs, int(inducing))
+        if isinstance(inducing, int)
+        else jnp.asarray(inducing, dtype)
+    )
+
+    def fit_component(k, y_c, nz_c):
+        data_c = GPData(X=Xs, y=y_c, noise=nz_c)
+        return fit_sgpr(
+            k, data_c, config, inducing=Zi,
+            n_restarts=n_restarts, max_steps=max_steps,
+            inducing_opt_steps=inducing_opt_steps,
+            inducing_lr=inducing_lr, restart_chunk=restart_chunk,
+        )
+
+    # noise presence is a trace-static property: pick ONE jitted callable
+    # up front so all r components reuse a single compile
+    if noise_pc is None:
+        fit_jit = jax.jit(lambda k, y: fit_component(k, y, None))
+    else:
+        fit_jit = jax.jit(fit_component)
+    keys = jax.random.split(key, r)
+    results = []
+    for c in range(r):
+        if noise_pc is None:
+            results.append(fit_jit(keys[c], Zsc[:, c]))
+        else:
+            results.append(fit_jit(keys[c], Zsc[:, c], noise_pc[:, c]))
+    params = jax.tree.map(lambda *a: jnp.stack(a), *[f.params for f in results])
+    states = jax.tree.map(lambda *a: jnp.stack(a), *[f.state for f in results])
+    return SparseMultivariateEmulator(
+        scaling=scaling, pca=pca, Z=Zi, params=params, states=states,
+        config=config,
+    )
+
+
+def predict_multivariate_sparse(
+    emu: SparseMultivariateEmulator, Xs_raw: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Observable-space posterior mean/variance: (s, t), (s, t).
+
+    One vmapped per-component sparse predict + the shared PCA
+    reconstruction — identical output contract to predict_multivariate.
+    """
+    from madaiemulator_tpu.models.multivariate import reconstruct_observables
+    from madaiemulator_tpu.utils.designs import apply_scaling
+
+    dtype = emu.Z.dtype
+    Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=dtype), emu.scaling)
+    m_pc, v_pc = jax.vmap(
+        lambda st, p: predict_sgpr(st, p, emu.config, Xs)
+    )(emu.states, emu.params)  # (r, s) each
+    return reconstruct_observables(m_pc, v_pc, emu.pca)

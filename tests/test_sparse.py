@@ -1,0 +1,333 @@
+"""Sparse variational GP regression (models/sparse.py): SGPR correctness
+against the exact dense path, the multivariate layer, the snapshot
+grammar, and the CLI surface. Beyond-reference: the reference (SURVEY.md
+§2; mount empty) has no approximate-inference capability — its N ceiling
+is its dense Cholesky."""
+
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madaiemulator_tpu.models import sparse
+from madaiemulator_tpu.models.gp import (
+    GPData,
+    gp_posterior,
+    log_marginal_likelihood,
+)
+from madaiemulator_tpu.ops.kernels import GPParams
+from madaiemulator_tpu.utils.config import CovarianceFamily, GPConfig
+
+CLI = [sys.executable, "-m", "madaiemulator_tpu.cli"]
+
+
+def _params(d, ls=0.3, nugget=1e-2, amp=1.0):
+    return GPParams(
+        log_amp=jnp.log(jnp.asarray(amp)),
+        log_nugget=jnp.log(jnp.asarray(nugget)),
+        log_ls=jnp.log(jnp.full((d,), ls)),
+    )
+
+
+def _toy(rng, n=60, d=2):
+    X = jnp.asarray(rng.uniform(0, 1, (n, d)))
+    y = (
+        jnp.sin(3 * X[:, 0]) + 0.5 * X[:, 1]
+        + 0.01 * jnp.asarray(rng.normal(size=n))
+    )
+    return GPData(X=X, y=y)
+
+
+@pytest.mark.parametrize("reml", [False, True])
+def test_elbo_equals_lml_when_inducing_is_full(rng, reml):
+    """Z = X makes Q_nn = K_nn: the collapsed bound IS the exact GLS
+    log-marginal likelihood (up to the m x m jitter)."""
+    data = _toy(rng)
+    cfg = GPConfig(nparams=2, regression_order=1, reml=reml)
+    p = _params(2)
+    lml = float(log_marginal_likelihood(p, data, cfg))
+    el = float(sparse.elbo(p, data, cfg, data.X))
+    assert abs(lml - el) < 1e-2 * abs(lml) + 0.2, (lml, el)
+
+
+def test_elbo_is_a_lower_bound_and_monotone_in_m(rng):
+    data = _toy(rng, n=80)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    p = _params(2)
+    lml = float(log_marginal_likelihood(p, data, cfg))
+    els = [
+        float(sparse.elbo(p, data, cfg, sparse.select_inducing(data.X, m)))
+        for m in (10, 25, 50, 80)
+    ]
+    for el in els:
+        assert el <= lml + 1e-6
+    # greedy-maximin nesting is not exact, but the trend must hold
+    assert els[-1] > els[0]
+
+
+def test_predictions_match_dense_at_full_inducing(rng):
+    data = _toy(rng)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    p = _params(2)
+    st = sparse.sgpr_precompute(p, data, cfg, data.X)
+    Xq = jnp.asarray(rng.uniform(0.1, 0.9, (17, 2)))
+    m_s, v_s = sparse.predict_sgpr(st, p, cfg, Xq)
+    m_d, v_d = gp_posterior(p, data, Xq, cfg)
+    # both differ from dense by O(jitter_m) = 1e-6 * amp (the K_mm
+    # stabilizer the dense path does not have)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_d),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_variance_includes_nugget_flag(rng):
+    data = _toy(rng)
+    p = _params(2)
+    Xq = jnp.asarray(rng.uniform(0.1, 0.9, (5, 2)))
+    outs = []
+    for flag in (True, False):
+        cfg = GPConfig(nparams=2, regression_order=1,
+                       predict_variance_includes_nugget=flag)
+        st = sparse.sgpr_precompute(p, data, cfg, data.X[:20])
+        outs.append(sparse.predict_sgpr(st, p, cfg, Xq)[1])
+    np.testing.assert_allclose(
+        np.asarray(outs[0] - outs[1]), np.exp(float(p.log_nugget)),
+        rtol=1e-9,
+    )
+
+
+def test_fit_sgpr_recovers_function_past_dense_default(rng):
+    """N=2000, m=40: sub-noise-floor recovery of a smooth 2-d surface."""
+    n = 2000
+    X = jnp.asarray(rng.uniform(0, 1, (n, 2)))
+    f = lambda X: jnp.sin(4 * X[:, 0]) * jnp.cos(2 * X[:, 1]) + X[:, 1]
+    y = f(X) + 0.05 * jnp.asarray(rng.normal(size=n))
+    cfg = GPConfig(nparams=2, regression_order=1)
+    res = sparse.fit_sgpr(jax.random.key(1), GPData(X=X, y=y), cfg,
+                          inducing=40, n_restarts=3, max_steps=50)
+    assert bool(res.state.ok)
+    Xq = jnp.asarray(rng.uniform(0.05, 0.95, (300, 2)))
+    m, v = sparse.predict_sgpr(res.state, res.params, cfg, Xq)
+    rmse = float(jnp.sqrt(jnp.mean((m - f(Xq)) ** 2)))
+    assert rmse < 0.05, rmse
+    assert bool(jnp.all(v >= 0))
+
+
+def test_restart_chunk_matches_unchunked(rng):
+    data = _toy(rng)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    r1 = sparse.fit_sgpr(jax.random.key(0), data, cfg, inducing=15,
+                         n_restarts=4, max_steps=20)
+    r2 = sparse.fit_sgpr(jax.random.key(0), data, cfg, inducing=15,
+                         n_restarts=4, max_steps=20, restart_chunk=2)
+    np.testing.assert_allclose(np.asarray(r1.restart_elbos),
+                               np.asarray(r2.restart_elbos), rtol=1e-9)
+
+
+def test_inducing_optimization_improves_bad_init(rng):
+    """Adam on (hypers, Z) rescues inducing points clustered in a corner
+    — inducing locations as continuous trainables, no dense analogue."""
+    n = 1200
+    X = jnp.asarray(rng.uniform(0, 1, (n, 2)))
+    f = lambda X: jnp.sin(4 * X[:, 0]) * jnp.cos(2 * X[:, 1]) + X[:, 1]
+    y = f(X) + 0.05 * jnp.asarray(rng.normal(size=n))
+    cfg = GPConfig(nparams=2, regression_order=1)
+    data = GPData(X=X, y=y)
+    Z0 = jnp.asarray(rng.uniform(0, 0.3, (15, 2)))
+    fixed = sparse.fit_sgpr(jax.random.key(2), data, cfg, inducing=Z0,
+                            n_restarts=2, max_steps=30)
+    opt = sparse.fit_sgpr(jax.random.key(2), data, cfg, inducing=Z0,
+                          n_restarts=2, max_steps=30,
+                          inducing_opt_steps=200, inducing_lr=3e-2)
+    assert float(opt.elbo) > float(fixed.elbo) + 1.0
+
+
+def test_heteroscedastic_noise_downweights_noisy_points(rng):
+    """A point with huge declared noise must not bend the posterior."""
+    n = 200
+    X = jnp.asarray(np.linspace(0, 1, n))[:, None]
+    y = jnp.sin(4 * X[:, 0])
+    y = y.at[100].add(2.0)  # corrupted observation
+    nz = jnp.full((n,), 1e-6).at[100].set(25.0)
+    cfg = GPConfig(nparams=1, regression_order=0)
+    res = sparse.fit_sgpr(jax.random.key(0), GPData(X=X, y=y, noise=nz),
+                          cfg, inducing=25, n_restarts=2, max_steps=40)
+    Xq = jnp.asarray([[100.0 / (n - 1)]])
+    m, _ = sparse.predict_sgpr(res.state, res.params, cfg, Xq)
+    # the posterior follows sin, not the outlier
+    assert abs(float(m[0]) - float(jnp.sin(4 * Xq[0, 0]))) < 0.1
+
+
+def test_fit_sgpr_rejects_gradient_data(rng):
+    data = _toy(rng)
+    data = data._replace(dY=jnp.zeros((data.X.shape[0], 2)))
+    cfg = GPConfig(nparams=2)
+    with pytest.raises(ValueError, match="dense-path only"):
+        sparse.fit_sgpr(jax.random.key(0), data, cfg, inducing=10)
+
+
+def _mv_problem(rng, n=500):
+    X = rng.uniform(1.0, 3.0, (n, 2))
+    g1 = np.sin(2 * X[:, 0]) + X[:, 1]
+    g2 = X[:, 0] * X[:, 1]
+    Y = np.stack([g1, g2, g1 - g2], axis=1) + 0.02 * rng.normal(size=(n, 3))
+    return jnp.asarray(X), jnp.asarray(Y)
+
+
+def _mv_truth(Xq):
+    t1 = np.sin(2 * Xq[:, 0]) + Xq[:, 1]
+    t2 = Xq[:, 0] * Xq[:, 1]
+    return np.stack([t1, t2, t1 - t2], axis=1)
+
+
+def test_multivariate_sparse_accuracy_and_noise(rng):
+    X, Y = _mv_problem(rng)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    emu = sparse.fit_multivariate_sparse(
+        jax.random.key(0), X, Y, cfg, pca_variance=0.999, inducing=40,
+        n_restarts=2, max_steps=40,
+    )
+    Xq = rng.uniform(1.2, 2.8, (100, 2))
+    m, v = sparse.predict_multivariate_sparse(emu, jnp.asarray(Xq))
+    rmse = float(np.sqrt(np.mean((np.asarray(m) - _mv_truth(Xq)) ** 2)))
+    # output scale is O(1-9); m=40 inducing over N=500 with a 0.02 noise
+    # floor and a short restart budget lands ~0.01-0.06 across seeds
+    assert rmse < 0.08, rmse
+    assert bool(jnp.all(v >= 0))
+    # noise path accepts (N,) and (N, t)
+    emu2 = sparse.fit_multivariate_sparse(
+        jax.random.key(0), X, Y, cfg, pca_variance=0.999, inducing=40,
+        n_restarts=2, max_steps=30,
+        noise=jnp.asarray(10.0 ** rng.uniform(-4, -2, size=X.shape[0])),
+    )
+    m2, _ = sparse.predict_multivariate_sparse(emu2, jnp.asarray(Xq))
+    assert float(np.sqrt(np.mean((np.asarray(m2) - _mv_truth(Xq)) ** 2))) < 0.08
+
+
+@pytest.mark.parametrize("ext", ["txt", "npz"])
+def test_sparse_snapshot_round_trip(rng, tmp_path, ext):
+    from madaiemulator_tpu.io.snapshot import (
+        read_snapshot_auto,
+        write_snapshot_auto,
+    )
+
+    X, Y = _mv_problem(rng, n=300)
+    cfg = GPConfig(nparams=2, regression_order=1,
+                   covariance=CovarianceFamily.MATERN52)
+    emu = sparse.fit_multivariate_sparse(
+        jax.random.key(0), X, Y, cfg, pca_variance=0.999, inducing=25,
+        n_restarts=2, max_steps=25,
+    )
+    path = str(tmp_path / f"s.{ext}")
+    write_snapshot_auto(path, emu, param_names=["a", "b"],
+                        output_names=["o0", "o1", "o2"])
+    emu2, pn, on = read_snapshot_auto(path)
+    assert isinstance(emu2, sparse.SparseMultivariateEmulator)
+    assert pn == ["a", "b"] and on == ["o0", "o1", "o2"]
+    Xq = jnp.asarray(rng.uniform(1.2, 2.8, (20, 2)))
+    m0, v0 = sparse.predict_multivariate_sparse(emu, Xq)
+    m1, v1 = sparse.predict_multivariate_sparse(emu2, Xq)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_cli_sparse_train_serve_print_convert(rng, tmp_path):
+    """--inducing routes estimate_thetas to SGPR; the snapshot serves via
+    pipe in parity with the library, prints thetas, and converts."""
+    from madaiemulator_tpu.io.modelfile import write_model_file
+    from madaiemulator_tpu.io.snapshot import read_snapshot_auto
+
+    X = rng.uniform(0, 1, (400, 2))
+    Y = np.stack(
+        [np.sin(4 * X[:, 0]) + X[:, 1], X[:, 0] * X[:, 1]], axis=1
+    ) + 0.02 * rng.normal(size=(400, 2))
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.txt"
+    write_model_file(str(model), X, Y, ["a", "b"], ["o0", "o1"])
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(state), "--inducing=30",
+            "--regression_order=1", "--restarts=2", "--steps=30", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr
+    assert open(state).readline().split()[0] == (
+        "MADAIEMULATOR_TPU_SNAPSHOT_SGPR"
+    )
+    emu, _, _ = read_snapshot_auto(str(state))
+    Xq = np.array([[0.3, 0.6], [0.8, 0.2]])
+    m_lib, v_lib = sparse.predict_multivariate_sparse(emu, jnp.asarray(Xq))
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state)],
+        input="0.3 0.6\n0.8 0.2\n", capture_output=True, text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "2" and lines[3] == "4"
+    vals = np.asarray([float(v) for v in lines[8:]]).reshape(2, 4)
+    np.testing.assert_allclose(vals[:, :2], np.asarray(m_lib), rtol=1e-8)
+    np.testing.assert_allclose(vals[:, 2:], np.asarray(v_lib), rtol=1e-6)
+    # print_thetas: one row per component
+    r = subprocess.run(
+        CLI + ["print_thetas", str(state)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    rows = [l for l in r.stdout.splitlines() if l and not l.startswith("#")]
+    assert len(rows) == emu.n_components
+    # convert to npz and back
+    npz = tmp_path / "state.npz"
+    r = subprocess.run(
+        CLI + ["convert", str(state), str(npz)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0 and "sparse (SGPR)" in r.stderr
+    emu3, _, _ = read_snapshot_auto(str(npz))
+    m3, _ = sparse.predict_multivariate_sparse(emu3, jnp.asarray(Xq))
+    np.testing.assert_allclose(np.asarray(m3), np.asarray(m_lib),
+                               rtol=1e-12)
+
+
+def test_cli_sparse_rejections(rng, tmp_path):
+    from madaiemulator_tpu.io.modelfile import write_model_file
+
+    X = rng.uniform(0, 1, (60, 2))
+    Y = np.stack([np.sin(3 * X[:, 0]), X[:, 1]], axis=1)
+    model = tmp_path / "model.txt"
+    state = tmp_path / "state.txt"
+    write_model_file(str(model), X, Y, ["a", "b"], ["o0", "o1"])
+    # incompatible flag combinations fail fast
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(state), "--inducing=10",
+               "--fit_method=iterative", "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "sparse" in r.stderr
+    # train a real one, then check workflow rejections
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(state), "--inducing=10",
+               "--restarts=2", "--steps=15", "--quiet"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr
+    exp = tmp_path / "exp.txt"
+    exp.write_text("1\n0.5 0.01\n1.0 0.01\n")
+    for sub in (["calibrate", str(state), str(exp), "--n_steps=10",
+                 "--quiet"],
+                ["validate", str(state)]):
+        r = subprocess.run(CLI + sub, capture_output=True,
+                           text=True, timeout=300)
+        assert r.returncode == 2 and "sparse (SGPR)" in r.stderr, sub
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state), "--serve_method=iterative"],
+        input="0.5 0.5\n", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "O(m^2)" in r.stderr
