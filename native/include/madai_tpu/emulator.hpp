@@ -204,4 +204,65 @@ class MultiFidelityEmulator : public EmulatorBase {
   std::vector<LevelState> levels_;
 };
 
+// --- Sparse (SGPR) snapshots ------------------------------------------------
+// Grammar: MADAIEMULATOR_TPU_SNAPSHOT_SGPR 1 (io/snapshot.py
+// write_snapshot_sparse). Uniquely among the snapshot families the payload
+// IS the O(m^2) serve state (models/sparse.py SGPRServeState) — the
+// training set can be a million points, so nothing is rebuilt on load.
+
+struct SGPRSnapshot {
+  int version = 0;
+  Covariance cov = Covariance::kPowerExponential;
+  double power_exp_alpha = 2.0;
+  int regression_order = 0;
+  bool predict_variance_includes_nugget = true;
+  bool pca_standardize = true;
+  int nparams = 0, noutputs = 0, ninducing = 0, ncomponents = 0;
+  std::vector<std::string> param_names, output_names;
+  std::vector<double> mins, ranges;  // (d), (d)
+  std::vector<double> ymean, ystd;   // (t), (t)
+  std::vector<double> eigenvalues;   // (r)
+  std::vector<double> U;             // (t*r)
+  std::vector<double> Z;             // (m*d) shared inducing points, scaled
+  std::vector<double> thetas;        // (r*ntheta)
+  // per-component serve blocks, concatenated over components:
+  std::vector<double> Lm;    // (r*m*m) lower chol(K_mm + jitter)
+  std::vector<double> LB;    // (r*m*m) lower chol(I + A A^T)
+  std::vector<double> c;     // (r*m)
+  std::vector<double> beta;  // (r*p), p = 1 + order*d
+  std::vector<double> LA;    // (r*p*p)
+  std::vector<double> E;     // (r*m*p) GLS variance operator
+  int ntheta() const;
+  int p() const { return 1 + regression_order * nparams; }
+};
+
+SGPRSnapshot LoadSnapshotSGPR(std::istream& in);
+SGPRSnapshot LoadSnapshotSGPRFile(const std::string& path);
+
+// Sparse serving: mean = h.beta + v2^T c, var = k** - ||v1||^2 + ||v2||^2
+// + ||LA^-1 (h - E^T v1)||^2 with v1 = Lm^-1 k_m(x*), v2 = LB^-1 v1, then
+// PCA reconstruction (models/sparse.py predict_sgpr / FORMATS.md §2c).
+class SparseEmulator : public EmulatorBase {
+ public:
+  explicit SparseEmulator(const std::string& statefile);
+  explicit SparseEmulator(const SGPRSnapshot& snapshot);
+
+  int number_of_parameters() const override { return s_.nparams; }
+  int number_of_outputs() const override { return s_.noutputs; }
+  const std::vector<std::string>& parameter_names() const override {
+    return s_.param_names;
+  }
+  const std::vector<std::string>& output_names() const override {
+    return s_.output_names;
+  }
+
+  void QueryEmulator(const std::vector<double>& x, std::vector<double>& means,
+                     std::vector<double>& errors) const override;
+
+ private:
+  void PredictComponent(int comp, const std::vector<double>& xs, double* mean,
+                        double* var) const;
+  SGPRSnapshot s_;
+};
+
 }  // namespace madai_tpu

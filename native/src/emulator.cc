@@ -728,6 +728,187 @@ void MultiFidelityEmulator::QueryEmulator(const std::vector<double>& x,
   errors.assign(1, var);
 }
 
+// ---------------------------------------------------------------------------
+// Sparse (SGPR) serving — io/snapshot.py write_snapshot_sparse grammar,
+// models/sparse.py predict_sgpr math. The payload IS the serve state.
+// ---------------------------------------------------------------------------
+
+int SGPRSnapshot::ntheta() const {
+  const bool ard = cov == Covariance::kPowerExponential ||
+                   cov == Covariance::kMatern32Ard ||
+                   cov == Covariance::kMatern52Ard;
+  return 2 + (ard ? nparams : 1);
+}
+
+SGPRSnapshot LoadSnapshotSGPR(std::istream& in) {
+  Tokens t(in);
+  if (t.Next() != "MADAIEMULATOR_TPU_SNAPSHOT_SGPR")
+    throw std::runtime_error("not a sparse (SGPR) snapshot");
+  SGPRSnapshot s;
+  s.version = t.NextInt();
+  if (s.version != 1)
+    throw std::runtime_error("unsupported sparse snapshot version " +
+                             std::to_string(s.version));
+  Expect(t, "covariance");
+  std::string cov = t.Next();
+  if (cov == "power_exponential" || cov == "gaussian")
+    s.cov = Covariance::kPowerExponential;
+  else if (cov == "matern32")
+    s.cov = Covariance::kMatern32;
+  else if (cov == "matern52")
+    s.cov = Covariance::kMatern52;
+  else if (cov == "matern32_ard")
+    s.cov = Covariance::kMatern32Ard;
+  else if (cov == "matern52_ard")
+    s.cov = Covariance::kMatern52Ard;
+  else
+    throw std::runtime_error("unknown covariance " + cov);
+  Expect(t, "power_exp_alpha");
+  s.power_exp_alpha = t.NextDouble();
+  Expect(t, "regression_order");
+  s.regression_order = t.NextInt();
+  Expect(t, "predict_variance_includes_nugget");
+  s.predict_variance_includes_nugget = t.NextInt() != 0;
+  Expect(t, "pca_standardize");
+  s.pca_standardize = t.NextInt() != 0;
+  Expect(t, "nparams");
+  s.nparams = t.NextInt();
+  Expect(t, "noutputs");
+  s.noutputs = t.NextInt();
+  Expect(t, "ninducing");
+  s.ninducing = t.NextInt();
+  Expect(t, "ncomponents");
+  s.ncomponents = t.NextInt();
+  const int d = s.nparams, tt = s.noutputs, m = s.ninducing,
+            r = s.ncomponents, p = s.p();
+  for (int k = 0; k < d; ++k) s.param_names.push_back(t.Next());
+  for (int k = 0; k < tt; ++k) s.output_names.push_back(t.Next());
+  auto vec = [&t](int k) {
+    std::vector<double> v(k);
+    for (int i = 0; i < k; ++i) v[i] = t.NextDouble();
+    return v;
+  };
+  s.mins = vec(d);
+  s.ranges = vec(d);
+  s.ymean = vec(tt);
+  s.ystd = vec(tt);
+  s.eigenvalues = vec(r);
+  s.U = vec(tt * r);
+  s.Z = vec(m * d);
+  s.thetas = vec(r * s.ntheta());
+  s.Lm.reserve(r * m * m);
+  s.LB.reserve(r * m * m);
+  s.c.reserve(r * m);
+  s.beta.reserve(r * p);
+  s.LA.reserve(r * p * p);
+  s.E.reserve(r * m * p);
+  auto append = [&](std::vector<double>& dst, int k) {
+    for (int i = 0; i < k; ++i) dst.push_back(t.NextDouble());
+  };
+  for (int comp = 0; comp < r; ++comp) {
+    append(s.Lm, m * m);
+    append(s.LB, m * m);
+    append(s.c, m);
+    append(s.beta, p);
+    append(s.LA, p * p);
+    append(s.E, m * p);
+  }
+  return s;
+}
+
+SGPRSnapshot LoadSnapshotSGPRFile(const std::string& path) {
+  std::ifstream f(path);
+  if (!f) throw std::runtime_error("cannot open " + path);
+  return LoadSnapshotSGPR(f);
+}
+
+SparseEmulator::SparseEmulator(const std::string& statefile)
+    : SparseEmulator(LoadSnapshotSGPRFile(statefile)) {}
+
+SparseEmulator::SparseEmulator(const SGPRSnapshot& snapshot) : s_(snapshot) {}
+
+void SparseEmulator::PredictComponent(int comp, const std::vector<double>& xs,
+                                      double* mean, double* var) const {
+  const int d = s_.nparams, m = s_.ninducing, p = s_.p();
+  const int nt = s_.ntheta();
+  const double* th = &s_.thetas[comp * nt];
+  const double* Lm = &s_.Lm[comp * m * m];
+  const double* LB = &s_.LB[comp * m * m];
+  const double* cv = &s_.c[comp * m];
+  const double* beta = &s_.beta[comp * p];
+  const double* LA = &s_.LA[comp * p * p];
+  const double* E = &s_.E[comp * m * p];
+  // v1 = Lm^-1 k_m(x*), v2 = LB^-1 v1 (forward substitution on raw ptrs)
+  std::vector<double> v1(m);
+  for (int i = 0; i < m; ++i)
+    v1[i] = KernelEval(s_.cov, s_.power_exp_alpha, d, &s_.Z[i * d],
+                       xs.data(), th);
+  for (int i = 0; i < m; ++i) {
+    double sum = v1[i];
+    for (int k = 0; k < i; ++k) sum -= Lm[i * m + k] * v1[k];
+    v1[i] = sum / Lm[i * m + i];
+  }
+  std::vector<double> v2 = v1;
+  for (int i = 0; i < m; ++i) {
+    double sum = v2[i];
+    for (int k = 0; k < i; ++k) sum -= LB[i * m + k] * v2[k];
+    v2[i] = sum / LB[i * m + i];
+  }
+  std::vector<double> h(p);
+  PolyBasisRow(xs.data(), d, s_.regression_order, h.data());
+  double mu = 0.0;
+  for (int a = 0; a < p; ++a) mu += h[a] * beta[a];
+  for (int i = 0; i < m; ++i) mu += v2[i] * cv[i];
+  *mean = mu;
+  double kss = th[0] + (s_.predict_variance_includes_nugget ? th[1] : 0.0);
+  double n1 = 0.0, n2 = 0.0;
+  for (int i = 0; i < m; ++i) {
+    n1 += v1[i] * v1[i];
+    n2 += v2[i] * v2[i];
+  }
+  // g = h - E^T v1 ; w = LA^-1 g
+  std::vector<double> g(p);
+  for (int a = 0; a < p; ++a) {
+    double sum = h[a];
+    for (int i = 0; i < m; ++i) sum -= E[i * p + a] * v1[i];
+    g[a] = sum;
+  }
+  for (int a = 0; a < p; ++a) {
+    double sum = g[a];
+    for (int k = 0; k < a; ++k) sum -= LA[a * p + k] * g[k];
+    g[a] = sum / LA[a * p + a];
+  }
+  double nw = 0.0;
+  for (int a = 0; a < p; ++a) nw += g[a] * g[a];
+  double out = kss - n1 + n2 + nw;
+  *var = out > 0.0 ? out : 0.0;
+}
+
+void SparseEmulator::QueryEmulator(const std::vector<double>& x,
+                                   std::vector<double>& means,
+                                   std::vector<double>& errors) const {
+  const int d = s_.nparams, t = s_.noutputs, r = s_.ncomponents;
+  if ((int)x.size() != d)
+    throw std::invalid_argument("QueryEmulator: wrong point dimension");
+  std::vector<double> xs(d);
+  for (int k = 0; k < d; ++k) xs[k] = (x[k] - s_.mins[k]) / s_.ranges[k];
+  std::vector<double> m_pc(r), v_pc(r);
+  for (int comp = 0; comp < r; ++comp)
+    PredictComponent(comp, xs, &m_pc[comp], &v_pc[comp]);
+  means.assign(t, 0.0);
+  errors.assign(t, 0.0);
+  for (int j = 0; j < t; ++j) {
+    double mj = 0.0, vj = 0.0;
+    for (int comp = 0; comp < r; ++comp) {
+      const double u = s_.U[j * r + comp];
+      mj += std::sqrt(s_.eigenvalues[comp]) * u * m_pc[comp];
+      vj += s_.eigenvalues[comp] * u * u * v_pc[comp];
+    }
+    means[j] = s_.ymean[j] + s_.ystd[j] * mj;
+    errors[j] = s_.ystd[j] * s_.ystd[j] * vj;
+  }
+}
+
 std::unique_ptr<EmulatorBase> LoadEmulatorAuto(const std::string& path) {
   std::ifstream f(path);
   if (!f) throw std::runtime_error("cannot open " + path);
@@ -736,6 +917,8 @@ std::unique_ptr<EmulatorBase> LoadEmulatorAuto(const std::string& path) {
   f.close();
   if (magic == "MADAIEMULATOR_TPU_SNAPSHOT_MF")
     return std::unique_ptr<EmulatorBase>(new MultiFidelityEmulator(path));
+  if (magic == "MADAIEMULATOR_TPU_SNAPSHOT_SGPR")
+    return std::unique_ptr<EmulatorBase>(new SparseEmulator(path));
   return std::unique_ptr<EmulatorBase>(new Emulator(path));
 }
 

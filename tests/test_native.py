@@ -269,6 +269,47 @@ def test_native_pipe_binary_serves_multifidelity(rng, tmp_path, lib):
     np.testing.assert_allclose(vals[3], float(vj[1]), rtol=1e-6, atol=1e-10)
 
 
+@pytest.mark.parametrize(
+    "cov,order",
+    [
+        (CovarianceFamily.POWER_EXPONENTIAL, 1),
+        (CovarianceFamily.MATERN52, 0),
+    ],
+)
+def test_native_matches_jax_sparse_snapshot(rng, tmp_path, lib, cov, order):
+    """Sparse (SGPR) snapshots serve through the same C ABI: the native
+    SparseEmulator consumes the stored O(m^2) state directly and matches
+    models/sparse.predict_multivariate_sparse."""
+    from madaiemulator_tpu.io.snapshot import write_snapshot_sparse
+    from madaiemulator_tpu.models import sparse as msparse
+
+    X = rng.uniform(1.0, 3.0, (200, 2))
+    g1 = np.sin(2 * X[:, 0]) + X[:, 1]
+    g2 = X[:, 0] * X[:, 1]
+    Y = np.stack([g1, g2, g1 - g2], axis=1)
+    cfg = GPConfig(nparams=2, covariance=cov, regression_order=order,
+                   n_restarts=2, max_opt_steps=25)
+    emu = msparse.fit_multivariate_sparse(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
+        pca_variance=0.999, inducing=25, n_restarts=2, max_steps=25,
+    )
+    state = str(tmp_path / "sgpr.txt")
+    write_snapshot_sparse(state, emu, ["a", "b"], ["o0", "o1", "o2"])
+    assert open(state).readline().split()[0] == (
+        "MADAIEMULATOR_TPU_SNAPSHOT_SGPR"
+    )
+    ne = native.NativeEmulator(state)
+    assert ne.nparams == 2 and ne.noutputs == 3
+    Xq = rng.uniform(1.2, 2.8, (10, 2))
+    mj, vj = msparse.predict_multivariate_sparse(emu, jnp.asarray(Xq))
+    for i in range(10):
+        mc, vc = ne.query(Xq[i])
+        np.testing.assert_allclose(mc, np.asarray(mj[i]), rtol=1e-8,
+                                   atol=1e-10)
+        np.testing.assert_allclose(vc, np.asarray(vj[i]), rtol=1e-7,
+                                   atol=1e-11)
+
+
 def test_native_pipe_binary_matches_python_cli(rng, tmp_path, lib):
     """The C++ madai_query binary speaks the same pipe protocol as the
     Python interactive_mode."""
