@@ -80,10 +80,13 @@ def main():
     )
     data = GPData(X=X, y=y)
 
+    # row_chunk streams the N axis (jax.checkpoint per 64k block): live
+    # memory O(m * 64k) ~ 130 MB instead of the (m, N) 2 GB operand whose
+    # whole-fit autodiff residuals crashed the worker un-chunked
     t0 = time.perf_counter()
     fit = jax.jit(
         lambda k: sparse.fit_sgpr(
-            k, data, cfg, inducing=m, restart_chunk=1,
+            k, data, cfg, inducing=m, restart_chunk=1, row_chunk=65536,
         )
     )(jax.random.key(1))
     sync(fit.state.c)

@@ -93,20 +93,56 @@ def _mm_jitter(dtype) -> float:
     return 1e-6 if dtype == jnp.float64 else 1e-5
 
 
-def _sgpr_core(
+class _SGPRSystem(NamedTuple):
+    """N-free distillate of the whole SGPR linear algebra.
+
+    Every quantity the ELBO and the serve state need reduces to
+    block-accumulable summaries of the whitened operands
+    A = Lm^-1 K_mn D^-1/2, H_w = D^-1/2 H, y_w = D^-1/2 y:
+
+        B    = I + A A^T                 (m, m)
+        G_AH = A H_w                     (m, p)
+        g_Ay = A y_w                     (m,)
+        S_HH = H_w^T H_w,  S_Hy = H_w^T y_w,  S_yy = y_w^T y_w
+        tr_AA = ||A||_F^2,  sum_logD,  sum_ampD = sum_i amp / D_i
+
+    from which (Woodbury throughout, LB = chol(B)):
+        H^T Sigma^-1 H = S_HH - G_AH^T B^-1 G_AH        -> LA, beta
+        quad = r^T Sigma^-1 r  (expanded in beta)
+        logdet Sigma = 2 sum log diag LB + sum_logD
+        trace corr   = sum_ampD - tr_AA
+        c = LB^-1 (g_Ay - G_AH beta),   E = B^-1 G_AH
+
+    so the N axis can be streamed in fixed-size chunks (row_chunk) with
+    jax.checkpoint rematerializing each chunk's cross-kernel in the
+    backward pass — live memory is O(m * row_chunk), flat in N. The
+    one-shot path (row_chunk=None) computes the same summaries with a
+    single (m, N) operand.
+    """
+
+    Lm: jax.Array
+    LB: jax.Array
+    LA: jax.Array
+    beta: jax.Array
+    c: jax.Array
+    E: jax.Array
+    quad: jax.Array
+    logdet: jax.Array
+    trace: jax.Array
+    ok: jax.Array
+
+
+def _sgpr_system(
     params: GPParams,
     data: GPData,
     config: GPConfig,
     Z: jax.Array,
-):
-    """Shared Woodbury factorizations for the ELBO and the serve state.
-
-    Returns (Lm, A, LB, D, H, SinvH, LA, beta, r, ok) — every Sigma^-1
-    product downstream is two (m, m)/(p, p) triangular solves away.
-    """
+    row_chunk: Optional[int] = None,
+) -> _SGPRSystem:
     X, y = data.X, data.y
     n = X.shape[0]
     dtype = y.dtype
+    HI = jax.lax.Precision.HIGHEST
     amp = jnp.exp(params.log_amp)
     m = Z.shape[0]
     Kmm = kernels.cross_covariance(Z, Z, params, config)
@@ -116,46 +152,108 @@ def _sgpr_core(
     Lm = linalg.xla_cholesky(Kmm)
     ok = linalg.chol_ok(Lm)
     Lm = jnp.where(ok, Lm, jnp.eye(m, dtype=dtype))
-    Kmn = kernels.cross_covariance(Z, X, params, config)  # (m, n)
     D = jnp.exp(params.log_nugget) + (
         data.noise.astype(dtype) if data.noise is not None
         else jnp.zeros((n,), dtype)
     )
     rsD = jax.lax.rsqrt(D)
-    A = linalg.solve_lower(Lm, Kmn) * rsD[None, :]  # (m, n)
-    B = jnp.eye(m, dtype=dtype) + jnp.dot(
-        A, A.T, preferred_element_type=dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # D-dependent scalars never need padding games: they are O(n) cheap
+    sum_logD = jnp.sum(jnp.log(D))
+    sum_ampD = jnp.sum(amp / D)
+    p = 1 + config.regression_order * X.shape[1]
+    if data.h_extra is not None:
+        p = p + data.h_extra.shape[1]
+
+    def block_summaries(Xb, yb, rsDb, hb):
+        Kb = kernels.cross_covariance(Z, Xb, params, config)  # (m, cb)
+        Ab = linalg.solve_lower(Lm, Kb) * rsDb[None, :]
+        Hb = regression_basis(Xb, config.regression_order)
+        if hb is not None:
+            Hb = jnp.concatenate([Hb, hb.astype(dtype)], axis=1)
+        Hw = rsDb[:, None] * Hb
+        yw = rsDb * yb
+        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=dtype,
+                                   precision=HI)
+        return (
+            dot(Ab, Ab.T),            # -> B - I
+            dot(Ab, Hw),              # -> G_AH
+            dot(Ab, yw),              # -> g_Ay
+            dot(Hw.T, Hw),            # -> S_HH
+            dot(Hw.T, yw),            # -> S_Hy
+            jnp.dot(yw, yw, precision=HI),
+            jnp.sum(Ab * Ab),         # -> tr_AA
+        )
+
+    if row_chunk is None or n <= row_chunk:
+        he = data.h_extra
+        AAT, G_AH, g_Ay, S_HH, S_Hy, S_yy, tr_AA = block_summaries(
+            X, y, rsD, he
+        )
+    else:
+        # pad with rsD = 0 rows: whitened operands vanish, so every
+        # summary is unchanged (the D-scalars above used the real D)
+        pad = (-n) % row_chunk
+        Xp = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), dtype)])
+        yp = jnp.concatenate([y, jnp.zeros((pad,), dtype)])
+        rp = jnp.concatenate([rsD, jnp.zeros((pad,), dtype)])
+        blocks = n // row_chunk + (1 if pad else 0)
+        Xg = Xp.reshape(blocks, row_chunk, X.shape[1])
+        yg = yp.reshape(blocks, row_chunk)
+        rg = rp.reshape(blocks, row_chunk)
+        if data.h_extra is not None:
+            hp = jnp.concatenate([
+                data.h_extra.astype(dtype),
+                jnp.zeros((pad, data.h_extra.shape[1]), dtype),
+            ])
+            hg = hp.reshape(blocks, row_chunk, -1)
+        else:
+            hg = None
+
+        @jax.checkpoint
+        def body_fn(carry, blk):
+            if hg is None:
+                Xb, yb, rb = blk
+                hb = None
+            else:
+                Xb, yb, rb, hb = blk
+            parts = block_summaries(Xb, yb, rb, hb)
+            return tuple(ca + pa for ca, pa in zip(carry, parts)), None
+
+        init = (
+            jnp.zeros((m, m), dtype), jnp.zeros((m, p), dtype),
+            jnp.zeros((m,), dtype), jnp.zeros((p, p), dtype),
+            jnp.zeros((p,), dtype), jnp.zeros((), dtype),
+            jnp.zeros((), dtype),
+        )
+        xs = (Xg, yg, rg) if hg is None else (Xg, yg, rg, hg)
+        (AAT, G_AH, g_Ay, S_HH, S_Hy, S_yy, tr_AA), _ = jax.lax.scan(
+            body_fn, init, xs
+        )
+
+    B = jnp.eye(m, dtype=dtype) + 0.5 * (AAT + AAT.T)
     LB = linalg.xla_cholesky(B)
     ok = jnp.logical_and(ok, linalg.chol_ok(LB))
     LB = jnp.where(ok, LB, jnp.eye(m, dtype=dtype))
-
-    H = regression_basis(X, config.regression_order)
-    if data.h_extra is not None:
-        H = jnp.concatenate([H, data.h_extra.astype(dtype)], axis=1)
-
-    def sigma_inv(V):
-        """Sigma^-1 V for (n, k) V, Sigma = Q_nn + D (Woodbury)."""
-        W = rsD[:, None] * V
-        AW = jnp.dot(A, W, preferred_element_type=dtype,
-                     precision=jax.lax.Precision.HIGHEST)
-        T = linalg.cho_solve(LB, AW)
-        return rsD[:, None] * (W - jnp.dot(
-            A.T, T, preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        ))
-
-    SinvH = sigma_inv(H)  # (n, p)
-    G = jnp.dot(H.T, SinvH, preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST)
-    G = 0.5 * (G + G.T)
-    LA = linalg.xla_cholesky(G)
+    # H^T Sigma^-1 H and friends via Woodbury on the summaries
+    T_H = linalg.cho_solve(LB, G_AH)          # B^-1 G_AH  (m, p) — also E
+    t_y = linalg.cho_solve(LB, g_Ay)          # B^-1 g_Ay  (m,)
+    HSH = S_HH - jnp.dot(G_AH.T, T_H, preferred_element_type=dtype,
+                         precision=HI)
+    HSy = S_Hy - jnp.dot(G_AH.T, t_y, precision=HI)
+    ySy = S_yy - jnp.dot(g_Ay, t_y, precision=HI)
+    HSH = 0.5 * (HSH + HSH.T)
+    LA = linalg.xla_cholesky(HSH)
     ok = jnp.logical_and(ok, linalg.chol_ok(LA))
-    LA = jnp.where(ok, LA, jnp.eye(G.shape[0], dtype=dtype))
-    beta = linalg.cho_solve(LA, jnp.dot(SinvH.T, y))
-    r = y - jnp.dot(H, beta)
-    return Lm, A, LB, D, rsD, H, SinvH, LA, beta, r, ok, sigma_inv
+    LA = jnp.where(ok, LA, jnp.eye(p, dtype=dtype))
+    beta = linalg.cho_solve(LA, HSy)
+    quad = ySy - 2.0 * jnp.dot(beta, HSy, precision=HI) + jnp.dot(
+        beta, jnp.dot(HSH, beta, precision=HI), precision=HI
+    )
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB))) + sum_logD
+    trace = sum_ampD - tr_AA
+    c = linalg.solve_lower(LB, g_Ay - jnp.dot(G_AH, beta, precision=HI))
+    return _SGPRSystem(Lm=Lm, LB=LB, LA=LA, beta=beta, c=c, E=T_H,
+                       quad=quad, logdet=logdet, trace=trace, ok=ok)
 
 
 def elbo(
@@ -163,33 +261,27 @@ def elbo(
     data: GPData,
     config: GPConfig,
     Z: jax.Array,
+    row_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Collapsed SGPR evidence lower bound with GLS-profiled trend.
 
     -inf when any factorization fails (the fit treats it like the dense
     path treats a non-SPD Gram). Plain autodiff gives exact gradients in
-    (params, Z) — every Cholesky is m x m or p x p.
+    (params, Z) — every Cholesky is m x m or p x p. row_chunk streams the
+    N axis in fixed-size chunks (jax.checkpoint per chunk): live memory
+    O(m * row_chunk), flat in N — the million-point path.
     """
-    (Lm, A, LB, D, rsD, H, SinvH, LA, beta, r, ok,
-     sigma_inv) = _sgpr_core(params, data, config, Z)
-    del Lm, H, SinvH
+    sys = _sgpr_system(params, data, config, Z, row_chunk=row_chunk)
     n = data.y.shape[0]
-    amp = jnp.exp(params.log_amp)
-    Sr = sigma_inv(r[:, None])[:, 0]
-    quad = jnp.dot(r, Sr)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB))) + jnp.sum(jnp.log(D))
-    # Titsias trace correction: sum_i (k_ii - q_ii)/D_i, k_ii = amp for
-    # every stationary family, q_ii = D_i ||A_:,i||^2
-    trace = jnp.sum(amp / D) - jnp.sum(A * A)
     ll = (
-        -0.5 * quad - 0.5 * logdet - 0.5 * n * math.log(2.0 * math.pi)
-        - 0.5 * trace
+        -0.5 * sys.quad - 0.5 * sys.logdet
+        - 0.5 * n * math.log(2.0 * math.pi) - 0.5 * sys.trace
     )
     if config.reml:
-        ll = ll - 0.5 * linalg.logdet_from_chol(LA)
+        ll = ll - 0.5 * linalg.logdet_from_chol(sys.LA)
     neg_inf = jnp.asarray(-jnp.inf, dtype=ll.dtype)
     ll = jnp.where(jnp.isfinite(ll), ll, neg_inf)
-    return jnp.where(ok, ll, neg_inf)
+    return jnp.where(sys.ok, ll, neg_inf)
 
 
 def sgpr_precompute(
@@ -197,19 +289,12 @@ def sgpr_precompute(
     data: GPData,
     config: GPConfig,
     Z: jax.Array,
+    row_chunk: Optional[int] = None,
 ) -> SGPRServeState:
     """Build the O(m^2) serve state (training arrays are NOT retained)."""
-    (Lm, A, LB, D, rsD, H, SinvH, LA, beta, r, ok,
-     _) = _sgpr_core(params, data, config, Z)
-    dtype = data.y.dtype
-    c = linalg.solve_lower(LB, jnp.dot(A, rsD * r))
-    E = jnp.dot(
-        A, jnp.sqrt(D)[:, None] * SinvH,
-        preferred_element_type=dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return SGPRServeState(Z=Z, Lm=Lm, LB=LB, c=c, beta=beta, LA=LA, E=E,
-                          ok=ok)
+    sys = _sgpr_system(params, data, config, Z, row_chunk=row_chunk)
+    return SGPRServeState(Z=Z, Lm=sys.Lm, LB=sys.LB, c=sys.c,
+                          beta=sys.beta, LA=sys.LA, E=sys.E, ok=sys.ok)
 
 
 def predict_sgpr(
@@ -263,6 +348,7 @@ def fit_sgpr(
     inducing_opt_steps: int = 0,
     inducing_lr: float = 1e-2,
     restart_chunk: int | None = None,
+    row_chunk: int | None = None,
 ) -> SGPRFitResult:
     """Sparse fit: vmapped multi-restart LBFGS on the ELBO.
 
@@ -273,7 +359,10 @@ def fit_sgpr(
     has no analogue of. restart_chunk bounds peak memory like
     models/fit.fit_gp: one restart's live set is dominated by the (m, N)
     whitened cross-kernel (~2 GB at N=1e6, m=512 f32), so chunking keeps
-    million-point fits on a 16 GB chip.
+    million-point fits on a 16 GB chip. row_chunk streams the N axis in
+    fixed-size chunks inside every ELBO evaluation (jax.checkpoint remat
+    per chunk — see _SGPRSystem): live memory O(m * row_chunk), flat in
+    N. At N=1e6 use row_chunk=65536 and restart_chunk=1.
 
     jit-able end to end; restarts vmap exactly like models/fit.fit_gp
     (same bounded reparameterization, same dead-start semantics via -inf).
@@ -296,7 +385,8 @@ def fit_sgpr(
 
     def objective(u):
         u = jax.tree.map(lambda a: a.astype(dtype), u)
-        return -elbo(_u_to_params(u, lo, hi), data, config, Z)
+        return -elbo(_u_to_params(u, lo, hi), data, config, Z,
+                     row_chunk=row_chunk)
 
     def one(u):
         return _run_lbfgs(u, objective, steps, linesearch=config.linesearch)
@@ -329,7 +419,8 @@ def fit_sgpr(
         def joint_obj(carry):
             u, Zc = carry
             u = jax.tree.map(lambda a: a.astype(dtype), u)
-            return -elbo(_u_to_params(u, lo, hi), data, config, Zc)
+            return -elbo(_u_to_params(u, lo, hi), data, config, Zc,
+                         row_chunk=row_chunk)
 
         st0 = opt.init((u_best, Z))
 
@@ -356,7 +447,7 @@ def fit_sgpr(
     params = _u_to_params(
         jax.tree.map(lambda a: a.astype(dtype), u_best), lo, hi
     )
-    state = sgpr_precompute(params, data, config, Z)
+    state = sgpr_precompute(params, data, config, Z, row_chunk=row_chunk)
     return SGPRFitResult(
         params=params, Z=Z, elbo=best_elbo, restart_elbos=elbos, state=state
     )
@@ -406,6 +497,7 @@ def fit_multivariate_sparse(
     inducing_opt_steps: int = 0,
     inducing_lr: float = 1e-2,
     restart_chunk: int | None = None,
+    row_chunk: int | None = None,
     noise=None,
 ) -> SparseMultivariateEmulator:
     """Sparse multivariate fit: PCA -> per-PC SGPR (shared inducing set).
@@ -450,6 +542,7 @@ def fit_multivariate_sparse(
             n_restarts=n_restarts, max_steps=max_steps,
             inducing_opt_steps=inducing_opt_steps,
             inducing_lr=inducing_lr, restart_chunk=restart_chunk,
+            row_chunk=row_chunk,
         )
 
     # noise presence is a trace-static property: pick ONE jitted callable
