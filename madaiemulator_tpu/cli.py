@@ -224,6 +224,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="sparse: refine inducing LOCATIONS jointly with the "
         "hyperparameters by K Adam steps on the ELBO after LBFGS",
     )
+    est.add_argument(
+        "--row_chunk", type=int, default=None, metavar="C",
+        help="sparse: stream the N axis in C-row chunks inside every "
+        "ELBO evaluation (jax.checkpoint per chunk) — live memory "
+        "O(M*C), flat in N; use C=65536 with --restart_chunk=1 at "
+        "N ~ 1e6",
+    )
 
     im = sub.add_parser("interactive_mode", help="serve queries over stdin/stdout")
     im.add_argument("state_file")
@@ -569,6 +576,7 @@ def cmd_estimate_thetas(args) -> int:
             inducing=args.inducing,
             inducing_opt_steps=args.inducing_opt_steps,
             restart_chunk=args.restart_chunk,
+            row_chunk=args.row_chunk,
             noise=noise,
         )
         from madaiemulator_tpu.io.snapshot import write_snapshot_auto as _w
