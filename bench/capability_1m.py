@@ -80,15 +80,17 @@ def main():
     )
     data = GPData(X=X, y=y)
 
-    # row_chunk streams the N axis (jax.checkpoint per 64k block): live
-    # memory O(m * 64k) ~ 130 MB instead of the (m, N) 2 GB operand whose
-    # whole-fit autodiff residuals crashed the worker un-chunked
+    # Host-loop fit (models/sparse.fit_sgpr_host -> models/fit.fit_gp_host):
+    # only the streamed ELBO value+grad compiles — the whole-fit jit (an
+    # LBFGS scan of scans) is a member of the axon worker's documented
+    # whole-loop crash family (ROADMAP "environment issues"). vg_batch=1:
+    # one restart's streamed live set (~O(m * 64k) with jax.checkpoint
+    # remat per block) is the memory unit.
     t0 = time.perf_counter()
-    fit = jax.jit(
-        lambda k: sparse.fit_sgpr(
-            k, data, cfg, inducing=m, restart_chunk=1, row_chunk=65536,
-        )
-    )(jax.random.key(1))
+    fit = sparse.fit_sgpr_host(
+        jax.random.key(1), data, cfg, inducing=m, row_chunk=65536,
+        vg_batch=1,
+    )
     sync(fit.state.c)
     t_fit = time.perf_counter() - t0
     elbo = float(fit.elbo)

@@ -70,6 +70,7 @@ from madaiemulator_tpu.models.sparse import (
     SparseMultivariateEmulator,
     fit_multivariate_sparse,
     fit_sgpr,
+    fit_sgpr_host,
     predict_multivariate_sparse,
     predict_sgpr,
 )
@@ -154,6 +155,7 @@ __all__ = [
     "SparseMultivariateEmulator",
     "fit_multivariate_sparse",
     "fit_sgpr",
+    "fit_sgpr_host",
     "predict_multivariate_sparse",
     "predict_sgpr",
     "predict_multivariate",

@@ -453,6 +453,55 @@ def fit_sgpr(
     )
 
 
+def fit_sgpr_host(
+    key: jax.Array,
+    data: GPData,
+    config: GPConfig,
+    inducing: int | jax.Array = 512,
+    n_restarts: int | None = None,
+    max_steps: int | None = None,
+    row_chunk: int | None = None,
+    **host_kwargs,
+) -> SGPRFitResult:
+    """Host-loop sparse fit for the million-point scale.
+
+    The fully-jitted `fit_sgpr` compiles the whole LBFGS loop into one
+    program; on the axon environment big whole-loop graphs are a
+    documented TPU-worker crash family (ROADMAP "environment issues" —
+    the dense path hit the same wall and grew `fit_gp_host`). Here only
+    the streamed ELBO value+grad compiles; the LBFGS recursion,
+    backtracking, dead-start rescue, checkpoint/resume, and vg_batch
+    memory capping all come from models/fit.fit_gp_host (host_kwargs
+    forward to it — vg_batch=1 is the right setting at N ~ 1e6).
+    """
+    if data.dY is not None:
+        raise ValueError(
+            "fit_sgpr_host: gradient observations are dense-path only"
+        )
+    from madaiemulator_tpu.models.fit import fit_gp_host
+
+    dtype = data.y.dtype
+    Z = (
+        select_inducing(data.X, int(inducing))
+        if isinstance(inducing, int)
+        else jnp.asarray(inducing, dtype)
+    )
+
+    def lml_fn(p, d, c):
+        return elbo(p, d, c, Z, row_chunk=row_chunk)
+
+    res = fit_gp_host(
+        key, data, config, n_restarts=n_restarts, max_steps=max_steps,
+        lml_fn=lml_fn, **host_kwargs,
+    )
+    state = sgpr_precompute(res.params, data, config, Z,
+                            row_chunk=row_chunk)
+    return SGPRFitResult(
+        params=res.params, Z=Z, elbo=res.log_likelihood,
+        restart_elbos=res.restart_log_likelihoods, state=state,
+    )
+
+
 # --- multivariate (PCA) sparse emulator -------------------------------------
 
 

@@ -161,6 +161,29 @@ def test_restart_chunk_matches_unchunked(rng):
                                np.asarray(r2.restart_elbos), rtol=1e-6)
 
 
+def test_fit_sgpr_host_matches_jitted_quality(rng):
+    """The host-loop driver (fit_gp_host machinery with the streamed ELBO
+    objective — the million-point route) reaches a comparable optimum and
+    a servable state."""
+    n = 800
+    X = jnp.asarray(rng.uniform(0, 1, (n, 2)))
+    f = lambda X: jnp.sin(4 * X[:, 0]) * jnp.cos(2 * X[:, 1]) + X[:, 1]
+    y = f(X) + 0.05 * jnp.asarray(rng.normal(size=n))
+    cfg = GPConfig(nparams=2, regression_order=1)
+    data = GPData(X=X, y=y)
+    jitted = sparse.fit_sgpr(jax.random.key(3), data, cfg, inducing=30,
+                             n_restarts=2, max_steps=30)
+    host = sparse.fit_sgpr_host(jax.random.key(3), data, cfg, inducing=30,
+                                n_restarts=2, max_steps=30, row_chunk=256)
+    assert bool(host.state.ok)
+    assert float(host.elbo) > float(jitted.elbo) - 10.0
+    Xq = jnp.asarray(rng.uniform(0.05, 0.95, (200, 2)))
+    m, v = sparse.predict_sgpr(host.state, host.params, cfg, Xq)
+    rmse = float(jnp.sqrt(jnp.mean((m - f(Xq)) ** 2)))
+    assert rmse < 0.08, rmse
+    assert bool(jnp.all(v >= 0))
+
+
 def test_inducing_optimization_improves_bad_init(rng):
     """Adam on (hypers, Z) rescues inducing points clustered in a corner
     — inducing locations as continuous trainables, no dense analogue."""
