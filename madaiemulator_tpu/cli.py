@@ -75,7 +75,10 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
     Sparse (SGPR): estimate_thetas --inducing=M trains past the exact
     one-chip envelope (O(N*M^2) — N ~ 1e6 at M=512-1024); the snapshot
     stores the O(M^2) serve state under its own grammar and serves
-    through interactive_mode / print_thetas / sensitivity / convert.
+    through interactive_mode / calibrate / sensitivity / print_thetas /
+    convert — calibration walks the chain against the O(M^2) state
+    in-graph, so million-point emulators calibrate at dense-emulator
+    speed.
 
 The math runs through the same jit paths as the library API; the CLI is a
 thin shell. Training defaults to float64 on CPU for reference-grade
@@ -1009,7 +1012,12 @@ def cmd_calibrate(args) -> int:
     )
     if _reject_multifidelity(emu, "calibrate"):
         return 2
-    if _reject_sparse(emu, "calibrate"):
+    if _is_sparse(emu) and args.matrix_free:
+        print(
+            "error: sparse (SGPR) snapshots already calibrate against the "
+            "O(m^2) serve state in-graph; drop --matrix_free",
+            file=sys.stderr,
+        )
         return 2
     states = None
     if args.matrix_free:

@@ -46,6 +46,19 @@ from madaiemulator_tpu.models.multivariate import (
 from madaiemulator_tpu.utils.designs import unapply_scaling
 
 
+def _is_sparse(emu) -> bool:
+    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
+
+    return isinstance(emu, SparseMultivariateEmulator)
+
+
+def _design_points(emu):
+    """Scaled in-cube points that locate the emulator: the training design
+    for dense/matrix-free emulators, the inducing set for sparse ones
+    (the SGPR serve state keeps no training arrays — models/sparse.py)."""
+    return emu.Z if _is_sparse(emu) else emu.X
+
+
 class CalibrationResult(NamedTuple):
     """MCMC output in NATURAL parameter space.
 
@@ -155,18 +168,31 @@ def make_log_posterior(
     kernel-tile rows (use <= 1024 at N >= 131k, the documented worker
     envelope).
     """
-    y_exp = jnp.asarray(y_exp, dtype=emu.X.dtype)
-    exp_cov = jnp.asarray(exp_cov, dtype=emu.X.dtype)
+    _dtype = _design_points(emu).dtype
+    y_exp = jnp.asarray(y_exp, dtype=_dtype)
+    exp_cov = jnp.asarray(exp_cov, dtype=_dtype)
     t = y_exp.shape[0]
     if exp_cov.ndim not in (1, 2):
         raise ValueError("exp_cov must be (t,) variances or (t, t) covariance")
     if exp_cov.shape[0] != t or (exp_cov.ndim == 2 and exp_cov.shape[1] != t):
         raise ValueError(f"exp_cov shape {exp_cov.shape} mismatches y_exp ({t},)")
     log2pi = float(np.log(2.0 * np.pi))
-    d_theta = emu.X.shape[1]
-    ystd2 = (emu.pca.ystd.astype(emu.X.dtype)) ** 2  # (t,)
+    d_theta = _design_points(emu).shape[1]
+    ystd2 = (emu.pca.ystd.astype(_dtype)) ** 2  # (t,)
 
-    if getattr(emu, "states", None) is not None:
+    if _is_sparse(emu):
+        # million-point calibration: every walker-batch moment evaluation
+        # is O(W m) against the O(m^2) serve state — the WHOLE chain still
+        # compiles to one scan (models/sparse.predict_sgpr)
+        from madaiemulator_tpu.models.sparse import predict_sgpr
+
+        def moments(xq):
+            m_pc, v_pc = jax.vmap(
+                lambda st, pp: predict_sgpr(st, pp, emu.config, xq)
+            )(emu.states, emu.params)
+            return reconstruct_observables(m_pc, v_pc, emu.pca)
+
+    elif getattr(emu, "states", None) is not None:
 
         def moments(xq):
             m_pc, v_pc = _predict_components(
@@ -797,18 +823,19 @@ def init_walkers(
     appends unconstrained trailing coordinates (e.g. the sampled
     discrepancy log-scale) initialized at the given values plus jitter."""
     k_sub, key = jax.random.split(jnp.asarray(key))
-    N = emu.X.shape[0]
+    design = _design_points(emu)  # sparse: the inducing set (in-cube)
+    N = design.shape[0]
     score_cap = 2048
     if N > score_cap:
         # scoring every design point costs an (N, t) moments pass — at
         # matrix-free N that is an N x N cross-covariance; a random subset
         # locates high-posterior seeds just as well
         sub = jax.random.choice(k_sub, N, shape=(score_cap,), replace=False)
-        X_seed = emu.X[sub]
+        X_seed = design[sub]
     else:
-        X_seed = emu.X
+        X_seed = design
     if extra0 is not None:
-        extra0 = jnp.asarray(extra0, emu.X.dtype).reshape(-1)  # (e,)
+        extra0 = jnp.asarray(extra0, design.dtype).reshape(-1)  # (e,)
         X_score = jnp.concatenate(
             [X_seed, jnp.broadcast_to(extra0, (X_seed.shape[0],) + extra0.shape)],
             axis=1,
@@ -821,12 +848,12 @@ def init_walkers(
     k_pick, k_jit, k_ex = jax.random.split(key, 3)
     pick = jax.random.choice(k_pick, top, shape=(n_walkers,))
     x0 = X_seed[pick] + jitter * jax.random.normal(
-        k_jit, (n_walkers, emu.X.shape[1]), dtype=emu.X.dtype
+        k_jit, (n_walkers, design.shape[1]), dtype=design.dtype
     )
     x0 = jnp.clip(x0, 1e-6, 1.0 - 1e-6)
     if extra0 is not None:
         ex = extra0[None, :] + 0.3 * jax.random.normal(
-            k_ex, (n_walkers, extra0.shape[0]), dtype=emu.X.dtype
+            k_ex, (n_walkers, extra0.shape[0]), dtype=design.dtype
         )
         x0 = jnp.concatenate([x0, ex], axis=1)
     return x0
@@ -928,7 +955,7 @@ def calibrate(
         raise ValueError(f"unknown sampler {sampler!r} (emcee|pt|rwm|hmc)")
     kept = np.asarray(chain)[burn_in::thin]  # (S, W, d[+1]) scaled
     kept_lp = np.asarray(lps)[burn_in::thin]
-    d_theta = emu.X.shape[1]
+    d_theta = _design_points(emu).shape[1]
     theta_kept = kept[..., :d_theta]
     natural = np.asarray(
         unapply_scaling(
@@ -989,11 +1016,19 @@ def implausibility(
     iter_kwargs (query_chunk, row_chunk, rank, ...) to
     predict_multivariate_iterative; pass `states` to reuse a serving cache
     across waves."""
-    y_exp = jnp.asarray(y_exp, dtype=emu.X.dtype)
-    exp_cov = jnp.asarray(exp_cov, dtype=emu.X.dtype)
+    _dtype = _design_points(emu).dtype
+    y_exp = jnp.asarray(y_exp, dtype=_dtype)
+    exp_cov = jnp.asarray(exp_cov, dtype=_dtype)
     s2 = jnp.diagonal(exp_cov) if exp_cov.ndim == 2 else exp_cov
     xq = jnp.atleast_2d(thetas_scaled)
-    if getattr(emu, "states", None) is not None:
+    if _is_sparse(emu):
+        from madaiemulator_tpu.models.sparse import predict_sgpr
+
+        m_pc, v_pc = jax.vmap(
+            lambda st, pp: predict_sgpr(st, pp, emu.config, xq)
+        )(emu.states, emu.params)
+        mean, var = reconstruct_observables(m_pc, v_pc, emu.pca)
+    elif getattr(emu, "states", None) is not None:
         if iter_kwargs:
             raise TypeError(
                 f"iter_kwargs {sorted(iter_kwargs)} apply to matrix-free "

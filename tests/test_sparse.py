@@ -264,6 +264,37 @@ def test_multivariate_sparse_accuracy_and_noise(rng):
     assert float(np.sqrt(np.mean((np.asarray(m2) - _mv_truth(Xq)) ** 2))) < 0.08
 
 
+def test_sparse_emulator_calibrates_in_graph(rng):
+    """Million-point-capable calibration: the MCMC chain walks against the
+    O(m^2) SGPR serve state in-graph and recovers the true parameters."""
+    from madaiemulator_tpu.models.calibrate import calibrate, implausibility
+
+    X, Y = _mv_problem(rng, n=600)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    emu = sparse.fit_multivariate_sparse(
+        jax.random.key(0), X, Y, cfg, pca_variance=0.999, inducing=40,
+        n_restarts=2, max_steps=40,
+    )
+    theta_true = np.array([1.8, 2.4])
+    y_exp = _mv_truth(theta_true[None, :])[0]
+    exp_var = np.full(3, 1e-3)
+    res = calibrate(
+        jax.random.key(1), emu, y_exp, exp_var, n_walkers=32,
+        n_steps=400, burn_in=200,
+    )
+    post_mean = res.samples.reshape(-1, 2).mean(axis=0)
+    np.testing.assert_allclose(post_mean, theta_true, atol=0.15)
+    # implausibility screens against the same state: the truth is NROY,
+    # a far corner is ruled out
+    from madaiemulator_tpu.utils.designs import DesignScaling, apply_scaling
+
+    pts = jnp.asarray(
+        apply_scaling(jnp.asarray([[1.8, 2.4], [2.9, 1.05]]), emu.scaling)
+    )
+    I = np.asarray(implausibility(emu, y_exp, exp_var, pts))
+    assert I[0] < 3.0 < I[1], I
+
+
 @pytest.mark.parametrize("ext", ["txt", "npz"])
 def test_sparse_snapshot_round_trip(rng, tmp_path, ext):
     from madaiemulator_tpu.io.snapshot import (
@@ -375,13 +406,24 @@ def test_cli_sparse_rejections(rng, tmp_path):
     )
     assert r.returncode == 0, r.stderr
     exp = tmp_path / "exp.txt"
-    exp.write_text("1\n0.5 0.01\n1.0 0.01\n")
-    for sub in (["calibrate", str(state), str(exp), "--n_steps=10",
-                 "--quiet"],
-                ["validate", str(state)]):
-        r = subprocess.run(CLI + sub, capture_output=True,
-                           text=True, timeout=300)
-        assert r.returncode == 2 and "sparse (SGPR)" in r.stderr, sub
+    exp.write_text("2\n0.5 0.01\n1.0 0.01\n")
+    # calibrate WORKS on sparse snapshots (walks the chain against the
+    # O(m^2) state in-graph) — but rejects --matrix_free
+    r = subprocess.run(
+        CLI + ["calibrate", str(state), str(exp), "--n_steps=50",
+               "--n_walkers=16", "--quiet", "--output", str(tmp_path / "d")],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        CLI + ["calibrate", str(state), str(exp), "--n_steps=10",
+               "--matrix_free", "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "matrix_free" in r.stderr
+    r = subprocess.run(CLI + ["validate", str(state)], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 2 and "sparse (SGPR)" in r.stderr
     r = subprocess.run(
         CLI + ["interactive_mode", str(state), "--serve_method=iterative"],
         input="0.5 0.5\n", capture_output=True, text=True, timeout=300,
