@@ -75,10 +75,10 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
     Sparse (SGPR): estimate_thetas --inducing=M trains past the exact
     one-chip envelope (O(N*M^2) — N ~ 1e6 at M=512-1024); the snapshot
     stores the O(M^2) serve state under its own grammar and serves
-    through interactive_mode / calibrate / sensitivity / print_thetas /
-    convert — calibration walks the chain against the O(M^2) state
-    in-graph, so million-point emulators calibrate at dense-emulator
-    speed.
+    through interactive_mode / calibrate / design / sensitivity /
+    print_thetas / convert — calibration chains and design-pool screens
+    run against the O(M^2) state in-graph, so million-point emulators
+    calibrate and propose new runs at dense-emulator speed.
 
 The math runs through the same jit paths as the library API; the CLI is a
 thin shell. Training defaults to float64 on CPU for reference-grade
@@ -1208,7 +1208,12 @@ def cmd_design(args) -> int:
     )
     if _reject_multifidelity(emu, "design"):
         return 2
-    if _reject_sparse(emu, "design"):
+    if _is_sparse(emu) and args.matrix_free:
+        print(
+            "error: sparse (SGPR) snapshots already screen pools against "
+            "the O(m^2) serve state in-graph; drop --matrix_free",
+            file=sys.stderr,
+        )
         return 2
     iter_kwargs = (
         dict(rank=args.rank, cg_tol=args.cg_tol,

@@ -147,6 +147,21 @@ def _pool_moments_iterative(emu, pool: jax.Array, states, iter_kwargs):
     )
 
 
+def _pool_moments_sparse(emu, pool: jax.Array):
+    """Observable-space (mean, var) over a scaled pool for a sparse (SGPR)
+    emulator — O(P m) against the stored serve state
+    (models/sparse.predict_multivariate_sparse)."""
+    from madaiemulator_tpu.models.sparse import predict_multivariate_sparse
+
+    return predict_multivariate_sparse(emu, unapply_scaling(pool, emu.scaling))
+
+
+def _is_sparse(emu) -> bool:
+    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
+
+    return isinstance(emu, SparseMultivariateEmulator)
+
+
 _greedy_maximin_jit = jax.jit(_greedy_maximin, static_argnames=("n_new",))
 
 
@@ -171,10 +186,17 @@ def active_variance_design(
     `states` from precompute_iterative_multivariate to reuse the training
     solves across waves; iter_kwargs forward to the iterative predict.
     """
+    design = emu.Z if _is_sparse(emu) else emu.X
     if pool is None:
-        pool = latin_hypercube(key, pool_size, emu.X.shape[1], dtype=emu.X.dtype)
-    pool = jnp.asarray(pool, dtype=emu.X.dtype)
-    if getattr(emu, "states", None) is not None:
+        pool = latin_hypercube(key, pool_size, design.shape[1],
+                               dtype=design.dtype)
+    pool = jnp.asarray(pool, dtype=design.dtype)
+    if _is_sparse(emu):
+        _, var = _pool_moments_sparse(emu, pool)
+        sel, scr = _greedy_maximin_jit(
+            pool, _variance_weights(var, emu.pca), n_new=int(n_new)
+        )
+    elif getattr(emu, "states", None) is not None:
         sel, scr = _variance_select(
             emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config, pool,
             int(n_new), dZ=emu.dZ,
@@ -233,14 +255,21 @@ def nroy_wave_design(
     Also accepts an IterativeMultivariateEmulator (matrix-free) — see
     active_variance_design for the `states` / iter_kwargs contract.
     """
+    design = emu.Z if _is_sparse(emu) else emu.X
     if pool is None:
-        pool = latin_hypercube(key, pool_size, emu.X.shape[1], dtype=emu.X.dtype)
-    pool = jnp.asarray(pool, dtype=emu.X.dtype)
-    exp_var = jnp.asarray(exp_var, emu.X.dtype)
+        pool = latin_hypercube(key, pool_size, design.shape[1],
+                               dtype=design.dtype)
+    pool = jnp.asarray(pool, dtype=design.dtype)
+    exp_var = jnp.asarray(exp_var, design.dtype)
     if exp_var.ndim == 2:
         exp_var = jnp.diagonal(exp_var)
-    y_exp = jnp.asarray(y_exp, emu.X.dtype)
-    if getattr(emu, "states", None) is not None:
+    y_exp = jnp.asarray(y_exp, design.dtype)
+    if _is_sparse(emu):
+        mean, var = _pool_moments_sparse(emu, pool)
+        imp = implausibility_from_moments(mean, var, y_exp, exp_var)
+        weights, frac = _nroy_weights(imp, float(threshold), pool.dtype)
+        sel, scr = _greedy_maximin_jit(pool, weights, n_new=int(n_new))
+    elif getattr(emu, "states", None) is not None:
         sel, scr, frac, _ = _nroy_select(
             emu.states, emu.params, emu.X, emu.Z, emu.pca, emu.config,
             y_exp, exp_var, pool, int(n_new), float(threshold), dZ=emu.dZ,

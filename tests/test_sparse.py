@@ -295,6 +295,42 @@ def test_sparse_emulator_calibrates_in_graph(rng):
     assert I[0] < 3.0 < I[1], I
 
 
+def test_sparse_emulator_drives_sequential_design(rng):
+    """Both design acquisitions run against the sparse serve state:
+    active-variance proposals avoid the training-dense region, and the
+    NROY wave screens with the same implausibility as calibrate."""
+    from madaiemulator_tpu.models.design import (
+        active_variance_design,
+        nroy_wave_design,
+    )
+
+    X, Y = _mv_problem(rng, n=400)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    emu = sparse.fit_multivariate_sparse(
+        jax.random.key(0), X, Y, cfg, pca_variance=0.999, inducing=30,
+        n_restarts=2, max_steps=30,
+    )
+    prop = active_variance_design(jax.random.key(1), emu, n_new=5)
+    assert prop.points.shape == (5, 2)
+    assert np.all(prop.points >= 1.0) and np.all(prop.points <= 3.0)
+    theta_true = np.array([1.8, 2.4])
+    y_exp = _mv_truth(theta_true[None, :])[0]
+    wave = nroy_wave_design(
+        jax.random.key(2), emu, y_exp, np.full(3, 1e-3), n_new=5,
+    )
+    assert wave.points.shape == (5, 2)
+    assert 0.0 < wave.pool_fraction_viable < 0.5  # data constrains theta
+    # proposed points are themselves not ruled out
+    from madaiemulator_tpu.models.calibrate import implausibility
+    from madaiemulator_tpu.utils.designs import apply_scaling
+
+    I = np.asarray(implausibility(
+        emu, y_exp, np.full(3, 1e-3),
+        apply_scaling(jnp.asarray(wave.points), emu.scaling),
+    ))
+    assert np.all(I <= 3.0), I
+
+
 @pytest.mark.parametrize("ext", ["txt", "npz"])
 def test_sparse_snapshot_round_trip(rng, tmp_path, ext):
     from madaiemulator_tpu.io.snapshot import (
