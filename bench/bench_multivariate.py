@@ -47,6 +47,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from madaiemulator_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # same default as every CLI invocation
+
     from madaiemulator_tpu.models.multivariate import (
         fit_multivariate,
         precompute_fast_multivariate,

@@ -148,6 +148,35 @@ def main():
         ),
     )
 
+    # EXACT-variance serve at scale (VERDICT r3 next #3): 1024 queries via
+    # predict_iterative_host — HOST-side chunk loop, one narrow single-PCG
+    # program per 64-query call. The in-graph multi-chunk route (nested
+    # lax.map x while_loop) crashes the axon worker at EVERY chunking
+    # tried at this N, down to (qc=64, rhs=32) — measured,
+    # bench/probe_exactvar_64k.py. Parity is pinned against the narrow
+    # single-call check above (same math, chunk-by-chunk identical).
+    from madaiemulator_tpu.models.iterative import predict_iterative_host
+
+    m_big = 1024
+    t0 = time.perf_counter()
+    m_x, v_x = predict_iterative_host(
+        state, data, Xq[:m_big], chunk=64,
+        variance_method="exact", row_chunk=row_chunk,
+    )
+    t_x = time.perf_counter() - t0
+    emit(
+        metric=f"iterative_predict_exactvar_n{n}_m{m_big}",
+        value=round(m_big / t_x, 1), unit="pts/s", wall_s=round(t_x, 2),
+        variance_method="exact", host_chunk=64,
+        max_dvar_vs_narrow=float(
+            np.max(np.abs(np.asarray(v_x)[:m_small] - np.asarray(v_e)))
+        ),
+        max_dmean_vs_narrow=float(
+            np.max(np.abs(np.asarray(m_x)[:m_small] - np.asarray(m_e)))
+        ),
+        mean_var=float(np.mean(np.asarray(v_x))),
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -895,13 +895,17 @@ def predict_iterative_from_state(
     variance_rhs strip-mines the exact variance solve: each query chunk's
     PCG runs in sub-batches of <= variance_rhs right-hand-side columns
     (an inner lax.map), while the mean path keeps the full chunk-wide
-    GEMMs. The default 128 sits below the axon worker's measured
-    wide-RHS crash threshold (>= 256 columns crash at N = 65,536 —
-    docs/ROUND3.md), so EXACT variances are now safe at the 64k serving
-    scale instead of silently requiring the Woodbury approximation
-    (VERDICT r3 weak #4 / next #3). Results are independent of the
-    split (each column's Krylov solve is independent; parity pinned in
-    tests/test_iterative.py).
+    GEMMs. Results are independent of the split (each column's Krylov
+    solve is independent; parity pinned in tests/test_iterative.py).
+    ENVELOPE CAVEAT (measured round 4, bench/probe_exactvar_64k.py): at
+    N = 65,536 a MULTI-chunk exact serve — the nested
+    lax.map(queries) x lax.map(rhs strips) x while_loop(PCG) program —
+    crashes the axon TPU worker at EVERY (query_chunk, variance_rhs)
+    tried, down to (64, 32); one narrow single-chunk call (<= 128
+    queries, one PCG program) is stable. For exact variances over large
+    query sets at that scale use `predict_iterative_host` (host-side
+    chunk loop, one narrow program per call) or
+    variance_method="precond".
 
     variance_method="precond" replaces the per-chunk PCG variance solve
     with the cached preconditioner's Woodbury apply (k*^T P^-1 k*,
@@ -997,6 +1001,46 @@ def predict_iterative_from_state(
     means = means.reshape(-1)[:m]
     variances = variances.reshape(-1)[:m]
     return (means, variances if with_variance else None)
+
+
+def predict_iterative_host(
+    state: IterativePosteriorState,
+    data: GPData,
+    Xs: jax.Array,
+    chunk: int = 64,
+    **kwargs,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Exact-variance serving of LARGE query sets at large N: a HOST-side
+    chunk loop, one narrow single-PCG program per device call.
+
+    Why this exists (measured, round 4): at N = 65,536 the in-graph
+    multi-chunk exact serve — nested lax.map(queries) x lax.map(rhs
+    strips) x while_loop(PCG) — crashes the axon TPU worker at every
+    chunking tried (bench/probe_exactvar_64k.py), while one narrow call
+    per chunk is stable (~25 s per 64 queries at that scale). The device
+    program compiles ONCE (fixed chunk shape; the tail is padded), so the
+    host loop costs dispatches, not compiles. Results are exactly
+    predict_iterative_from_state chunk-by-chunk; kwargs forward to it
+    (row_chunk, variance_rhs, with_variance, variance_method)."""
+    import numpy as _np
+
+    m = Xs.shape[0]
+    chunk = max(1, min(int(chunk), m))
+    kwargs.setdefault("query_chunk", chunk)
+    ms, vs = [], []
+    for i in range(0, m, chunk):
+        q = Xs[i: i + chunk]
+        pad = chunk - q.shape[0]
+        if pad:  # pad the tail so every call reuses one compiled program
+            q = jnp.concatenate([q, q[-1:].repeat(pad, axis=0)], axis=0)
+        m_i, v_i = predict_iterative_from_state(state, data, q, **kwargs)
+        take = chunk - pad
+        ms.append(_np.asarray(m_i)[:take])
+        vs.append(None if v_i is None else _np.asarray(v_i)[:take])
+    means = jnp.asarray(_np.concatenate(ms))
+    if vs[0] is None:
+        return means, None
+    return means, jnp.asarray(_np.concatenate(vs))
 
 
 def predict_iterative(

@@ -528,3 +528,32 @@ def test_predict_from_state_variance_rhs_strip_mining(rng):
                                    rtol=1e-12)
         np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_predict_iterative_host_matches_in_graph(rng):
+    """predict_iterative_host (host-side chunk loop — the exact-variance
+    route at the 64k serving scale, where the nested in-graph chunked
+    program is a measured TPU-worker crash trigger) is exactly the
+    in-graph serve, including an uneven tail chunk."""
+    cfg, data, p = setup_problem(rng, n=40)
+    Xs = jnp.asarray(rng.uniform(size=(23, 2)))
+    state = iterative.precompute_iterative_predictor(
+        p, data, cfg, rank=32, cg_tol=1e-10, cg_max_iters=300
+    )
+    m_ref, v_ref = iterative.predict_iterative_from_state(
+        state, data, Xs, query_chunk=23
+    )
+    for chunk in (23, 8, 5):  # 23/8, 23/5 exercise the padded tail
+        m, v = iterative.predict_iterative_host(
+            state, data, Xs, chunk=chunk
+        )
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                                   rtol=1e-11)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                   rtol=1e-8, atol=1e-12)
+    # with_variance=False path
+    m, v = iterative.predict_iterative_host(
+        state, data, Xs, chunk=8, with_variance=False
+    )
+    assert v is None
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref), rtol=1e-11)
