@@ -295,6 +295,39 @@ def test_sparse_emulator_calibrates_in_graph(rng):
     assert I[0] < 3.0 < I[1], I
 
 
+def test_elbo_sharded_matches_single_device(rng):
+    """Data-parallel SGPR on the 8-virtual-device mesh: row-sharding the
+    training set and letting GSPMD insert the summary reductions must
+    reproduce the single-device ELBO (and its gradient path compiles)."""
+    from madaiemulator_tpu.parallel.sparse_sharded import (
+        elbo_sharded,
+        make_rows_mesh,
+        shard_data_rows,
+    )
+
+    n = 640  # divides 8
+    X = jnp.asarray(rng.uniform(0, 1, (n, 2)))
+    y = jnp.sin(3 * X[:, 0]) + 0.5 * X[:, 1]
+    nz = jnp.asarray(10.0 ** rng.uniform(-4, -2, size=n))
+    cfg = GPConfig(nparams=2, regression_order=1)
+    p = _params(2)
+    Z = sparse.select_inducing(X, 25)
+    mesh = make_rows_mesh(8)
+    for noise in (None, nz):
+        data = GPData(X=X, y=y, noise=noise)
+        e_ref = float(sparse.elbo(p, data, cfg, Z))
+        e_sh = float(elbo_sharded(p, data, cfg, Z, mesh))
+        np.testing.assert_allclose(e_sh, e_ref, rtol=1e-9)
+    # gradients flow through the sharded graph
+    data = GPData(X=X, y=y)
+    dsh = shard_data_rows(data, mesh)
+    g = jax.jit(jax.grad(lambda pp: sparse.elbo(pp, dsh, cfg, Z)))(p)
+    g_ref = jax.grad(lambda pp: sparse.elbo(pp, data, cfg, Z))(p)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-10)
+
+
 def test_sparse_emulator_drives_sequential_design(rng):
     """Both design acquisitions run against the sparse serve state:
     active-variance proposals avoid the training-dense region, and the
