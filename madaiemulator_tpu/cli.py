@@ -703,6 +703,26 @@ def _estimate_thetas_multifidelity(args, dtype) -> int:
             file=sys.stderr,
         )
         return 2
+    # flags the MF route cannot honor must fail fast, not silently drop
+    # (a single --noise_file cannot express per-level noise; use the
+    # library API fit_multifidelity(noise=[...]) for that)
+    unsupported = [
+        name for name, val in (
+            ("--noise_file", getattr(args, "noise_file", None)),
+            ("--gradients_file", getattr(args, "gradients_file", None)),
+            ("--alpha_grid", getattr(args, "alpha_grid", None)),
+            ("--inducing", getattr(args, "inducing", 0)),
+        ) if val
+    ]
+    if unsupported:
+        print(
+            f"error: {', '.join(unsupported)} not supported with "
+            "MULTIFIDELITY model files (per-level noise and the other "
+            "modalities go through the library API, "
+            "models/multifidelity.py)",
+            file=sys.stderr,
+        )
+        return 2
     try:
         mf = read_multifidelity_model_file(args.model_file)
     except ValueError as e:
@@ -975,9 +995,9 @@ def _reject_multifidelity(emu, subcommand: str) -> bool:
 
 
 def _is_sparse(emu) -> bool:
-    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
+    from madaiemulator_tpu.models.sparse import is_sparse
 
-    return isinstance(emu, SparseMultivariateEmulator)
+    return is_sparse(emu)
 
 
 def _reject_sparse(emu, subcommand: str) -> bool:
@@ -1007,9 +1027,14 @@ def cmd_calibrate(args) -> int:
     from madaiemulator_tpu.io.snapshot import read_snapshot_auto
     from madaiemulator_tpu.models.calibrate import calibrate
 
-    emu, param_names, output_names = read_snapshot_auto(
-        args.state_file, dtype=dtype, build_states=not args.matrix_free
-    )
+    try:
+        emu, param_names, output_names = read_snapshot_auto(
+            args.state_file, dtype=dtype, build_states=not args.matrix_free
+        )
+    except ValueError as e:
+        # e.g. a gradient-enhanced (v3) snapshot with --matrix_free
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if _reject_multifidelity(emu, "calibrate"):
         return 2
     if _is_sparse(emu) and args.matrix_free:
@@ -1115,9 +1140,14 @@ def cmd_validate(args) -> int:
             file=sys.stderr,
         )
         return 2
-    emu, param_names, output_names = read_snapshot_auto(
-        args.state_file, dtype=dtype, build_states=not args.matrix_free
-    )
+    try:
+        emu, param_names, output_names = read_snapshot_auto(
+            args.state_file, dtype=dtype, build_states=not args.matrix_free
+        )
+    except ValueError as e:
+        # e.g. a gradient-enhanced (v3) snapshot with --matrix_free
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if _reject_multifidelity(emu, "validate"):
         return 2
     if _reject_sparse(emu, "validate"):
@@ -1203,9 +1233,14 @@ def cmd_design(args) -> int:
         nroy_wave_design,
     )
 
-    emu, param_names, output_names = read_snapshot_auto(
-        args.state_file, dtype=dtype, build_states=not args.matrix_free
-    )
+    try:
+        emu, param_names, output_names = read_snapshot_auto(
+            args.state_file, dtype=dtype, build_states=not args.matrix_free
+        )
+    except ValueError as e:
+        # e.g. a gradient-enhanced (v3) snapshot with --matrix_free
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if _reject_multifidelity(emu, "design"):
         return 2
     if _is_sparse(emu) and args.matrix_free:
@@ -1335,8 +1370,8 @@ def cmd_sensitivity(args) -> int:
         predict_fn, d, key, n=args.n, query_chunk=args.query_chunk,
         dtype=dtype,
     )
-    first = np.atleast_2d(np.asarray(res.first).T).T  # (d, t)
-    total = np.atleast_2d(np.asarray(res.total).T).T
+    first = np.asarray(res.first)  # (d,) or (d, t)
+    total = np.asarray(res.total)
     if first.ndim == 1:
         first, total = first[:, None], total[:, None]
     t = first.shape[1]

@@ -304,9 +304,17 @@ def _assemble_multivariate(
     )
 
 
-def write_snapshot_auto(dest: str, emu, *args, **kwargs) -> None:
+def write_snapshot_auto(
+    dest: str,
+    emu,
+    param_names: List[str] | None = None,
+    output_names: List[str] | None = None,
+) -> None:
     """Dispatch on container type (multivariate / multi-fidelity / sparse)
-    and on extension ('.npz' -> binary, else text)."""
+    and on extension ('.npz' -> binary, else text). Takes the
+    write_snapshot argument shape for every family (output_names is a
+    LIST even for the scalar-output multi-fidelity writers — positional
+    or keyword, it is remapped to their singular output_name)."""
     from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
     from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
 
@@ -316,7 +324,7 @@ def write_snapshot_auto(dest: str, emu, *args, **kwargs) -> None:
             if dest.endswith(".npz")
             else write_snapshot_sparse
         )
-        writer(dest, emu, *args, **kwargs)
+        writer(dest, emu, param_names, output_names)
         return
     if isinstance(emu, MultiFidelityEmulator):
         writer = (
@@ -324,15 +332,11 @@ def write_snapshot_auto(dest: str, emu, *args, **kwargs) -> None:
             if dest.endswith(".npz")
             else write_snapshot_multifidelity
         )
-        # MF emulators are scalar-output: output_names (if given) has one
-        # entry; the MF writers take output_name singular
-        if "output_names" in kwargs:
-            names = kwargs.pop("output_names")
-            kwargs["output_name"] = None if names is None else names[0]
-        writer(dest, emu, *args, **kwargs)
+        writer(dest, emu, param_names,
+               None if output_names is None else output_names[0])
         return
     writer = write_snapshot_npz if dest.endswith(".npz") else write_snapshot
-    writer(dest, emu, *args, **kwargs)
+    writer(dest, emu, param_names, output_names)
 
 
 def read_snapshot_auto(source: str, dtype=jnp.float64, build_states: bool = True):
@@ -503,14 +507,21 @@ def read_snapshot(
 
 
 def _mf_rebuild_level(params, data, config):
-    """Rebuild one level's serving factorization (jitted per shape)."""
-    import jax
+    """Rebuild one level's serving factorization (jitted per shape —
+    same-shape levels reuse ONE compiled program; a fresh lambda per call
+    would recompile every level)."""
+    return _mf_rebuild_jit(params, data, config)
 
+
+def _mf_rebuild_jit_impl(params, data, config):
     from madaiemulator_tpu.models.gp import precompute_predictor
 
-    return jax.jit(
-        lambda p, d: precompute_predictor(p, d, config)
-    )(params, data)
+    return precompute_predictor(params, data, config)
+
+
+import jax as _jax  # noqa: E402
+
+_mf_rebuild_jit = _jax.jit(_mf_rebuild_jit_impl, static_argnames=("config",))
 
 
 def write_snapshot_multifidelity(
@@ -794,6 +805,22 @@ MAGIC_SGPR = "MADAIEMULATOR_TPU_SNAPSHOT_SGPR"
 VERSION_SGPR = 1
 
 
+def _check_sparse_ok(emu) -> None:
+    """Refuse to persist a sparse emulator with failed factorizations:
+    _sgpr_system substitutes identity placeholders when a Cholesky fails
+    (ok=False), and the readers/C++ have no ok concept — writing them
+    would persist silently-meaningless serve states."""
+    ok = np.asarray(emu.states.ok)
+    if not bool(np.all(ok)):
+        bad = [int(i) for i in np.nonzero(~ok.reshape(-1))[0]]
+        raise ValueError(
+            f"write_snapshot_sparse: component(s) {bad} carry FAILED "
+            "factorizations (state.ok=False — identity placeholder "
+            "factors); refusing to persist. Refit with different "
+            "hyperparameter bounds or more restarts."
+        )
+
+
 def write_snapshot_sparse(
     dest: Union[str, TextIO],
     emu,
@@ -801,6 +828,7 @@ def write_snapshot_sparse(
     output_names: List[str] | None = None,
 ) -> None:
     """Persist a SparseMultivariateEmulator (text grammar above)."""
+    _check_sparse_ok(emu)
     if isinstance(dest, str):
         with open(dest, "w") as f:
             write_snapshot_sparse(f, emu, param_names, output_names)
@@ -961,6 +989,7 @@ def write_snapshot_sparse_npz(
     output_names: List[str] | None = None,
 ) -> None:
     """Binary sparse snapshot: same payload as the text grammar."""
+    _check_sparse_ok(emu)
     cfg = emu.config
     m, d = emu.Z.shape
     t = emu.n_outputs

@@ -47,9 +47,9 @@ from madaiemulator_tpu.utils.designs import unapply_scaling
 
 
 def _is_sparse(emu) -> bool:
-    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
+    from madaiemulator_tpu.models.sparse import is_sparse
 
-    return isinstance(emu, SparseMultivariateEmulator)
+    return is_sparse(emu)
 
 
 def _design_points(emu):

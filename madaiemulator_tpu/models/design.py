@@ -157,9 +157,9 @@ def _pool_moments_sparse(emu, pool: jax.Array):
 
 
 def _is_sparse(emu) -> bool:
-    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
+    from madaiemulator_tpu.models.sparse import is_sparse
 
-    return isinstance(emu, SparseMultivariateEmulator)
+    return is_sparse(emu)
 
 
 _greedy_maximin_jit = jax.jit(_greedy_maximin, static_argnames=("n_new",))

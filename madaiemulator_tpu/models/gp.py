@@ -699,6 +699,12 @@ def predict_gradient(
     chunk = _auto_query_chunk(
         _train_rows(data) * d, m, config.predict_query_chunk
     )
+    if config.predict_query_chunk is None and chunk is not None:
+        # the auto heuristic returns a fixed 1024-QUERY chunk, but each
+        # gradient query contributes d solve columns — divide by d so the
+        # per-chunk (rows, chunk*d) temporaries honor the same ~256 MB
+        # bound as value serving (an explicit setting is taken verbatim)
+        chunk = max(1, chunk // d)
     if chunk is not None and m > chunk:
         pad = (-m) % chunk
         Xsp = jnp.concatenate([Xs, Xs[:pad]], axis=0) if pad else Xs

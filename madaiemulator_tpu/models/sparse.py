@@ -87,6 +87,12 @@ class SGPRFitResult(NamedTuple):
     state: SGPRServeState     # ready-to-serve distillate
 
 
+def is_sparse(emu) -> bool:
+    """True iff `emu` is a sparse (SGPR) container — the single isinstance
+    helper every dispatch site shares (CLI, calibrate, design)."""
+    return isinstance(emu, SparseMultivariateEmulator)
+
+
 def _mm_jitter(dtype) -> float:
     # K_mm has no nugget; a small relative jitter keeps the m x m
     # factorization SPD at working precision (standard SGPR practice).

@@ -22,6 +22,7 @@ evaluation — a few MB at m = 512 — riding ICI once per optimizer step.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -71,15 +72,24 @@ def elbo_sharded(
     constraints: rows stay sharded, the scalar output is replicated, and
     the summary reductions become ICI collectives. Differentiable in
     (params, Z) like the single-device version (the backward pass reuses
-    the same shardings). Use inside an optimizer exactly like `elbo`;
-    re-jitting per call is avoided by the caller jitting its objective
-    once (the constraint lives on the arguments' shardings).
+    the same shardings). Use inside an optimizer exactly like `elbo`:
+    the compiled program is cached per (config, mesh), so repeated eager
+    calls do not re-trace.
     """
     data = shard_data_rows(data, mesh)
     rep = NamedSharding(mesh, P())
     Z = jax.device_put(Z, rep)
+    return _elbo_jit(config, mesh)(params, data, Z)
+
+
+@functools.lru_cache(maxsize=32)
+def _elbo_jit(config: GPConfig, mesh: Mesh):
+    """One compiled sharded ELBO per (config, mesh) — a fresh jit-wrapped
+    lambda per call would re-trace the streamed-summary graph on EVERY
+    eager invocation (jax.jit caches on function identity)."""
+    rep = NamedSharding(mesh, P())
     return jax.jit(
         lambda p, d, z: jax.lax.with_sharding_constraint(
             elbo(p, d, config, z), rep
         )
-    )(params, data, Z)
+    )

@@ -54,6 +54,16 @@ class Tokens {
   size_t pos_ = 0;
 };
 
+Covariance ParseCovariance(const std::string& cov) {
+  if (cov == "power_exponential" || cov == "gaussian")
+    return Covariance::kPowerExponential;
+  if (cov == "matern32") return Covariance::kMatern32;
+  if (cov == "matern52") return Covariance::kMatern52;
+  if (cov == "matern32_ard") return Covariance::kMatern32Ard;
+  if (cov == "matern52_ard") return Covariance::kMatern52Ard;
+  throw std::runtime_error("unknown covariance " + cov);
+}
+
 void Expect(Tokens& t, const char* name) {
   std::string got = t.Next();
   if (got != name)
@@ -156,19 +166,7 @@ Snapshot LoadSnapshot(std::istream& in) {
         "unsupported snapshot version " + std::to_string(s.version) +
         " (this reader implements versions 1-3)");
   Expect(t, "covariance");
-  std::string cov = t.Next();
-  if (cov == "power_exponential" || cov == "gaussian")
-    s.cov = Covariance::kPowerExponential;
-  else if (cov == "matern32")
-    s.cov = Covariance::kMatern32;
-  else if (cov == "matern52")
-    s.cov = Covariance::kMatern52;
-  else if (cov == "matern32_ard")
-    s.cov = Covariance::kMatern32Ard;
-  else if (cov == "matern52_ard")
-    s.cov = Covariance::kMatern52Ard;
-  else
-    throw std::runtime_error("unknown covariance " + cov);
+  s.cov = ParseCovariance(t.Next());
   Expect(t, "power_exp_alpha");
   s.power_exp_alpha = t.NextDouble();
   Expect(t, "regression_order");
@@ -533,19 +531,7 @@ MFSnapshot LoadSnapshotMF(std::istream& in) {
     throw std::runtime_error("unsupported multi-fidelity snapshot version " +
                              std::to_string(s.version));
   Expect(t, "covariance");
-  std::string cov = t.Next();
-  if (cov == "power_exponential" || cov == "gaussian")
-    s.cov = Covariance::kPowerExponential;
-  else if (cov == "matern32")
-    s.cov = Covariance::kMatern32;
-  else if (cov == "matern52")
-    s.cov = Covariance::kMatern52;
-  else if (cov == "matern32_ard")
-    s.cov = Covariance::kMatern32Ard;
-  else if (cov == "matern52_ard")
-    s.cov = Covariance::kMatern52Ard;
-  else
-    throw std::runtime_error("unknown covariance " + cov);
+  s.cov = ParseCovariance(t.Next());
   Expect(t, "power_exp_alpha");
   s.power_exp_alpha = t.NextDouble();
   Expect(t, "regression_order");
@@ -750,19 +736,7 @@ SGPRSnapshot LoadSnapshotSGPR(std::istream& in) {
     throw std::runtime_error("unsupported sparse snapshot version " +
                              std::to_string(s.version));
   Expect(t, "covariance");
-  std::string cov = t.Next();
-  if (cov == "power_exponential" || cov == "gaussian")
-    s.cov = Covariance::kPowerExponential;
-  else if (cov == "matern32")
-    s.cov = Covariance::kMatern32;
-  else if (cov == "matern52")
-    s.cov = Covariance::kMatern52;
-  else if (cov == "matern32_ard")
-    s.cov = Covariance::kMatern32Ard;
-  else if (cov == "matern52_ard")
-    s.cov = Covariance::kMatern52Ard;
-  else
-    throw std::runtime_error("unknown covariance " + cov);
+  s.cov = ParseCovariance(t.Next());
   Expect(t, "power_exp_alpha");
   s.power_exp_alpha = t.NextDouble();
   Expect(t, "regression_order");

@@ -460,3 +460,28 @@ def test_cli_sensitivity_subcommand(rng, tmp_path):
     # the x0 curve has much larger swing than the x1 curve
     curves = np.asarray([[float(v) for v in r_[1:]] for r_ in erows])
     assert np.ptp(curves[:, 0]) > 3 * np.ptp(curves[:, 1])
+
+
+def test_cli_multifidelity_rejects_unsupported_flags(rng, tmp_path):
+    """Flags the MF route cannot honor (e.g. a single --noise_file cannot
+    express per-level noise) must fail fast, never silently drop."""
+    designs, targets, lower = _mf_problem(rng)
+    model = tmp_path / "model.mf"
+    write_multifidelity_model_file(
+        str(model), designs, targets, lower_values=lower,
+        param_names=["x"], output_name="f",
+    )
+    nf = tmp_path / "noise.txt"
+    nf.write_text("0.01\n" * len(np.asarray(targets[0])))
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(tmp_path / "s.txt"),
+               "--noise_file", str(nf), "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "--noise_file" in r.stderr
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(tmp_path / "s.txt"),
+               "--inducing=8", "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "--inducing" in r.stderr

@@ -364,6 +364,34 @@ def test_sparse_emulator_drives_sequential_design(rng):
     assert np.all(I <= 3.0), I
 
 
+def test_sparse_snapshot_refuses_failed_factorizations(rng, tmp_path):
+    """A state with ok=False carries identity placeholder factors
+    (_sgpr_system's non-SPD fallback); persisting it would serve silent
+    garbage — both writers must refuse."""
+    from madaiemulator_tpu.io.snapshot import (
+        write_snapshot_sparse,
+        write_snapshot_sparse_npz,
+    )
+
+    X, Y = _mv_problem(rng, n=200)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    emu = sparse.fit_multivariate_sparse(
+        jax.random.key(0), X, Y, cfg, pca_variance=0.999, inducing=20,
+        n_restarts=2, max_steps=15,
+    )
+    bad = emu._replace(
+        states=emu.states._replace(
+            ok=jnp.zeros_like(emu.states.ok)
+        )
+    )
+    for writer, path in (
+        (write_snapshot_sparse, str(tmp_path / "bad.txt")),
+        (write_snapshot_sparse_npz, str(tmp_path / "bad.npz")),
+    ):
+        with pytest.raises(ValueError, match="FAILED factorizations"):
+            writer(path, bad)
+
+
 @pytest.mark.parametrize("ext", ["txt", "npz"])
 def test_sparse_snapshot_round_trip(rng, tmp_path, ext):
     from madaiemulator_tpu.io.snapshot import (
