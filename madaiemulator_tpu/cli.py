@@ -336,7 +336,10 @@ def _build_parser() -> argparse.ArgumentParser:
             "outputs (GP error only); pass --model_file to score against "
             "the raw training outputs, which additionally exposes PCA "
             "truncation error (not covered by the emulator's error bars, "
-            "so coverage drops if truncation is material)."
+            "so coverage drops if truncation is material). Multi-fidelity "
+            "snapshots validate with per-level closed-form LOO; sparse "
+            "(SGPR) snapshots validate with training residuals against "
+            "--model_file (meaningful: m << N effective dof)."
         ),
     )
     val.add_argument("state_file")
@@ -1002,9 +1005,9 @@ def _is_sparse(emu) -> bool:
 
 def _reject_sparse(emu, subcommand: str) -> bool:
     """Sparse (SGPR) snapshots serve through interactive_mode/sensitivity/
-    print_thetas/convert; the remaining workflow subcommands need
-    training-set arrays the O(m^2) serve distillate deliberately does not
-    carry (models/sparse.py)."""
+    print_thetas/convert/validate (training-residual mode, --model_file);
+    the remaining workflow subcommands need training-set arrays the O(m^2)
+    serve distillate deliberately does not carry (models/sparse.py)."""
     from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
 
     if isinstance(emu, SparseMultivariateEmulator):
@@ -1120,6 +1123,141 @@ def cmd_calibrate(args) -> int:
     return 0
 
 
+def _validate_multifidelity(emu, args) -> int:
+    """Per-level closed-form LOO for a multi-fidelity snapshot.
+
+    Each level of the recursive co-kriging emulator is an ordinary GP with
+    the lower level's values as one GLS basis column, so the exact Dubrule
+    LOO identity applies level by level (models/diagnostics.py
+    loo_cv_multifidelity). Levels are small and dense by construction —
+    the matrix-free/holdout routes do not apply here.
+    """
+    import numpy as np
+
+    from madaiemulator_tpu.models.diagnostics import (
+        loo_cv_multifidelity,
+        validation_summary,
+    )
+
+    if args.holdout is not None or args.matrix_free:
+        print(
+            "error: --holdout/--matrix_free do not apply to multi-fidelity "
+            "snapshots (every level is small and dense by construction); "
+            "per-level closed-form LOO is the validation route",
+            file=sys.stderr,
+        )
+        return 2
+    if args.model_file is not None:
+        print(
+            "error: --model_file is not supported for multi-fidelity "
+            "snapshots (levels are scalar-output and validated in their "
+            "own target units against the level data stored in the "
+            "snapshot)",
+            file=sys.stderr,
+        )
+        return 2
+    results = loo_cv_multifidelity(emu)
+    rows = []
+    for k, (res, lv) in enumerate(zip(results, emu.levels)):
+        if not bool(np.asarray(res.ok)):
+            print(f"error: level {k} has no valid factorization",
+                  file=sys.stderr)
+            return 1
+        s = validation_summary(res.mean, res.variance, lv.data.y,
+                               interval=args.interval)
+        n_k = int(lv.data.y.shape[0])
+        print(f"# level {k} LOO validation (target units y_{k}, "
+              f"lower-level basis column held fixed): N={n_k}")
+        for key, v in s.items():
+            print(f"level{k}_{key} {v:.17g}")
+        rows.append((k, res, lv))
+    if args.output is not None:
+        with open(args.output, "w") as f:
+            f.write("# per-point LOO by level: level loo_mean "
+                    "loo_variance true\n")
+            for k, res, lv in rows:
+                lm = np.asarray(res.mean)
+                lv_ = np.asarray(res.variance)
+                yt = np.asarray(lv.data.y)
+                for i in range(lm.shape[0]):
+                    f.write(f"{k} {lm[i]:.17g} {lv_[i]:.17g} "
+                            f"{yt[i]:.17g}\n")
+    return 0
+
+
+def _validate_sparse(emu, output_names, args, dtype) -> int:
+    """Training-set residual validation for a sparse (SGPR) snapshot.
+
+    The O(m^2) serve distillate keeps no training arrays, so truth must
+    come from --model_file. Unlike a dense GP (which interpolates, making
+    training residuals vacuous), an SGPR posterior has only m << N
+    effective degrees of freedom — training-point residuals measure real
+    out-of-subspace error, and the Titsias bound's variance is
+    conservative, so coverage should sit AT OR ABOVE target
+    (models/diagnostics.py training_summary_sparse).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from madaiemulator_tpu.models.diagnostics import (
+        training_residuals_sparse,
+        validation_summary,
+    )
+
+    if args.holdout is not None or args.matrix_free:
+        print(
+            "error: --holdout/--matrix_free do not apply to sparse (SGPR) "
+            "snapshots — the serve state cannot be rebuilt on a subset "
+            "(no training arrays); refit with fit_multivariate_sparse on "
+            "the held-in subset instead",
+            file=sys.stderr,
+        )
+        return 2
+    if args.model_file is None:
+        print(
+            "error: validating a sparse snapshot requires --model_file "
+            "(the O(m^2) serve state carries no training outputs to "
+            "score against)",
+            file=sys.stderr,
+        )
+        return 2
+    from madaiemulator_tpu.io.modelfile import read_model_file
+
+    mf = read_model_file(args.model_file)
+    if mf.Y.shape[1] != len(output_names):
+        print(
+            f"error: model file holds {mf.Y.shape[1]} outputs but the "
+            f"snapshot serves {len(output_names)}",
+            file=sys.stderr,
+        )
+        return 2
+    mean, var = training_residuals_sparse(emu, mf.X)
+    Y_true = jnp.asarray(mf.Y, dtype=dtype)
+    s = validation_summary(mean, var, Y_true, interval=args.interval)
+    m, d = emu.Z.shape
+    print(f"# sparse training-residual validation (SGPR, m={m} inducing "
+          f"points — residuals measure out-of-subspace error; variance "
+          f"is the conservative Titsias bound): N={mf.X.shape[0]}, "
+          f"t={len(output_names)}, r={emu.n_components}")
+    for k, v in s.items():
+        print(f"{k} {v:.17g}")
+    if args.output is not None:
+        lm = np.asarray(mean)
+        lvv = np.asarray(var)
+        yt = np.asarray(Y_true)
+        with open(args.output, "w") as f:
+            f.write(
+                "# per-point sparse training residuals: "
+                + " ".join(f"mean_{s_}" for s_ in output_names) + " "
+                + " ".join(f"variance_{s_}" for s_ in output_names) + " "
+                + " ".join(f"true_{s_}" for s_ in output_names) + "\n"
+            )
+            for i in range(lm.shape[0]):
+                row = np.concatenate([lm[i], lvv[i], yt[i]])
+                f.write(" ".join(f"{v:.17g}" for v in row) + "\n")
+    return 0
+
+
 def cmd_validate(args) -> int:
     dtype = _setup_jax(args.dtype)
     import jax
@@ -1148,10 +1286,13 @@ def cmd_validate(args) -> int:
         # e.g. a gradient-enhanced (v3) snapshot with --matrix_free
         print(f"error: {e}", file=sys.stderr)
         return 2
-    if _reject_multifidelity(emu, "validate"):
-        return 2
-    if _reject_sparse(emu, "validate"):
-        return 2
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
+
+    if isinstance(emu, MultiFidelityEmulator):
+        return _validate_multifidelity(emu, args)
+    if isinstance(emu, SparseMultivariateEmulator):
+        return _validate_sparse(emu, output_names, args, dtype)
     Y_true = None
     if args.model_file is not None:
         from madaiemulator_tpu.io.modelfile import read_model_file

@@ -466,6 +466,87 @@ def holdout_summary_multivariate(
     return validation_summary(mean, var, Y_true, interval=interval)
 
 
+def loo_cv_multifidelity(emu) -> list:
+    """Per-level closed-form LOO for a recursive co-kriging emulator.
+
+    Under Le Gratiet's recursive decoupling (models/multifidelity.py) each
+    level k is an ORDINARY GP regression of y_k whose GLS basis carries the
+    lower level's values as one extra column, so the exact Dubrule LOO
+    identity applies level by level: leaving out point i of level k
+    re-estimates (beta, rho_k) by GLS on the remaining points and predicts
+    y_k(x_i) — with the lower-level basis column held FIXED (i.e.
+    conditioned on the lower levels, the standard convention for
+    co-kriging cross-validation; lower levels are validated by their own
+    rows of this list). Levels are small by construction, so this is one
+    tiny factorization reuse per level — the states are already built.
+
+    Returns a list of n_levels LOOResult, index k in level-k target units
+    (level 0: y_0; level k>=1: y_k, NOT the delta process).
+    """
+    out = []
+    for lv in emu.levels:
+        out.append(_loo_from_state(lv.state, lv.data.y))
+    return out
+
+
+def loo_summary_multifidelity(emu, interval: float = 0.95) -> list:
+    """validation_summary per level (see loo_cv_multifidelity)."""
+    return [
+        validation_summary(r.mean, r.variance, lv.data.y, interval=interval)
+        for r, lv in zip(loo_cv_multifidelity(emu), emu.levels)
+    ]
+
+
+def training_residuals_sparse(
+    emu, X_raw, query_chunk: int = 4096
+) -> Tuple[jax.Array, jax.Array]:
+    """Posterior (mean, variance) of a sparse emulator at its own training
+    inputs, chunked so the (chunk, m) cross-kernel never scales with N.
+
+    Unlike a dense GP — which interpolates its training data, making
+    training residuals vacuous — an SGPR posterior has only m << N
+    effective degrees of freedom, so training-point residuals measure real
+    out-of-subspace error and the standardized residuals check the
+    calibration of the variance (Titsias bound variance >= exact-GP
+    variance, so coverage should be AT OR ABOVE target). The serve
+    distillate keeps no training arrays (models/sparse.py), hence the
+    caller supplies X_raw (and compares against its own Y).
+
+    All chunks share one compiled program: the trailing partial chunk is
+    padded to `query_chunk` rows and sliced after.
+    """
+    from madaiemulator_tpu.models.sparse import predict_multivariate_sparse
+
+    X_raw = np.asarray(X_raw)
+    N = X_raw.shape[0]
+    chunk = int(min(query_chunk, N))
+    ms, vs = [], []
+    for s in range(0, N, chunk):
+        blk = X_raw[s : s + chunk]
+        pad = chunk - blk.shape[0]
+        if pad:
+            blk = np.concatenate([blk, blk[-1:].repeat(pad, axis=0)])
+        m_b, v_b = predict_multivariate_sparse(emu, blk)
+        if pad:
+            m_b, v_b = m_b[:-pad], v_b[:-pad]
+        ms.append(m_b)
+        vs.append(v_b)
+    return jnp.concatenate(ms), jnp.concatenate(vs)
+
+
+def training_summary_sparse(
+    emu, X_raw, Y, interval: float = 0.95, query_chunk: int = 4096
+) -> Dict[str, float]:
+    """Calibration summary of a sparse emulator on its training set.
+
+    Y is the raw (N, t) training output block (e.g. from the model file);
+    see training_residuals_sparse for why these residuals are meaningful
+    for SGPR.
+    """
+    mean, var = training_residuals_sparse(emu, X_raw, query_chunk)
+    return validation_summary(mean, var, Y, interval=interval)
+
+
 def posterior_covariance_iterative(
     state, data: GPData, Xs: jax.Array, col_chunk: int = 128,
     row_chunk: int = 2048,

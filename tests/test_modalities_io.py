@@ -485,3 +485,93 @@ def test_cli_multifidelity_rejects_unsupported_flags(rng, tmp_path):
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 2 and "--inducing" in r.stderr
+
+
+# --- CLI validate: multi-fidelity (per-level LOO) + sparse (residuals) ------
+
+
+def test_cli_validate_multifidelity(rng, tmp_path):
+    """validate on an MF snapshot prints one closed-form-LOO block per
+    level and the per-point table covers every level's points."""
+    _, _, emu = _fit_mf(rng)
+    state = tmp_path / "mf.txt"
+    write_snapshot_auto(str(state), emu, param_names=["x"],
+                        output_names=["f"])
+    table = tmp_path / "loo.txt"
+    r = subprocess.run(
+        CLI + ["validate", str(state), f"--output={table}"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    kv = dict(
+        l.split() for l in r.stdout.splitlines()
+        if l and not l.startswith("#")
+    )
+    for k in range(2):
+        assert f"level{k}_rmse" in kv and f"level{k}_coverage" in kv
+        assert np.isfinite(float(kv[f"level{k}_rmse"]))
+    # level sizes: 21 low-fi + 6 high-fi rows in the table
+    rows = [l for l in open(table) if not l.startswith("#")]
+    assert len(rows) == 21 + 6
+    assert {row.split()[0] for row in rows} == {"0", "1"}
+    # unsupported flag combinations fail loudly
+    r = subprocess.run(
+        CLI + ["validate", str(state), "--holdout=3"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "multi-fidelity" in r.stderr
+
+
+def test_cli_validate_sparse(rng, tmp_path):
+    """validate on a sparse snapshot scores training residuals against
+    --model_file truth; without truth (or with --holdout) it fails with
+    an explanation."""
+    from madaiemulator_tpu.models.sparse import fit_multivariate_sparse
+
+    n = 150
+    X = rng.uniform(1.0, 3.0, (n, 2))
+    g1 = np.sin(2 * X[:, 0]) + X[:, 1]
+    Y = np.stack([g1, X[:, 0] * X[:, 1]], axis=1)
+    Y += 0.02 * rng.normal(size=Y.shape)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    emu = fit_multivariate_sparse(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(Y), cfg,
+        pca_variance=0.999, inducing=30, n_restarts=2, max_steps=30,
+    )
+    state = tmp_path / "sgpr.txt"
+    write_snapshot_auto(str(state), emu, param_names=["a", "b"],
+                        output_names=["f1", "f2"])
+    model = tmp_path / "model.txt"
+    write_model_file(str(model), X, Y)
+    table = tmp_path / "resid.txt"
+    r = subprocess.run(
+        CLI + ["validate", str(state), f"--model_file={model}",
+               f"--output={table}"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    kv = dict(
+        l.split() for l in r.stdout.splitlines()
+        if l and not l.startswith("#")
+    )
+    assert int(float(kv["n"])) == n * 2
+    # m=30 inducing over N=150 with 0.02 noise: smoothed but accurate
+    assert float(kv["rmse"]) < 0.25, kv["rmse"]
+    # Titsias variance is conservative -> coverage at or above target
+    # (generous floor: small-sample noise)
+    assert float(kv["coverage"]) > 0.80
+    rows = [l for l in open(table) if not l.startswith("#")]
+    assert len(rows) == n and len(rows[0].split()) == 6
+    # truth is mandatory
+    r = subprocess.run(
+        CLI + ["validate", str(state)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "--model_file" in r.stderr
+    # holdout cannot apply to a stateless distillate
+    r = subprocess.run(
+        CLI + ["validate", str(state), "--holdout=10",
+               f"--model_file={model}"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "sparse" in r.stderr.lower()

@@ -231,3 +231,64 @@ def test_multifidelity_with_noise(rng):
     )
     m, _ = predict_multifidelity(emu, x_hi[:, None])
     assert abs(float(m[j]) - y_hi[j]) < 0.25 * abs(y_hi_c[j] - y_hi[j])
+
+
+def test_loo_cv_multifidelity_matches_bruteforce(rng):
+    """Per-level closed-form LOO == refitting each level's GLS mean (incl.
+    the rho basis column) on the size-(N-1) subset and predicting the
+    held-out point, with the lower-level basis column held fixed."""
+    from madaiemulator_tpu.models.diagnostics import loo_cv_multifidelity
+    from madaiemulator_tpu.models.gp import (
+        _factor,
+        predict_from_precomputed,
+    )
+
+    x_lo = np.linspace(0, 1, 15)
+    x_hi = np.linspace(0.05, 0.95, 7)
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=2,
+                   max_opt_steps=25)
+    emu = fit_multifidelity(
+        jax.random.key(5),
+        [x_lo[:, None], x_hi[:, None]],
+        [forrester_low(x_lo), forrester(x_hi)],
+        cfg,
+        lower_values=[forrester_low(x_hi)],
+    )
+    results = loo_cv_multifidelity(emu)
+    assert len(results) == 2
+    lv = emu.levels[1]
+    n = int(lv.data.y.shape[0])
+    for i in range(n):
+        keep = np.arange(n) != i
+        sub = GPData(
+            X=lv.data.X[keep],
+            y=lv.data.y[keep],
+            h_extra=lv.data.h_extra[keep],
+        )
+        st = _factor(sub, lv.params, cfg)
+        m_i, v_i = predict_from_precomputed(
+            st, lv.params, sub, lv.data.X[i][None, :], cfg,
+            hs_extra=lv.data.h_extra[i][None, :],
+        )
+        np.testing.assert_allclose(
+            float(results[1].mean[i]), float(m_i[0]), rtol=1e-7, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(results[1].variance[i]), float(v_i[0]), rtol=1e-7,
+            atol=1e-9,
+        )
+    # level 0 is an ordinary GP: its row must equal plain loo_cv
+    from madaiemulator_tpu.models.diagnostics import loo_cv
+
+    r0 = loo_cv(emu.levels[0].params, emu.levels[0].data, cfg)
+    np.testing.assert_allclose(np.asarray(results[0].mean),
+                               np.asarray(r0.mean), rtol=1e-12)
+
+    # and the summary helper returns one calibrated block per level
+    from madaiemulator_tpu.models.diagnostics import loo_summary_multifidelity
+
+    sums = loo_summary_multifidelity(emu)
+    assert len(sums) == 2
+    for s in sums:
+        assert set(s) >= {"rmse", "coverage", "standardized_std"}
+        assert np.isfinite(s["rmse"])
