@@ -981,26 +981,16 @@ def cmd_interactive_mode(args) -> int:
     return 0
 
 
-def _reject_multifidelity(emu, subcommand: str) -> bool:
-    """Multi-fidelity snapshots only train/serve/convert via the CLI; the
-    workflow subcommands run on multivariate emulators."""
-    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
-
-    if isinstance(emu, MultiFidelityEmulator):
-        print(
-            f"error: {subcommand} does not support multi-fidelity "
-            "snapshots; query them through interactive_mode or the "
-            "library API (models/multifidelity.py)",
-            file=sys.stderr,
-        )
-        return True
-    return False
-
-
 def _is_sparse(emu) -> bool:
     from madaiemulator_tpu.models.sparse import is_sparse
 
     return is_sparse(emu)
+
+
+def _is_multifidelity(emu) -> bool:
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+
+    return isinstance(emu, MultiFidelityEmulator)
 
 
 def _reject_sparse(emu, subcommand: str) -> bool:
@@ -1038,12 +1028,18 @@ def cmd_calibrate(args) -> int:
         # e.g. a gradient-enhanced (v3) snapshot with --matrix_free
         print(f"error: {e}", file=sys.stderr)
         return 2
-    if _reject_multifidelity(emu, "calibrate"):
-        return 2
     if _is_sparse(emu) and args.matrix_free:
         print(
             "error: sparse (SGPR) snapshots already calibrate against the "
             "O(m^2) serve state in-graph; drop --matrix_free",
+            file=sys.stderr,
+        )
+        return 2
+    if _is_multifidelity(emu) and args.matrix_free:
+        print(
+            "error: multi-fidelity snapshots calibrate through the "
+            "recursive dense predict (levels are small by construction); "
+            "drop --matrix_free",
             file=sys.stderr,
         )
         return 2
@@ -1382,7 +1378,13 @@ def cmd_design(args) -> int:
         # e.g. a gradient-enhanced (v3) snapshot with --matrix_free
         print(f"error: {e}", file=sys.stderr)
         return 2
-    if _reject_multifidelity(emu, "design"):
+    if _is_multifidelity(emu) and args.matrix_free:
+        print(
+            "error: multi-fidelity snapshots screen pools through the "
+            "recursive dense predict (levels are small by construction); "
+            "drop --matrix_free",
+            file=sys.stderr,
+        )
         return 2
     if _is_sparse(emu) and args.matrix_free:
         print(

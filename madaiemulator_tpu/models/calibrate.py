@@ -52,11 +52,24 @@ def _is_sparse(emu) -> bool:
     return is_sparse(emu)
 
 
+def _is_mf(emu) -> bool:
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+
+    return isinstance(emu, MultiFidelityEmulator)
+
+
 def _design_points(emu):
     """Scaled in-cube points that locate the emulator: the training design
     for dense/matrix-free emulators, the inducing set for sparse ones
-    (the SGPR serve state keeps no training arrays — models/sparse.py)."""
-    return emu.Z if _is_sparse(emu) else emu.X
+    (the SGPR serve state keeps no training arrays — models/sparse.py),
+    and the union of all level designs for multi-fidelity (every level
+    shares one scaled cube; the cheap level's dense coverage makes the
+    best walker-seed pool)."""
+    if _is_sparse(emu):
+        return emu.Z
+    if _is_mf(emu):
+        return jnp.concatenate([lv.data.X for lv in emu.levels], axis=0)
+    return emu.X
 
 
 class CalibrationResult(NamedTuple):
@@ -178,9 +191,24 @@ def make_log_posterior(
         raise ValueError(f"exp_cov shape {exp_cov.shape} mismatches y_exp ({t},)")
     log2pi = float(np.log(2.0 * np.pi))
     d_theta = _design_points(emu).shape[1]
-    ystd2 = (emu.pca.ystd.astype(_dtype)) ** 2  # (t,)
+    if _is_mf(emu):
+        # MF emulators are scalar-output and store raw-unit targets; the
+        # top level's spread is the discrepancy-scale analogue of pca.ystd
+        ystd2 = jnp.std(emu.levels[-1].data.y).reshape(1) ** 2
+    else:
+        ystd2 = (emu.pca.ystd.astype(_dtype)) ** 2  # (t,)
 
-    if _is_sparse(emu):
+    if _is_mf(emu):
+        # calibrate the HIGHEST fidelity: the recursive co-kriging predict
+        # is a chain of dense GP predicts (predict_from_precomputed), so
+        # the whole chain — including HMC gradients — compiles to one scan
+        from madaiemulator_tpu.models.multifidelity import _predict_recursive
+
+        def moments(xq):
+            m, v = _predict_recursive(emu.levels, xq, emu.config)
+            return m[:, None], v[:, None]  # (W, 1) each
+
+    elif _is_sparse(emu):
         # million-point calibration: every walker-batch moment evaluation
         # is O(W m) against the O(m^2) serve state — the WHOLE chain still
         # compiles to one scan (models/sparse.predict_sgpr)
@@ -918,7 +946,11 @@ def calibrate(
         # (n_steps // 2) would leave step-size adaptation running into the
         # kept draws, making the kept chain non-Markovian
         sampler_kwargs.setdefault("n_adapt", burn_in)
-    if getattr(emu, "states", None) is None and states is None:
+    if (
+        getattr(emu, "states", None) is None
+        and states is None
+        and not _is_mf(emu)  # MF levels carry their own dense states
+    ):
         from madaiemulator_tpu.models.multivariate import (
             precompute_iterative_multivariate,
         )
@@ -1021,7 +1053,12 @@ def implausibility(
     exp_cov = jnp.asarray(exp_cov, dtype=_dtype)
     s2 = jnp.diagonal(exp_cov) if exp_cov.ndim == 2 else exp_cov
     xq = jnp.atleast_2d(thetas_scaled)
-    if _is_sparse(emu):
+    if _is_mf(emu):
+        from madaiemulator_tpu.models.multifidelity import _predict_recursive
+
+        m, v = _predict_recursive(emu.levels, xq, emu.config)
+        mean, var = m[:, None], v[:, None]
+    elif _is_sparse(emu):
         from madaiemulator_tpu.models.sparse import predict_sgpr
 
         m_pc, v_pc = jax.vmap(

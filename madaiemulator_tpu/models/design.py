@@ -86,13 +86,14 @@ def _greedy_maximin(
     return sel, scr
 
 
-def _variance_weights(var: jax.Array, pca) -> jax.Array:
+def _variance_weights(var: jax.Array, ystd: jax.Array) -> jax.Array:
     """Acquisition weight for active variance learning: total predictive
-    variance normalized per-observable by its training-output scale, so no
-    single large-magnitude observable dominates. THE single definition —
-    the dense and matrix-free branches both call it, so the acquisition can
-    never diverge between them. var: (P, t) -> (P,)."""
-    w = jnp.maximum(pca.ystd.astype(var.dtype), jnp.finfo(var.dtype).tiny)
+    variance normalized per-observable by its training-output scale (ystd,
+    (t,) — pca.ystd for PCA emulators, the top level's target spread for
+    multi-fidelity), so no single large-magnitude observable dominates.
+    THE single definition — every emulator-family branch calls it, so the
+    acquisition can never diverge between them. var: (P, t) -> (P,)."""
+    w = jnp.maximum(ystd.astype(var.dtype), jnp.finfo(var.dtype).tiny)
     return jnp.sum(var / (w[None, :] ** 2), axis=-1)
 
 
@@ -121,7 +122,7 @@ def _variance_select(emu_states, emu_params, X, Z, pca, config, pool, n_new,
     m_pc, v_pc = _predict_components(emu_states, emu_params, X, Z, pool,
                                      config, dZ=dZ)
     _, var = reconstruct_observables(m_pc, v_pc, pca)  # (P, t)
-    return _greedy_maximin(pool, _variance_weights(var, pca), n_new)
+    return _greedy_maximin(pool, _variance_weights(var, pca.ystd), n_new)
 
 
 def _pool_moments_iterative(emu, pool: jax.Array, states, iter_kwargs):
@@ -162,6 +163,41 @@ def _is_sparse(emu) -> bool:
     return is_sparse(emu)
 
 
+def _is_mf(emu) -> bool:
+    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+
+    return isinstance(emu, MultiFidelityEmulator)
+
+
+def _pool_moments_mf(emu, pool: jax.Array):
+    """Observable-space (mean, var) over a scaled candidate pool for a
+    multi-fidelity emulator: the recursive co-kriging predict at the
+    HIGHEST fidelity (scalar output -> (P, 1) each). Designing where the
+    top level's recursive variance is largest targets new HIGH-fidelity
+    runs; lower levels are refined by their own single-fidelity designs."""
+    from madaiemulator_tpu.models.multifidelity import _predict_recursive
+
+    m, v = _predict_recursive(emu.levels, pool, emu.config)
+    return m[:, None], v[:, None]
+
+
+def _mf_ystd(emu) -> jax.Array:
+    """(1,) output-scale normalizer: the top level's target spread (MF
+    targets are stored in raw units — models/multifidelity.py)."""
+    return jnp.std(emu.levels[-1].data.y).reshape(1)
+
+
+def _design_array(emu) -> jax.Array:
+    """The scaled points that set the pool's dtype/dimension: training
+    design (dense/matrix-free), inducing set (sparse), or the top level's
+    design (multi-fidelity)."""
+    if _is_sparse(emu):
+        return emu.Z
+    if _is_mf(emu):
+        return emu.levels[-1].data.X
+    return emu.X
+
+
 _greedy_maximin_jit = jax.jit(_greedy_maximin, static_argnames=("n_new",))
 
 
@@ -186,15 +222,20 @@ def active_variance_design(
     `states` from precompute_iterative_multivariate to reuse the training
     solves across waves; iter_kwargs forward to the iterative predict.
     """
-    design = emu.Z if _is_sparse(emu) else emu.X
+    design = _design_array(emu)
     if pool is None:
         pool = latin_hypercube(key, pool_size, design.shape[1],
                                dtype=design.dtype)
     pool = jnp.asarray(pool, dtype=design.dtype)
-    if _is_sparse(emu):
+    if _is_mf(emu):
+        _, var = _pool_moments_mf(emu, pool)
+        sel, scr = _greedy_maximin_jit(
+            pool, _variance_weights(var, _mf_ystd(emu)), n_new=int(n_new)
+        )
+    elif _is_sparse(emu):
         _, var = _pool_moments_sparse(emu, pool)
         sel, scr = _greedy_maximin_jit(
-            pool, _variance_weights(var, emu.pca), n_new=int(n_new)
+            pool, _variance_weights(var, emu.pca.ystd), n_new=int(n_new)
         )
     elif getattr(emu, "states", None) is not None:
         sel, scr = _variance_select(
@@ -204,7 +245,7 @@ def active_variance_design(
     else:
         _, var = _pool_moments_iterative(emu, pool, states, iter_kwargs)
         sel, scr = _greedy_maximin_jit(
-            pool, _variance_weights(var, emu.pca), n_new=int(n_new)
+            pool, _variance_weights(var, emu.pca.ystd), n_new=int(n_new)
         )
     pts = unapply_scaling(pool[sel], emu.scaling)
     return DesignProposal(
@@ -255,7 +296,7 @@ def nroy_wave_design(
     Also accepts an IterativeMultivariateEmulator (matrix-free) — see
     active_variance_design for the `states` / iter_kwargs contract.
     """
-    design = emu.Z if _is_sparse(emu) else emu.X
+    design = _design_array(emu)
     if pool is None:
         pool = latin_hypercube(key, pool_size, design.shape[1],
                                dtype=design.dtype)
@@ -264,7 +305,12 @@ def nroy_wave_design(
     if exp_var.ndim == 2:
         exp_var = jnp.diagonal(exp_var)
     y_exp = jnp.asarray(y_exp, design.dtype)
-    if _is_sparse(emu):
+    if _is_mf(emu):
+        mean, var = _pool_moments_mf(emu, pool)
+        imp = implausibility_from_moments(mean, var, y_exp, exp_var)
+        weights, frac = _nroy_weights(imp, float(threshold), pool.dtype)
+        sel, scr = _greedy_maximin_jit(pool, weights, n_new=int(n_new))
+    elif _is_sparse(emu):
         mean, var = _pool_moments_sparse(emu, pool)
         imp = implausibility_from_moments(mean, var, y_exp, exp_var)
         weights, frac = _nroy_weights(imp, float(threshold), pool.dtype)

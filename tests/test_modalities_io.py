@@ -371,11 +371,23 @@ def test_cli_multifidelity_train_serve_print(rng, tmp_path):
     np.testing.assert_allclose(
         vals[1::2], np.asarray(v_lib), rtol=1e-6, atol=1e-12
     )
-    # workflow subcommands reject MF snapshots cleanly
+    # calibrate runs against MF snapshots in-graph (recursive predict);
+    # only the matrix-free route is rejected (levels are dense)
     exp = tmp_path / "exp.txt"
     exp.write_text("1\n0.5 0.01\n")
+    out = tmp_path / "post.txt"
     r = subprocess.run(
-        CLI + ["calibrate", str(state), str(exp), "--n_steps=10", "--quiet"],
+        CLI + ["calibrate", str(state), str(exp), "--n_steps=40",
+               "--n_walkers=16", f"--output={out}", "--quiet"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    draws = np.loadtxt(str(out), comments="#")
+    assert draws.ndim == 1 and draws.size > 0
+    assert np.all((draws >= 0.0) & (draws <= 1.0))
+    r = subprocess.run(
+        CLI + ["calibrate", str(state), str(exp), "--matrix_free",
+               "--n_steps=10", "--quiet"],
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 2 and "multi-fidelity" in r.stderr

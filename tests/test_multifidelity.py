@@ -292,3 +292,81 @@ def test_loo_cv_multifidelity_matches_bruteforce(rng):
     for s in sums:
         assert set(s) >= {"rmse", "coverage", "standardized_std"}
         assert np.isfinite(s["rmse"])
+
+
+def _monotone_mf_emulator(key=7):
+    """1D strictly-monotone MF pair (identifiable posterior):
+    hi = 2x + sin(2x), hi' = 2 + 2cos(2x) > 0 on [0, 1]."""
+    def hi(x):
+        return 2.0 * x + np.sin(2.0 * x)
+
+    def lo(x):
+        return 0.5 * hi(x) + 0.3 * x - 0.1
+
+    x_lo = np.linspace(0, 1, 19)
+    x_hi = np.linspace(0, 1, 7)
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=2,
+                   max_opt_steps=30)
+    emu = fit_multifidelity(
+        jax.random.key(key),
+        [x_lo[:, None], x_hi[:, None]],
+        [lo(x_lo), hi(x_hi)],
+        cfg,
+        lower_values=[lo(x_hi)],
+    )
+    return emu, hi
+
+
+def test_multifidelity_calibrates_in_graph(rng):
+    """calibrate() runs MCMC against the recursive co-kriging predict
+    in-graph and concentrates the posterior at the true parameter."""
+    from madaiemulator_tpu.models.calibrate import calibrate, implausibility
+
+    emu, hi = _monotone_mf_emulator()
+    theta_true = 0.55
+    y_exp = np.array([hi(np.array([theta_true]))[0]])
+    exp_var = np.array([1e-4])
+    res = calibrate(
+        jax.random.key(1), emu, y_exp, exp_var,
+        n_walkers=16, n_steps=300, burn_in=150,
+    )
+    post_mean = float(res.samples.mean())
+    assert abs(post_mean - theta_true) < 0.05, post_mean
+    assert res.samples.std() < 0.1
+    # implausibility: small at truth, large far away (scaled coords ==
+    # natural here: the union design spans [0, 1])
+    imp = implausibility(
+        emu, y_exp, exp_var,
+        jnp.asarray([[theta_true], [0.05]]),
+    )
+    assert float(imp[0]) < 3.0 < float(imp[1]), np.asarray(imp)
+
+
+def test_multifidelity_sequential_design(rng):
+    """Both acquisitions run over an MF emulator: active-variance picks
+    in-bounds points; an NROY wave concentrates near the truth."""
+    from madaiemulator_tpu.models.design import (
+        active_variance_design,
+        nroy_wave_design,
+    )
+
+    emu, hi = _monotone_mf_emulator()
+    prop = active_variance_design(jax.random.key(2), emu, n_new=4,
+                                  pool_size=256)
+    assert prop.points.shape == (4, 1)
+    assert np.all((prop.points >= 0.0) & (prop.points <= 1.0))
+
+    theta_true = 0.55
+    y_exp = np.array([hi(np.array([theta_true]))[0]])
+    wave = nroy_wave_design(
+        jax.random.key(3), emu, y_exp, np.array([1e-4]), n_new=4,
+        pool_size=512,
+    )
+    assert wave.points.shape == (4, 1)
+    assert 0.0 < wave.pool_fraction_viable < 0.5
+    # every proposed point is itself not ruled out
+    from madaiemulator_tpu.models.calibrate import implausibility
+
+    imp = implausibility(emu, y_exp, np.array([1e-4]),
+                         jnp.asarray(wave.points))
+    assert np.all(np.asarray(imp) <= 3.0), np.asarray(imp)
