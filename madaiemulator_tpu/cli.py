@@ -1227,6 +1227,14 @@ def _validate_sparse(emu, output_names, args, dtype) -> int:
             file=sys.stderr,
         )
         return 2
+    if mf.X.shape[1] != emu.Z.shape[1]:
+        print(
+            f"error: model file has {mf.X.shape[1]} parameters but the "
+            f"snapshot's inducing points live in {emu.Z.shape[1]} "
+            f"dimensions — wrong model file for this snapshot",
+            file=sys.stderr,
+        )
+        return 2
     mean, var = training_residuals_sparse(emu, mf.X)
     Y_true = jnp.asarray(mf.Y, dtype=dtype)
     s = validation_summary(mean, var, Y_true, interval=args.interval)

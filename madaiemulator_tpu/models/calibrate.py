@@ -192,8 +192,15 @@ def make_log_posterior(
     log2pi = float(np.log(2.0 * np.pi))
     d_theta = _design_points(emu).shape[1]
     if _is_mf(emu):
-        # MF emulators are scalar-output and store raw-unit targets; the
-        # top level's spread is the discrepancy-scale analogue of pca.ystd
+        # scalar-output MF emulators store raw-unit targets; the top
+        # level's spread is the discrepancy-scale analogue of pca.ystd
+        if t != 1:
+            raise ValueError(
+                f"y_exp has {t} observables but a scalar multi-fidelity "
+                "emulator predicts exactly 1 output — broadcasting the "
+                "same prediction against every observable would produce "
+                "a silently wrong posterior"
+            )
         ystd2 = jnp.std(emu.levels[-1].data.y).reshape(1) ** 2
     else:
         ystd2 = (emu.pca.ystd.astype(_dtype)) ** 2  # (t,)
@@ -1054,6 +1061,11 @@ def implausibility(
     s2 = jnp.diagonal(exp_cov) if exp_cov.ndim == 2 else exp_cov
     xq = jnp.atleast_2d(thetas_scaled)
     if _is_mf(emu):
+        if y_exp.shape[0] != 1:
+            raise ValueError(
+                f"y_exp has {y_exp.shape[0]} observables but a scalar "
+                "multi-fidelity emulator predicts exactly 1 output"
+            )
         from madaiemulator_tpu.models.multifidelity import _predict_recursive
 
         m, v = _predict_recursive(emu.levels, xq, emu.config)

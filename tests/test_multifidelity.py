@@ -340,6 +340,15 @@ def test_multifidelity_calibrates_in_graph(rng):
         jnp.asarray([[theta_true], [0.05]]),
     )
     assert float(imp[0]) < 3.0 < float(imp[1]), np.asarray(imp)
+    # multi-observable y_exp against a scalar MF emulator is rejected
+    # loudly (silent broadcasting would produce a wrong posterior)
+    from madaiemulator_tpu.models.calibrate import make_log_posterior
+
+    with pytest.raises(ValueError, match="1 output"):
+        make_log_posterior(emu, np.array([1.0, 2.0]), np.array([1e-4, 1e-4]))
+    with pytest.raises(ValueError, match="1 output"):
+        implausibility(emu, np.array([1.0, 2.0]), np.array([1e-4, 1e-4]),
+                       jnp.asarray([[theta_true]]))
 
 
 def test_multifidelity_sequential_design(rng):

@@ -264,6 +264,30 @@ def test_multivariate_sparse_accuracy_and_noise(rng):
     assert float(np.sqrt(np.mean((np.asarray(m2) - _mv_truth(Xq)) ** 2))) < 0.08
 
 
+def test_training_summary_sparse(rng):
+    """The public calibration-summary helper on the training set: an SGPR
+    posterior has m << N effective dof, so training residuals are real
+    out-of-subspace error and the Titsias-bound variance should give
+    coverage at or above the interval target."""
+    from madaiemulator_tpu.models.diagnostics import training_summary_sparse
+
+    X, Y = _mv_problem(rng)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    emu = sparse.fit_multivariate_sparse(
+        jax.random.key(0), X, Y, cfg, pca_variance=0.999, inducing=40,
+        n_restarts=2, max_steps=40,
+    )
+    s = training_summary_sparse(emu, X, jnp.asarray(Y), interval=0.95,
+                                query_chunk=128)  # force multi-chunk path
+    assert s["rmse"] < 0.1, s
+    assert s["coverage"] >= 0.9, s  # conservative bound => at/above target
+    # chunking must not change the answer
+    s1 = training_summary_sparse(emu, X, jnp.asarray(Y), interval=0.95,
+                                 query_chunk=4096)
+    np.testing.assert_allclose(s["rmse"], s1["rmse"], rtol=1e-10)
+    np.testing.assert_allclose(s["coverage"], s1["coverage"], rtol=1e-12)
+
+
 def test_sparse_emulator_calibrates_in_graph(rng):
     """Million-point-capable calibration: the MCMC chain walks against the
     O(m^2) SGPR serve state in-graph and recovers the true parameters."""
@@ -518,9 +542,28 @@ def test_cli_sparse_rejections(rng, tmp_path):
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 2 and "matrix_free" in r.stderr
+    # validate: a bare sparse snapshot has no training arrays to score
+    # against, so it demands --model_file; with one it runs the
+    # training-residual validation and succeeds.
     r = subprocess.run(CLI + ["validate", str(state)], capture_output=True,
                        text=True, timeout=300)
-    assert r.returncode == 2 and "sparse (SGPR)" in r.stderr
+    assert r.returncode == 2 and "requires --model_file" in r.stderr
+    r = subprocess.run(
+        CLI + ["validate", str(state), "--model_file", str(model)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "sparse training-residual validation" in r.stdout
+    # a model file whose parameter dimension disagrees with the snapshot
+    # is rejected with a clean diagnostic, not a shape-error traceback
+    bad_model = tmp_path / "bad_model.txt"
+    X3 = rng.uniform(0, 1, (60, 3))
+    write_model_file(str(bad_model), X3, Y, ["a", "b", "c"], ["o0", "o1"])
+    r = subprocess.run(
+        CLI + ["validate", str(state), "--model_file", str(bad_model)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "parameter" in r.stderr
     r = subprocess.run(
         CLI + ["interactive_mode", str(state), "--serve_method=iterative"],
         input="0.5 0.5\n", capture_output=True, text=True, timeout=300,
