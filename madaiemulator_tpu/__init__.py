@@ -63,8 +63,11 @@ from madaiemulator_tpu.models.multivariate import (
 )
 from madaiemulator_tpu.models.multifidelity import (
     MultiFidelityEmulator,
+    MultivariateMultiFidelityEmulator,
     fit_multifidelity,
+    fit_multivariate_multifidelity,
     predict_multifidelity,
+    predict_multivariate_multifidelity,
 )
 from madaiemulator_tpu.models.sparse import (
     SparseMultivariateEmulator,
@@ -150,8 +153,11 @@ __all__ = [
     "project_gradients",
     "predict_multivariate_gradient",
     "MultiFidelityEmulator",
+    "MultivariateMultiFidelityEmulator",
     "fit_multifidelity",
+    "fit_multivariate_multifidelity",
     "predict_multifidelity",
+    "predict_multivariate_multifidelity",
     "SparseMultivariateEmulator",
     "fit_multivariate_sparse",
     "fit_sgpr",

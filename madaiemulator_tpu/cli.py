@@ -753,6 +753,46 @@ def _estimate_thetas_multifidelity(args, dtype) -> int:
     )
     import jax.numpy as jnp
 
+    if mf.noutputs > 1:
+        # multivariate MF: one shared PCA basis over the pooled levels,
+        # then the componentwise AR(1) recursion
+        from madaiemulator_tpu.models.multifidelity import (
+            fit_multivariate_multifidelity,
+        )
+
+        emu = fit_multivariate_multifidelity(
+            jax.random.key(args.seed),
+            [jnp.asarray(X, dtype=dtype) for X in mf.designs],
+            [jnp.asarray(Y, dtype=dtype) for Y in mf.targets],
+            cfg,
+            pca_variance=args.pca_variance,
+            lower_values=[
+                None if lv is None else jnp.asarray(lv, dtype=dtype)
+                for lv in mf.lower_values
+            ],
+            restart_chunk=args.restart_chunk,
+        )
+        if not args.quiet:
+            rho = _np.asarray(emu.rho) if emu.n_levels > 1 else _np.zeros((0, 1))
+            for k, lv in enumerate(emu.levels):
+                msg = (
+                    f"level {k}: N={lv.X.shape[0]}"
+                    + (f", rho={_np.array2string(rho[k - 1], precision=6)}"
+                       if k > 0 else "")
+                )
+                print(msg, file=sys.stderr)
+        write_snapshot_auto(
+            args.state_file, emu, param_names=mf.param_names,
+            output_names=mf.output_names,
+        )
+        if not args.quiet:
+            print(
+                f"wrote {args.state_file}: {emu.n_levels} fidelity "
+                f"level(s), d={mf.nparams}, t={emu.n_outputs} -> "
+                f"r={emu.n_components} components",
+                file=sys.stderr,
+            )
+        return 0
     emu = fit_multifidelity(
         jax.random.key(args.seed),
         [jnp.asarray(X, dtype=dtype) for X in mf.designs],
@@ -807,10 +847,14 @@ def cmd_interactive_mode(args) -> int:
         # e.g. a gradient-enhanced (v3) snapshot asked to serve iteratively
         print(f"error: {e}", file=sys.stderr)
         return 2
-    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.multifidelity import (
+        MultiFidelityEmulator,
+        MultivariateMultiFidelityEmulator,
+    )
     from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
 
-    if isinstance(emu, MultiFidelityEmulator):
+    if isinstance(emu, (MultiFidelityEmulator,
+                        MultivariateMultiFidelityEmulator)):
         if args.serve_method != "dense":
             print(
                 "error: multi-fidelity snapshots serve dense only "
@@ -819,13 +863,22 @@ def cmd_interactive_mode(args) -> int:
                 file=sys.stderr,
             )
             return 2
-        from madaiemulator_tpu.models.multifidelity import (
-            predict_multifidelity,
-        )
+        if isinstance(emu, MultivariateMultiFidelityEmulator):
+            from madaiemulator_tpu.models.multifidelity import (
+                predict_multivariate_multifidelity,
+            )
 
-        def predict_multivariate(e, q):  # noqa: F811 — same call shape
-            mean, var = predict_multifidelity(e, q)
-            return mean[:, None], var[:, None]  # scalar output -> (m, 1)
+            def predict_multivariate(e, q):  # noqa: F811 — same call shape
+                return predict_multivariate_multifidelity(e, q)
+
+        else:
+            from madaiemulator_tpu.models.multifidelity import (
+                predict_multifidelity,
+            )
+
+            def predict_multivariate(e, q):  # noqa: F811 — same call shape
+                mean, var = predict_multifidelity(e, q)
+                return mean[:, None], var[:, None]  # scalar -> (m, 1)
 
     elif isinstance(emu, SparseMultivariateEmulator):
         if args.serve_method != "dense":
@@ -988,9 +1041,14 @@ def _is_sparse(emu) -> bool:
 
 
 def _is_multifidelity(emu) -> bool:
-    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.multifidelity import (
+        MultiFidelityEmulator,
+        MultivariateMultiFidelityEmulator,
+    )
 
-    return isinstance(emu, MultiFidelityEmulator)
+    return isinstance(
+        emu, (MultiFidelityEmulator, MultivariateMultiFidelityEmulator)
+    )
 
 
 def _reject_sparse(emu, subcommand: str) -> bool:
@@ -1116,6 +1174,73 @@ def cmd_calibrate(args) -> int:
     finally:
         if dest is not sys.stdout:
             dest.close()
+    return 0
+
+
+def _validate_multifidelity_mv(emu, output_names, args) -> int:
+    """Per-level, per-component closed-form LOO for a MULTIVARIATE
+    multi-fidelity snapshot, summarized in observable space against the
+    shared-PCA representation of each level's stored targets
+    (models/diagnostics.py loo_cv_multifidelity_mv)."""
+    import numpy as np
+
+    from madaiemulator_tpu.models.diagnostics import (
+        loo_cv_multifidelity_mv,
+        reconstruct_level_targets_mv,
+        validation_summary,
+    )
+
+    if args.holdout is not None or args.matrix_free:
+        print(
+            "error: --holdout/--matrix_free do not apply to multi-fidelity "
+            "snapshots (every level is small and dense by construction); "
+            "per-level closed-form LOO is the validation route",
+            file=sys.stderr,
+        )
+        return 2
+    if args.model_file is not None:
+        print(
+            "error: --model_file is not supported for multi-fidelity "
+            "snapshots (levels are validated against the targets stored "
+            "in the snapshot)",
+            file=sys.stderr,
+        )
+        return 2
+    results = loo_cv_multifidelity_mv(emu)
+    rows = []
+    for k, (res, loo_mean, loo_var) in enumerate(results):
+        if not bool(np.asarray(res.ok).all()):
+            print(f"error: level {k} has component(s) with no valid "
+                  "factorization", file=sys.stderr)
+            return 1
+        Y_true = reconstruct_level_targets_mv(emu, k)
+        s = validation_summary(loo_mean, loo_var, Y_true,
+                               interval=args.interval)
+        n_k = int(emu.levels[k].X.shape[0])
+        print(f"# level {k} LOO validation (observable space vs "
+              f"retained-PCA reconstruction, lower-level basis columns "
+              f"held fixed): N={n_k}, t={emu.n_outputs}, "
+              f"r={emu.n_components}")
+        for key, v in s.items():
+            print(f"level{k}_{key} {v:.17g}")
+        rows.append((k, loo_mean, loo_var, Y_true))
+    if args.output is not None:
+        with open(args.output, "w") as f:
+            f.write(
+                "# per-point LOO by level: level "
+                + " ".join(f"loo_mean_{s_}" for s_ in output_names) + " "
+                + " ".join(f"loo_variance_{s_}" for s_ in output_names)
+                + " "
+                + " ".join(f"true_{s_}" for s_ in output_names) + "\n"
+            )
+            for k, loo_mean, loo_var, Y_true in rows:
+                lm = np.asarray(loo_mean)
+                lvv = np.asarray(loo_var)
+                yt = np.asarray(Y_true)
+                for i in range(lm.shape[0]):
+                    row = np.concatenate([lm[i], lvv[i], yt[i]])
+                    f.write(f"{k} " + " ".join(f"{v:.17g}" for v in row)
+                            + "\n")
     return 0
 
 
@@ -1290,9 +1415,14 @@ def cmd_validate(args) -> int:
         # e.g. a gradient-enhanced (v3) snapshot with --matrix_free
         print(f"error: {e}", file=sys.stderr)
         return 2
-    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.multifidelity import (
+        MultiFidelityEmulator,
+        MultivariateMultiFidelityEmulator,
+    )
     from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
 
+    if isinstance(emu, MultivariateMultiFidelityEmulator):
+        return _validate_multifidelity_mv(emu, output_names, args)
     if isinstance(emu, MultiFidelityEmulator):
         return _validate_multifidelity(emu, args)
     if isinstance(emu, SparseMultivariateEmulator):
@@ -1487,7 +1617,21 @@ def cmd_sensitivity(args) -> int:
     emu, param_names, output_names = read_snapshot_auto(
         args.state_file, dtype=dtype
     )
-    if isinstance(emu, MultiFidelityEmulator):
+    if _is_multifidelity(emu) and not isinstance(emu, MultiFidelityEmulator):
+        # multivariate MF: observable-space mean through the shared basis
+        from madaiemulator_tpu.models.multifidelity import (
+            predict_multivariate_multifidelity,
+        )
+        from madaiemulator_tpu.utils.designs import unapply_scaling
+
+        def predict_fn(Xs):
+            mean, _ = predict_multivariate_multifidelity(
+                emu, unapply_scaling(Xs, emu.scaling)
+            )
+            return mean
+
+        d = emu.levels[0].X.shape[1]
+    elif isinstance(emu, MultiFidelityEmulator):
         from madaiemulator_tpu.models.multifidelity import (
             predict_multifidelity,
         )
@@ -1604,9 +1748,18 @@ def cmd_convert(args) -> int:
         args.out_state, emu, param_names=param_names,
         output_names=output_names,
     )
-    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.multifidelity import (
+        MultiFidelityEmulator,
+        MultivariateMultiFidelityEmulator,
+    )
 
-    if isinstance(emu, MultiFidelityEmulator):
+    if isinstance(emu, MultivariateMultiFidelityEmulator):
+        desc = (
+            f"{emu.n_levels} fidelity level(s), "
+            f"d={emu.levels[0].X.shape[1]}, t={emu.n_outputs} "
+            f"-> r={emu.n_components} components"
+        )
+    elif isinstance(emu, MultiFidelityEmulator):
         desc = (
             f"{emu.n_levels} fidelity level(s), "
             f"d={emu.levels[0].data.X.shape[1]}"
@@ -1632,6 +1785,29 @@ def cmd_print_thetas(args) -> int:
     from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
 
     emu, param_names, _ = read_snapshot_auto(args.state_file)
+    from madaiemulator_tpu.models.multifidelity import (
+        MultivariateMultiFidelityEmulator,
+    )
+
+    if isinstance(emu, MultivariateMultiFidelityEmulator):
+        print(
+            f"# {emu.n_levels} fidelity level(s) x {emu.n_components} "
+            "component(s); thetas = [amp nugget length_scales...] "
+            "(+ rho for levels >= 1)"
+        )
+        for k, lv in enumerate(emu.levels):
+            amp = np.exp(np.asarray(lv.params.log_amp))
+            nug = np.exp(np.asarray(lv.params.log_nugget))
+            ls = np.exp(np.asarray(lv.params.log_ls))
+            rho = np.asarray(lv.rho)
+            for i in range(amp.shape[0]):
+                row = [amp[i], nug[i], *ls[i]]
+                line = (f"level {k} component {i}  "
+                        + " ".join(f"{v:.17g}" for v in row))
+                if k > 0:
+                    line += f"  rho {rho[i]:.17g}"
+                print(line)
+        return 0
     if isinstance(emu, MultiFidelityEmulator):
         print(
             f"# {emu.n_levels} fidelity level(s); thetas = "

@@ -65,6 +65,13 @@ VERSION_GRADIENTS = 3
 # magic token (read_snapshot_auto).
 MAGIC_MF = "MADAIEMULATOR_TPU_SNAPSHOT_MF"
 VERSION_MF = 1
+# version 2 = MULTIVARIATE multi-fidelity: one shared PCA block (the basis
+# every level projects through — models/multifidelity.py MV section) and
+# per-level COMPONENT-BATCHED payloads: thetas (r x ntheta), rho (r),
+# targets Z (N_k x r), lower-mean columns H (N_k x r), noise (N_k x r).
+# Scalar (version-1) snapshots keep their grammar and readers untouched;
+# the version token dispatches.
+VERSION_MF_MV = 2
 
 
 def _snapshot_version(emu) -> int:
@@ -315,7 +322,10 @@ def write_snapshot_auto(
     write_snapshot argument shape for every family (output_names is a
     LIST even for the scalar-output multi-fidelity writers — positional
     or keyword, it is remapped to their singular output_name)."""
-    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.multifidelity import (
+        MultiFidelityEmulator,
+        MultivariateMultiFidelityEmulator,
+    )
     from madaiemulator_tpu.models.sparse import SparseMultivariateEmulator
 
     if isinstance(emu, SparseMultivariateEmulator):
@@ -323,6 +333,14 @@ def write_snapshot_auto(
             write_snapshot_sparse_npz
             if dest.endswith(".npz")
             else write_snapshot_sparse
+        )
+        writer(dest, emu, param_names, output_names)
+        return
+    if isinstance(emu, MultivariateMultiFidelityEmulator):
+        writer = (
+            write_snapshot_multifidelity_mv_npz
+            if dest.endswith(".npz")
+            else write_snapshot_multifidelity_mv
         )
         writer(dest, emu, param_names, output_names)
         return
@@ -610,6 +628,8 @@ def read_snapshot_multifidelity(
     if tok() != MAGIC_MF:
         raise ValueError("not a multi-fidelity snapshot")
     version = int(tok())
+    if version == VERSION_MF_MV:
+        return _read_mf_mv_body(tok, expect, dtype)
     if version != VERSION_MF:
         raise ValueError(f"unsupported multi-fidelity snapshot version {version}")
     cov = COVARIANCE_CLI_NAMES[expect("covariance")]
@@ -670,6 +690,153 @@ def read_snapshot_multifidelity(
     return emu, param_names, [output_name]
 
 
+def write_snapshot_multifidelity_mv(
+    dest: Union[str, TextIO],
+    emu,
+    param_names: List[str] | None = None,
+    output_names: List[str] | None = None,
+) -> None:
+    """Persist a MultivariateMultiFidelityEmulator (MF grammar version 2:
+    shared PCA block + component-batched per-level payloads)."""
+    if isinstance(dest, str):
+        with open(dest, "w") as f:
+            write_snapshot_multifidelity_mv(f, emu, param_names,
+                                            output_names)
+            return
+    cfg = emu.config
+    L = emu.n_levels
+    t = emu.n_outputs
+    r = emu.n_components
+    d = emu.levels[0].X.shape[1]
+    param_names = list(param_names or [f"param_{i}" for i in range(d)])
+    output_names = list(output_names or [f"output_{j}" for j in range(t)])
+    standardize = bool(np.any(np.asarray(emu.pca.ystd) != 1.0))
+    w = dest.write
+    w(f"{MAGIC_MF} {VERSION_MF_MV}\n")
+    w(f"covariance {cfg.covariance.value}\n")
+    w(f"power_exp_alpha {cfg.power_exp_alpha:.17g}\n")
+    w(f"regression_order {cfg.regression_order}\n")
+    w(f"predict_variance_includes_nugget "
+      f"{int(cfg.predict_variance_includes_nugget)}\n")
+    w(f"pca_standardize {int(standardize)}\n")
+    w(f"nparams {d}\nnoutputs {t}\nncomponents {r}\nnlevels {L}\n")
+    for s in param_names:
+        w(f"{s}\n")
+    for s in output_names:
+        w(f"{s}\n")
+    w("# design scaling (mins; ranges)\n")
+    w(_fmt_vec(emu.scaling.mins) + "\n")
+    w(_fmt_vec(emu.scaling.ranges) + "\n")
+    w("# pca: ymean; ystd; eigenvalues; U (t x r)\n")
+    w(_fmt_vec(emu.pca.ymean) + "\n")
+    w(_fmt_vec(emu.pca.ystd) + "\n")
+    w(_fmt_vec(emu.pca.eigenvalues) + "\n")
+    w(_fmt_mat(emu.pca.U) + "\n")
+    for k, lv in enumerate(emu.levels):
+        nk = lv.X.shape[0]
+        has_noise = int(lv.noise is not None)
+        w(f"level {k} {nk} {has_noise}\n")
+        thetas = np.column_stack([
+            np.exp(np.asarray(lv.params.log_amp)),
+            np.exp(np.asarray(lv.params.log_nugget)),
+            np.exp(np.asarray(lv.params.log_ls)).reshape(r, -1),
+        ])
+        w(f"# thetas ({r} x {thetas.shape[1]}) [amp nugget ls...]\n")
+        w(_fmt_mat(thetas) + "\n")
+        if k > 0:
+            w(f"rho {_fmt_vec(lv.rho)}\n")
+        w(f"# level {k}: scaled design ({nk} x {d}); Z ({nk} x {r}); "
+          + ("H; " if k > 0 else "")
+          + ("noise" if has_noise else "") + "\n")
+        w(_fmt_mat(lv.X) + "\n")
+        w(_fmt_mat(lv.Z) + "\n")
+        if k > 0:
+            w(_fmt_mat(lv.H) + "\n")
+        if has_noise:
+            w(_fmt_mat(lv.noise) + "\n")
+
+
+def _read_mf_mv_body(tok, expect, dtype):
+    """Shared v2 text-body parser (called with the header's token stream
+    already past the version token)."""
+    from madaiemulator_tpu.models.multifidelity import (
+        MultivariateMultiFidelityEmulator,
+        MVFidelityLevel,
+    )
+    from madaiemulator_tpu.models.multivariate import _vmapped_states
+
+    cov = COVARIANCE_CLI_NAMES[expect("covariance")]
+    alpha = float(expect("power_exp_alpha"))
+    order = int(expect("regression_order"))
+    pred_nug = bool(int(expect("predict_variance_includes_nugget")))
+    expect("pca_standardize")  # metadata; ystd is applied directly
+    d = int(expect("nparams"))
+    t = int(expect("noutputs"))
+    r = int(expect("ncomponents"))
+    L = int(expect("nlevels"))
+    param_names = [tok() for _ in range(d)]
+    output_names = [tok() for _ in range(t)]
+
+    def vec(k):
+        return np.asarray([float(tok()) for _ in range(k)])
+
+    mins = vec(d)
+    ranges = vec(d)
+    cfg = GPConfig(
+        nparams=d, covariance=cov, regression_order=order,
+        power_exp_alpha=alpha, predict_variance_includes_nugget=pred_nug,
+    )
+    scaling = DesignScaling(
+        mins=jnp.asarray(mins, dtype=dtype),
+        ranges=jnp.asarray(ranges, dtype=dtype),
+    )
+    pca = PCAState(
+        ymean=jnp.asarray(vec(t), dtype=dtype),
+        ystd=jnp.asarray(vec(t), dtype=dtype),
+        eigenvalues=jnp.asarray(vec(r), dtype=dtype),
+        U=jnp.asarray(vec(t * r).reshape(t, r), dtype=dtype),
+    )
+    ntheta = 2 + cov.num_length_scales(d)
+    levels = []
+    for k in range(L):
+        kk = int(expect("level"))
+        if kk != k:
+            raise ValueError(f"snapshot: expected level {k}, got {kk}")
+        nk = int(tok())
+        has_noise = bool(int(tok()))
+        thetas = vec(r * ntheta).reshape(r, ntheta)
+        rho = (
+            jnp.asarray(
+                np.asarray([float(expect("rho"))] + [float(tok()) for _ in range(r - 1)]),
+                dtype=dtype,
+            )
+            if k > 0 else jnp.zeros((r,), dtype)
+        )
+        X = jnp.asarray(vec(nk * d).reshape(nk, d), dtype=dtype)
+        Z = jnp.asarray(vec(nk * r).reshape(nk, r), dtype=dtype)
+        H = (
+            jnp.asarray(vec(nk * r).reshape(nk, r), dtype=dtype)
+            if k > 0 else None
+        )
+        nz = (
+            jnp.asarray(vec(nk * r).reshape(nk, r), dtype=dtype)
+            if has_noise else None
+        )
+        params = GPParams(
+            log_amp=jnp.asarray(np.log(thetas[:, 0]), dtype=dtype),
+            log_nugget=jnp.asarray(np.log(thetas[:, 1]), dtype=dtype),
+            log_ls=jnp.asarray(np.log(thetas[:, 2:]), dtype=dtype),
+        )
+        states = _vmapped_states(params, X, Z, cfg, noise_pc=nz, H_pc=H)
+        levels.append(MVFidelityLevel(
+            X=X, Z=Z, H=H, noise=nz, params=params, states=states, rho=rho,
+        ))
+    emu = MultivariateMultiFidelityEmulator(
+        scaling=scaling, pca=pca, levels=tuple(levels), config=cfg,
+    )
+    return emu, param_names, output_names
+
+
 def write_snapshot_multifidelity_npz(
     dest: str,
     emu,
@@ -714,6 +881,113 @@ def write_snapshot_multifidelity_npz(
     )
 
 
+def write_snapshot_multifidelity_mv_npz(
+    dest: str,
+    emu,
+    param_names: List[str] | None = None,
+    output_names: List[str] | None = None,
+) -> None:
+    """Binary multivariate multi-fidelity snapshot: same payload as the
+    text grammar (version 2), per-level arrays suffixed _<k>."""
+    cfg = emu.config
+    L = emu.n_levels
+    d = emu.levels[0].X.shape[1]
+    t = emu.n_outputs
+    arrays = {}
+    for k, lv in enumerate(emu.levels):
+        arrays[f"X_{k}"] = np.asarray(lv.X)
+        arrays[f"Z_{k}"] = np.asarray(lv.Z)
+        arrays[f"log_amp_{k}"] = np.asarray(lv.params.log_amp)
+        arrays[f"log_nugget_{k}"] = np.asarray(lv.params.log_nugget)
+        arrays[f"log_ls_{k}"] = np.asarray(lv.params.log_ls)
+        if k > 0:
+            arrays[f"H_{k}"] = np.asarray(lv.H)
+            arrays[f"rho_{k}"] = np.asarray(lv.rho)
+        if lv.noise is not None:
+            arrays[f"noise_{k}"] = np.asarray(lv.noise)
+    np.savez_compressed(
+        dest,
+        magic=np.array([MAGIC_MF]),
+        version=np.array([VERSION_MF_MV]),
+        covariance=np.array([cfg.covariance.value]),
+        power_exp_alpha=np.array([cfg.power_exp_alpha]),
+        regression_order=np.array([cfg.regression_order]),
+        predict_variance_includes_nugget=np.array(
+            [int(cfg.predict_variance_includes_nugget)]
+        ),
+        nlevels=np.array([L]),
+        param_names=np.array(
+            list(param_names or [f"param_{i}" for i in range(d)])
+        ),
+        output_names=np.array(
+            list(output_names or [f"output_{j}" for j in range(t)])
+        ),
+        mins=np.asarray(emu.scaling.mins),
+        ranges=np.asarray(emu.scaling.ranges),
+        ymean=np.asarray(emu.pca.ymean),
+        ystd=np.asarray(emu.pca.ystd),
+        eigenvalues=np.asarray(emu.pca.eigenvalues),
+        U=np.asarray(emu.pca.U),
+        **arrays,
+    )
+
+
+def _read_mf_mv_npz(z, dtype):
+    from madaiemulator_tpu.models.multifidelity import (
+        MultivariateMultiFidelityEmulator,
+        MVFidelityLevel,
+    )
+    from madaiemulator_tpu.models.multivariate import _vmapped_states
+
+    cfg = GPConfig(
+        nparams=int(z["mins"].shape[0]),
+        covariance=COVARIANCE_CLI_NAMES[str(z["covariance"][0])],
+        regression_order=int(z["regression_order"][0]),
+        power_exp_alpha=float(z["power_exp_alpha"][0]),
+        predict_variance_includes_nugget=bool(
+            int(z["predict_variance_includes_nugget"][0])
+        ),
+    )
+    scaling = DesignScaling(
+        mins=jnp.asarray(z["mins"], dtype=dtype),
+        ranges=jnp.asarray(z["ranges"], dtype=dtype),
+    )
+    pca = PCAState(
+        ymean=jnp.asarray(z["ymean"], dtype=dtype),
+        ystd=jnp.asarray(z["ystd"], dtype=dtype),
+        eigenvalues=jnp.asarray(z["eigenvalues"], dtype=dtype),
+        U=jnp.asarray(z["U"], dtype=dtype),
+    )
+    r = pca.U.shape[1]
+    L = int(z["nlevels"][0])
+    levels = []
+    for k in range(L):
+        params = GPParams(
+            log_amp=jnp.asarray(z[f"log_amp_{k}"], dtype=dtype),
+            log_nugget=jnp.asarray(z[f"log_nugget_{k}"], dtype=dtype),
+            log_ls=jnp.asarray(z[f"log_ls_{k}"], dtype=dtype),
+        )
+        X = jnp.asarray(z[f"X_{k}"], dtype=dtype)
+        Z = jnp.asarray(z[f"Z_{k}"], dtype=dtype)
+        H = jnp.asarray(z[f"H_{k}"], dtype=dtype) if k > 0 else None
+        nz = (
+            jnp.asarray(z[f"noise_{k}"], dtype=dtype)
+            if f"noise_{k}" in z else None
+        )
+        states = _vmapped_states(params, X, Z, cfg, noise_pc=nz, H_pc=H)
+        rho = (
+            jnp.asarray(z[f"rho_{k}"], dtype=dtype)
+            if k > 0 else jnp.zeros((r,), dtype)
+        )
+        levels.append(MVFidelityLevel(
+            X=X, Z=Z, H=H, noise=nz, params=params, states=states, rho=rho,
+        ))
+    emu = MultivariateMultiFidelityEmulator(
+        scaling=scaling, pca=pca, levels=tuple(levels), config=cfg,
+    )
+    return emu, list(map(str, z["param_names"])), list(map(str, z["output_names"]))
+
+
 def read_snapshot_multifidelity_npz(source: str, dtype=jnp.float64):
     """Binary multi-fidelity loader (see read_snapshot_multifidelity)."""
     from madaiemulator_tpu.models.gp import GPData
@@ -723,8 +997,12 @@ def read_snapshot_multifidelity_npz(source: str, dtype=jnp.float64):
     )
 
     z = np.load(source, allow_pickle=False)
-    if str(z["magic"][0]) != MAGIC_MF or int(z["version"][0]) != VERSION_MF:
+    if str(z["magic"][0]) != MAGIC_MF or int(z["version"][0]) not in (
+        VERSION_MF, VERSION_MF_MV,
+    ):
         raise ValueError("not a compatible multi-fidelity npz snapshot")
+    if int(z["version"][0]) == VERSION_MF_MV:
+        return _read_mf_mv_npz(z, dtype)
     cfg = GPConfig(
         nparams=int(z["mins"].shape[0]),
         covariance=COVARIANCE_CLI_NAMES[str(z["covariance"][0])],

@@ -53,9 +53,22 @@ def _is_sparse(emu) -> bool:
 
 
 def _is_mf(emu) -> bool:
-    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.multifidelity import (
+        MultiFidelityEmulator,
+        MultivariateMultiFidelityEmulator,
+    )
 
-    return isinstance(emu, MultiFidelityEmulator)
+    return isinstance(
+        emu, (MultiFidelityEmulator, MultivariateMultiFidelityEmulator)
+    )
+
+
+def _is_mf_mv(emu) -> bool:
+    from madaiemulator_tpu.models.multifidelity import (
+        MultivariateMultiFidelityEmulator,
+    )
+
+    return isinstance(emu, MultivariateMultiFidelityEmulator)
 
 
 def _design_points(emu):
@@ -67,6 +80,8 @@ def _design_points(emu):
     best walker-seed pool)."""
     if _is_sparse(emu):
         return emu.Z
+    if _is_mf_mv(emu):
+        return jnp.concatenate([lv.X for lv in emu.levels], axis=0)
     if _is_mf(emu):
         return jnp.concatenate([lv.data.X for lv in emu.levels], axis=0)
     return emu.X
@@ -191,7 +206,14 @@ def make_log_posterior(
         raise ValueError(f"exp_cov shape {exp_cov.shape} mismatches y_exp ({t},)")
     log2pi = float(np.log(2.0 * np.pi))
     d_theta = _design_points(emu).shape[1]
-    if _is_mf(emu):
+    if _is_mf_mv(emu):
+        if t != emu.n_outputs:
+            raise ValueError(
+                f"y_exp has {t} observables but this multivariate "
+                f"multi-fidelity emulator predicts {emu.n_outputs}"
+            )
+        ystd2 = (emu.pca.ystd.astype(_dtype)) ** 2  # (t,)
+    elif _is_mf(emu):
         # scalar-output MF emulators store raw-unit targets; the top
         # level's spread is the discrepancy-scale analogue of pca.ystd
         if t != 1:
@@ -205,7 +227,17 @@ def make_log_posterior(
     else:
         ystd2 = (emu.pca.ystd.astype(_dtype)) ** 2  # (t,)
 
-    if _is_mf(emu):
+    if _is_mf_mv(emu):
+        # highest fidelity, componentwise recursion + PCA reconstruction
+        from madaiemulator_tpu.models.multifidelity import (
+            _predict_recursive_mv,
+        )
+
+        def moments(xq):
+            m_pc, v_pc = _predict_recursive_mv(emu.levels, xq, emu.config)
+            return reconstruct_observables(m_pc, v_pc, emu.pca)
+
+    elif _is_mf(emu):
         # calibrate the HIGHEST fidelity: the recursive co-kriging predict
         # is a chain of dense GP predicts (predict_from_precomputed), so
         # the whole chain — including HMC gradients — compiles to one scan
@@ -1060,7 +1092,20 @@ def implausibility(
     exp_cov = jnp.asarray(exp_cov, dtype=_dtype)
     s2 = jnp.diagonal(exp_cov) if exp_cov.ndim == 2 else exp_cov
     xq = jnp.atleast_2d(thetas_scaled)
-    if _is_mf(emu):
+    if _is_mf_mv(emu):
+        if y_exp.shape[0] != emu.n_outputs:
+            raise ValueError(
+                f"y_exp has {y_exp.shape[0]} observables but this "
+                f"multivariate multi-fidelity emulator predicts "
+                f"{emu.n_outputs}"
+            )
+        from madaiemulator_tpu.models.multifidelity import (
+            _predict_recursive_mv,
+        )
+
+        m_pc, v_pc = _predict_recursive_mv(emu.levels, xq, emu.config)
+        mean, var = reconstruct_observables(m_pc, v_pc, emu.pca)
+    elif _is_mf(emu):
         if y_exp.shape[0] != 1:
             raise ValueError(
                 f"y_exp has {y_exp.shape[0]} observables but a scalar "

@@ -164,17 +164,41 @@ def _is_sparse(emu) -> bool:
 
 
 def _is_mf(emu) -> bool:
-    from madaiemulator_tpu.models.multifidelity import MultiFidelityEmulator
+    from madaiemulator_tpu.models.multifidelity import (
+        MultiFidelityEmulator,
+        MultivariateMultiFidelityEmulator,
+    )
 
-    return isinstance(emu, MultiFidelityEmulator)
+    return isinstance(
+        emu, (MultiFidelityEmulator, MultivariateMultiFidelityEmulator)
+    )
+
+
+def _is_mf_mv(emu) -> bool:
+    from madaiemulator_tpu.models.multifidelity import (
+        MultivariateMultiFidelityEmulator,
+    )
+
+    return isinstance(emu, MultivariateMultiFidelityEmulator)
 
 
 def _pool_moments_mf(emu, pool: jax.Array):
     """Observable-space (mean, var) over a scaled candidate pool for a
     multi-fidelity emulator: the recursive co-kriging predict at the
-    HIGHEST fidelity (scalar output -> (P, 1) each). Designing where the
-    top level's recursive variance is largest targets new HIGH-fidelity
-    runs; lower levels are refined by their own single-fidelity designs."""
+    HIGHEST fidelity ((P, 1) scalar / (P, t) multivariate). Designing
+    where the top level's recursive variance is largest targets new
+    HIGH-fidelity runs; lower levels are refined by their own
+    single-fidelity designs."""
+    if _is_mf_mv(emu):
+        from madaiemulator_tpu.models.multifidelity import (
+            _predict_recursive_mv,
+        )
+        from madaiemulator_tpu.models.multivariate import (
+            reconstruct_observables,
+        )
+
+        m_pc, v_pc = _predict_recursive_mv(emu.levels, pool, emu.config)
+        return reconstruct_observables(m_pc, v_pc, emu.pca)
     from madaiemulator_tpu.models.multifidelity import _predict_recursive
 
     m, v = _predict_recursive(emu.levels, pool, emu.config)
@@ -182,8 +206,11 @@ def _pool_moments_mf(emu, pool: jax.Array):
 
 
 def _mf_ystd(emu) -> jax.Array:
-    """(1,) output-scale normalizer: the top level's target spread (MF
-    targets are stored in raw units — models/multifidelity.py)."""
+    """Output-scale normalizer: pca.ystd for multivariate MF; the top
+    level's target spread for scalar MF (whose targets are stored in raw
+    units — models/multifidelity.py)."""
+    if _is_mf_mv(emu):
+        return emu.pca.ystd
     return jnp.std(emu.levels[-1].data.y).reshape(1)
 
 
@@ -193,6 +220,8 @@ def _design_array(emu) -> jax.Array:
     design (multi-fidelity)."""
     if _is_sparse(emu):
         return emu.Z
+    if _is_mf_mv(emu):
+        return emu.levels[-1].X
     if _is_mf(emu):
         return emu.levels[-1].data.X
     return emu.X

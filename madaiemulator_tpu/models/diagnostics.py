@@ -497,6 +497,40 @@ def loo_summary_multifidelity(emu, interval: float = 0.95) -> list:
     ]
 
 
+def loo_cv_multifidelity_mv(emu) -> list:
+    """Per-level LOO for a MULTIVARIATE multi-fidelity emulator: the
+    Dubrule identity applies per level per component (lower-level basis
+    columns held fixed, exactly as in loo_cv_multifidelity), vmapped over
+    the component axis, then rotated to observable space.
+
+    Returns n_levels entries (LOOResult with (r, N_k) fields,
+    loo_mean (N_k, t), loo_var (N_k, t)). Ground truth for level k is the
+    PCA representation of its stored targets:
+    reconstruct_level_targets_mv(emu, k)."""
+    from madaiemulator_tpu.models.multivariate import reconstruct_observables
+
+    out = []
+    for lv in emu.levels:
+        res = jax.vmap(_loo_from_state)(lv.states, lv.Z.T)  # (r, N_k)
+        loo_mean, loo_var = reconstruct_observables(
+            res.mean, res.variance, emu.pca
+        )
+        out.append((res, loo_mean, loo_var))
+    return out
+
+
+def reconstruct_level_targets_mv(emu, k: int) -> jax.Array:
+    """Level k's training targets as the retained-r shared PCA subspace
+    represents them, (N_k, t) — the truncation-free ground truth for
+    loo_cv_multifidelity_mv (see reconstruct_training_outputs)."""
+    pca = emu.pca
+    Z = emu.levels[k].Z
+    sqrt_lam = jnp.sqrt(pca.eigenvalues.astype(Z.dtype))
+    return pca.ymean[None, :] + (
+        (Z * sqrt_lam[None, :]) @ pca.U.T
+    ) * pca.ystd[None, :]
+
+
 def training_residuals_sparse(
     emu, X_raw, query_chunk: int = 4096
 ) -> Tuple[jax.Array, jax.Array]:

@@ -30,7 +30,10 @@ two TRSMs per level per query batch, all inside one jit).
 
 from __future__ import annotations
 
+import logging
 from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+logger = logging.getLogger("madaiemulator_tpu")
 
 import jax
 import jax.numpy as jnp
@@ -191,3 +194,241 @@ def predict_multifidelity(
     dtype = emu.levels[0].data.X.dtype
     Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=dtype), emu.scaling)
     return _predict_recursive(emu.levels[: level + 1], Xs, emu.config)
+
+
+# --- Multivariate (t > 1) multi-fidelity -------------------------------------
+#
+# The reference's flagship configuration is PCA emulation of many
+# observables (SURVEY §2 "Multivariate emulator"; mount empty). The
+# multivariate multi-fidelity emulator runs that pipeline across fidelity
+# levels: ONE shared PCA basis is fit on the pooled (z-scored) outputs of
+# every level, each level's outputs project to PC scores under that basis,
+# and each retained component then runs the scalar AR(1) recursion above.
+# Sharing the basis is what makes the recursion well-posed: the AR(1) link
+# y_k = rho y_{k-1} + delta is affine, PC projection is linear, so the
+# link holds componentwise in score space (the affine offset is absorbed
+# by the GLS constant term that every component's trend already carries).
+# Per-level fits vmap over the component axis — one batched LBFGS program
+# per level on the MXU, with the lower-level mean riding as a batched
+# h_extra GLS column exactly as in the scalar path.
+
+
+class MVFidelityLevel(NamedTuple):
+    """One trained level of a multivariate MF emulator: the component axis
+    (r) is batched — params/states are stacked pytrees, Z/H/noise carry r
+    as their trailing axis."""
+
+    X: jax.Array  # (N_k, d) scaled design
+    Z: jax.Array  # (N_k, r) per-component PC-score targets
+    H: Optional[jax.Array]  # (N_k, r) lower-level mean columns; None at k=0
+    noise: Optional[jax.Array]  # (N_k, r) PC-space noise variances
+    params: GPParams  # batched (r, ...)
+    states: GPPosteriorState  # batched (r, ...)
+    rho: jax.Array  # (r,) AR(1) scales; zeros at level 0
+
+
+class MultivariateMultiFidelityEmulator(NamedTuple):
+    scaling: DesignScaling  # shared across levels
+    pca: "PCAState"  # ONE basis shared by every level
+    levels: Tuple[MVFidelityLevel, ...]
+    config: GPConfig
+    restart_log_likelihoods: Optional[Tuple[jax.Array, ...]] = None
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+    @property
+    def n_components(self) -> int:
+        return self.levels[0].Z.shape[1]
+
+    @property
+    def n_outputs(self) -> int:
+        return self.pca.ymean.shape[0]
+
+    @property
+    def rho(self) -> jax.Array:
+        """AR(1) scales (n_levels - 1, r): rho[k, i] links level k+1 to
+        level k in component i's score space."""
+        return jnp.stack([lv.rho for lv in self.levels[1:]])
+
+
+def _predict_level_components(
+    lv: MVFidelityLevel, Xs: jax.Array, config: GPConfig,
+    lower_mean: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """(r, m) mean/variance of one level's components; lower_mean (r, m)
+    feeds each component's h_extra query column."""
+    if lower_mean is None:
+        def one(st, p, z):
+            return predict_from_precomputed(
+                st, p, GPData(X=lv.X, y=z), Xs, config
+            )
+
+        return jax.vmap(one)(lv.states, lv.params, lv.Z.T)
+
+    def one(st, p, z, h, lm):
+        data = GPData(X=lv.X, y=z, h_extra=h)
+        return predict_from_precomputed(
+            st, p, data, Xs, config, hs_extra=lm[:, None]
+        )
+
+    return jax.vmap(one)(
+        lv.states, lv.params, lv.Z.T, lv.H.T[:, :, None], lower_mean
+    )
+
+
+def _predict_recursive_mv(
+    levels: Sequence[MVFidelityLevel], Xs: jax.Array, config: GPConfig
+) -> Tuple[jax.Array, jax.Array]:
+    """Componentwise recursion: (r, m) score-space mean/variance through
+    the level chain (same algebra as _predict_recursive, batched over r)."""
+    mean, var = _predict_level_components(levels[0], Xs, config, None)
+    for lv in levels[1:]:
+        m_k, v_k = _predict_level_components(lv, Xs, config, mean)
+        mean = m_k
+        var = lv.rho[:, None] ** 2 * var + v_k
+    return mean, var
+
+
+def fit_multivariate_multifidelity(
+    key: jax.Array,
+    designs: Sequence[jax.Array],
+    targets: Sequence[jax.Array],
+    config: GPConfig,
+    pca_variance: float = 0.95,
+    standardize: bool = True,
+    lower_values: Optional[Sequence[Optional[jax.Array]]] = None,
+    noise: Optional[Sequence[Optional[jax.Array]]] = None,
+    param_ranges: Optional[Tuple[jax.Array, jax.Array]] = None,
+    restart_chunk: Optional[int] = None,
+    **fit_kwargs,
+) -> MultivariateMultiFidelityEmulator:
+    """Train a multivariate AR(1) co-kriging emulator: targets[k] is
+    (N_k, t) observables at fidelity k (cheapest first).
+
+    The PCA basis is fit ONCE on the pooled rows of every level (each
+    z-scored with the pooled mean/std): the pooled covariance sees the
+    most samples — the top level alone is typically far smaller than t —
+    and a SHARED basis is required for the componentwise AR(1) recursion
+    to be meaningful (see module section comment). lower_values[k-1]
+    (optional): OBSERVED level-(k-1) outputs (N_k, t) at level k's design
+    (nested designs); otherwise the trained lower levels' recursive mean
+    is used. noise[k]: per-point observation-noise variances, (N_k,) or
+    (N_k, t), projected per component (models/multivariate.project_noise).
+    """
+    from madaiemulator_tpu.models.multivariate import (
+        _vmapped_fit,
+        _vmapped_states,
+        pca_decompose,
+        project_noise,
+        project_scores,
+    )
+
+    L = len(designs)
+    if len(targets) != L:
+        raise ValueError(f"designs/targets length mismatch: {L} vs {len(targets)}")
+    if L < 1:
+        raise ValueError("need at least one fidelity level")
+    lower_values = list(lower_values or [None] * (L - 1))
+    if len(lower_values) != L - 1:
+        raise ValueError(
+            f"lower_values must have {L - 1} entries (levels 1..{L - 1})"
+        )
+    noise = list(noise or [None] * L)
+    if len(noise) != L:
+        raise ValueError(f"noise must have {L} entries")
+    t = np.asarray(targets[0]).shape[1] if np.asarray(targets[0]).ndim == 2 else 1
+    for k, Yk in enumerate(targets):
+        Yk = np.asarray(Yk)
+        if Yk.ndim != 2 or Yk.shape[1] != t:
+            raise ValueError(
+                f"targets[{k}] must be (N_{k}, t={t}); got {Yk.shape}"
+            )
+
+    allX = jnp.concatenate([jnp.asarray(X) for X in designs], axis=0)
+    scaling = fit_scaling(allX, ranges=param_ranges)
+    dtype = jnp.asarray(targets[0]).dtype
+
+    # one basis over the pooled outputs; per-level scores under that basis
+    Y_pool = np.concatenate([np.asarray(Yk) for Yk in targets], axis=0)
+    pca, _ = pca_decompose(Y_pool, pca_variance, standardize=standardize)
+    r = pca.U.shape[1]
+    logger.info(
+        "fit_multivariate_multifidelity: L=%d levels, t=%d -> r=%d "
+        "components (pca_variance=%g; pooled basis over %d rows)",
+        L, t, r, pca_variance, Y_pool.shape[0],
+    )
+
+    levels: List[MVFidelityLevel] = []
+    lls: List[jax.Array] = []
+    keys = jax.random.split(key, L)
+    for k in range(L):
+        Xk = apply_scaling(jnp.asarray(designs[k], dtype=dtype), scaling)
+        Zk = project_scores(targets[k], pca, dtype=dtype)  # (N_k, r)
+        nz = (
+            None if noise[k] is None
+            else project_noise(noise[k], pca, dtype=dtype)
+        )
+        if k == 0:
+            H = None
+        else:
+            lv_obs = lower_values[k - 1]
+            if lv_obs is not None:
+                H = project_scores(lv_obs, pca, dtype=dtype)  # (N_k, r)
+            else:
+                Hm, _ = _predict_recursive_mv(levels, Xk, config)  # (r, N_k)
+                H = Hm.T
+        fit = _vmapped_fit(
+            keys[k], Xk, Zk, config, restart_chunk=restart_chunk,
+            noise_pc=nz, H_pc=H, **fit_kwargs,
+        )
+        states = _vmapped_states(
+            fit.params, Xk, Zk, config, noise_pc=nz, H_pc=H
+        )
+        rho = (
+            states.beta[:, -1] if k > 0
+            else jnp.zeros((r,), dtype)
+        )
+        levels.append(MVFidelityLevel(
+            X=Xk, Z=Zk, H=H, noise=nz, params=fit.params, states=states,
+            rho=rho,
+        ))
+        lls.append(fit.restart_log_likelihoods)
+        ll_np = np.asarray(fit.restart_log_likelihoods)
+        for i in range(r):
+            if not np.isfinite(ll_np[i]).any():
+                logger.warning(
+                    "fit_multivariate_multifidelity: level %d component "
+                    "%d/%d has NO feasible restart — predictions through "
+                    "this component will be garbage.", k, i, r,
+                )
+    return MultivariateMultiFidelityEmulator(
+        scaling=scaling, pca=pca, levels=tuple(levels), config=config,
+        restart_log_likelihoods=tuple(lls),
+    )
+
+
+def predict_multivariate_multifidelity(
+    emu: MultivariateMultiFidelityEmulator,
+    Xs_raw: jax.Array,
+    level: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Observable-space posterior mean and variance of fidelity `level`
+    (default: highest) at raw queries: (m, d) -> ((m, t), (m, t)).
+
+    Componentwise recursion in score space, then the usual PCA
+    reconstruction (models/multivariate.reconstruct_observables) with its
+    independent-component variance approximation."""
+    from madaiemulator_tpu.models.multivariate import reconstruct_observables
+
+    L = emu.n_levels
+    level = L - 1 if level is None else level
+    if not 0 <= level < L:
+        raise ValueError(f"level {level} out of range [0, {L})")
+    dtype = emu.levels[0].X.dtype
+    Xs = apply_scaling(jnp.asarray(Xs_raw, dtype=dtype), emu.scaling)
+    m_pc, v_pc = _predict_recursive_mv(
+        emu.levels[: level + 1], Xs, emu.config
+    )
+    return reconstruct_observables(m_pc, v_pc, emu.pca)

@@ -140,6 +140,25 @@ def pca_decompose(
     return state, jnp.asarray(Z)
 
 
+def project_scores(Y, pca: PCAState, dtype=None) -> jnp.ndarray:
+    """PC scores of NEW output rows under an existing PCA basis:
+    z = ((y - ymean) / ystd) @ U / sqrt(lambda), the same map
+    pca_decompose bakes into its returned Z. Used by the multivariate
+    multi-fidelity path, where every fidelity level's outputs project
+    through ONE shared basis (models/multifidelity.py)."""
+    Y = jnp.asarray(Y)
+    if dtype is not None:
+        Y = Y.astype(dtype)
+    t = pca.ymean.shape[0]
+    if Y.ndim != 2 or Y.shape[1] != t:
+        raise ValueError(f"outputs must be (N, t={t}); got {Y.shape}")
+    lam = jnp.maximum(
+        pca.eigenvalues.astype(Y.dtype), jnp.finfo(Y.dtype).tiny
+    )
+    Yc = (Y - pca.ymean.astype(Y.dtype)[None, :]) / pca.ystd.astype(Y.dtype)[None, :]
+    return (Yc @ pca.U.astype(Y.dtype)) / jnp.sqrt(lam)[None, :]
+
+
 def project_noise(noise, pca: PCAState, dtype=None) -> jnp.ndarray:
     """Per-PC observation-noise variances from per-point output noise.
 
@@ -239,13 +258,18 @@ def project_gradient_noise(
     return v * (scaling.ranges.astype(dY_noise.dtype) ** 2)[None, :, None]
 
 
-def _component_batch(X, Z, noise_pc=None, dZ=None, dZ_noise=None):
+def _component_batch(X, Z, noise_pc=None, dZ=None, dZ_noise=None, H_pc=None):
     """(batched GPData, vmap in_axes spec) over the component axis: every
-    optional field is either absent (axis None) or batched on axis 0."""
+    optional field is either absent (axis None) or batched on axis 0.
+
+    H_pc (N, r), when given, is a PER-COMPONENT extra GLS basis column
+    (the multivariate multi-fidelity lower-level mean): component i trains
+    with h_extra = H_pc[:, i:i+1]."""
     data = GPData(
         X=X,
         y=Z.T,
         noise=None if noise_pc is None else noise_pc.T,
+        h_extra=None if H_pc is None else H_pc.T[:, :, None],
         dY=None if dZ is None else jnp.moveaxis(dZ, 2, 0),
         dY_noise=None if dZ_noise is None else jnp.moveaxis(dZ_noise, 2, 0),
     )
@@ -253,7 +277,7 @@ def _component_batch(X, Z, noise_pc=None, dZ=None, dZ_noise=None):
         X=None,
         y=0,
         noise=None if noise_pc is None else 0,
-        h_extra=None,
+        h_extra=None if H_pc is None else 0,
         dY=None if dZ is None else 0,
         dY_noise=None if dZ_noise is None else 0,
     )
@@ -262,13 +286,14 @@ def _component_batch(X, Z, noise_pc=None, dZ=None, dZ_noise=None):
 
 def _vmapped_fit(
     key, X, Z, config: GPConfig, restart_chunk: Optional[int] = None,
-    noise_pc=None, dZ=None, dZ_noise=None,
+    noise_pc=None, dZ=None, dZ_noise=None, H_pc=None, **fit_kwargs,
 ) -> FitResult:
     r = Z.shape[1]
     keys = jax.random.split(key, r)
-    data, axes = _component_batch(X, Z, noise_pc, dZ, dZ_noise)
+    data, axes = _component_batch(X, Z, noise_pc, dZ, dZ_noise, H_pc)
     return jax.vmap(
-        lambda k, d: fit_gp(k, d, config, restart_chunk=restart_chunk),
+        lambda k, d: fit_gp(k, d, config, restart_chunk=restart_chunk,
+                            **fit_kwargs),
         in_axes=(0, axes),
     )(keys, data)
 
@@ -276,9 +301,9 @@ def _vmapped_fit(
 @functools.partial(jax.jit, static_argnames=("config",))
 def _vmapped_states_jit(
     params: GPParams, X, Z, config: GPConfig, noise_pc=None, dZ=None,
-    dZ_noise=None,
+    dZ_noise=None, H_pc=None,
 ) -> GPPosteriorState:
-    data, axes = _component_batch(X, Z, noise_pc, dZ, dZ_noise)
+    data, axes = _component_batch(X, Z, noise_pc, dZ, dZ_noise, H_pc)
     return jax.vmap(
         lambda p, d: precompute_predictor(p, d, config), in_axes=(0, axes)
     )(params, data)
@@ -286,7 +311,7 @@ def _vmapped_states_jit(
 
 def _vmapped_states(
     params: GPParams, X, Z, config: GPConfig, noise_pc=None, dZ=None,
-    dZ_noise=None,
+    dZ_noise=None, H_pc=None,
 ) -> GPPosteriorState:
     """Per-component serving factorizations with a host-level jitter-rescue
     (memory-flat: the in-graph ladder inside precompute_predictor only runs
@@ -294,13 +319,14 @@ def _vmapped_states(
     merged per component)."""
     import dataclasses as _dc
 
-    states = _vmapped_states_jit(params, X, Z, config, noise_pc, dZ, dZ_noise)
+    states = _vmapped_states_jit(params, X, Z, config, noise_pc, dZ,
+                                 dZ_noise, H_pc)
     if X.dtype == jnp.float64 or bool(jnp.all(states.ok)):
         return states
     for frac in (1e-4, 1e-2):
         cfg2 = _dc.replace(config, jitter=frac)
         states2 = _vmapped_states_jit(params, X, Z, cfg2, noise_pc, dZ,
-                                      dZ_noise)
+                                      dZ_noise, H_pc)
         ok = states.ok  # (r,)
         states = jax.tree.map(
             lambda a, b: jnp.where(

@@ -587,3 +587,109 @@ def test_cli_validate_sparse(rng, tmp_path):
         capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 2 and "sparse" in r.stderr.lower()
+
+
+def test_cli_multivariate_multifidelity_end_to_end(rng, tmp_path):
+    """A `noutputs` MULTIFIDELITY model file routes estimate_thetas to
+    the multivariate MF fit (shared PCA basis, componentwise AR(1));
+    the v2 snapshot serves through the pipe, prints per-component
+    thetas/rho, validates per level, converts to npz, and runs
+    sensitivity — the whole subcommand surface."""
+    from madaiemulator_tpu.models.multifidelity import (
+        predict_multivariate_multifidelity,
+    )
+
+    def hi_f(x):
+        return (6 * x - 2) ** 2 * np.sin(12 * x - 4)
+
+    def lo_f(x):
+        return 0.5 * hi_f(x) + 10 * (x - 0.5) - 5
+
+    def obs(f, x):
+        b = f(x)
+        return np.stack([b, 0.5 * b + 3 * x, -b + x ** 2], axis=1)
+
+    x_lo = np.linspace(0, 1, 30)
+    x_hi = np.linspace(0, 1, 8)
+    model = tmp_path / "model_mv.mf"
+    state = tmp_path / "state.txt"
+    write_multifidelity_model_file(
+        str(model), [x_lo[:, None], x_hi[:, None]],
+        [obs(lo_f, x_lo), obs(hi_f, x_hi)],
+        lower_values=[obs(lo_f, x_hi)],
+        param_names=["x"], output_names=["a", "b", "c"],
+    )
+    r = subprocess.run(
+        CLI + [
+            "estimate_thetas", str(model), str(state),
+            "--regression_order=1", "--restarts=3", "--steps=40",
+            "--pca_variance=0.999", "--quiet",
+        ],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr
+    head = open(state).readline().split()
+    assert head[0] == "MADAIEMULATOR_TPU_SNAPSHOT_MF" and head[1] == "2"
+    # print_thetas: per level x component rows; rho on level-1 rows
+    r = subprocess.run(CLI + ["print_thetas", str(state)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    rows = [l for l in r.stdout.splitlines() if l and not l.startswith("#")]
+    emu, pn, on = read_snapshot_auto(str(state))
+    assert pn == ["x"] and on == ["a", "b", "c"]
+    assert len(rows) == 2 * emu.n_components
+    assert all("rho" in l for l in rows if l.startswith("level 1"))
+    # pipe serving matches the library: t means + t variances per query
+    Xq = np.array([[0.3], [0.7]])
+    m_lib, v_lib = predict_multivariate_multifidelity(emu, jnp.asarray(Xq))
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state)],
+        input="0.3\n0.7\n", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "1" and lines[1] == "x" and lines[2] == "6"
+    vals = np.array([float(v) for v in lines[9:]]).reshape(2, 6)
+    np.testing.assert_allclose(vals[:, 0:3], np.asarray(m_lib), rtol=1e-8)
+    np.testing.assert_allclose(vals[:, 3:6], np.asarray(v_lib), rtol=1e-6,
+                               atol=1e-12)
+    # validate: per-level observable-space LOO blocks
+    r = subprocess.run(CLI + ["validate", str(state)],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "level0_rmse" in r.stdout and "level1_rmse" in r.stdout
+    # calibrate in-graph; matrix_free rejected
+    exp = tmp_path / "exp.txt"
+    y_exp = obs(hi_f, np.array([0.55]))[0]
+    exp.write_text("3\n" + "\n".join(f"{v:.17g} 0.01" for v in y_exp) + "\n")
+    r = subprocess.run(
+        CLI + ["calibrate", str(state), str(exp), "--n_steps=40",
+               "--n_walkers=16", "--quiet"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        CLI + ["calibrate", str(state), str(exp), "--matrix_free",
+               "--n_steps=10", "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "multi-fidelity" in r.stderr
+    # convert text -> npz losslessly
+    npz = tmp_path / "state.npz"
+    r = subprocess.run(CLI + ["convert", str(state), str(npz)],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    e2, _, on2 = read_snapshot_auto(str(npz))
+    assert on2 == ["a", "b", "c"]
+    m2, v2 = predict_multivariate_multifidelity(e2, jnp.asarray(Xq))
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m_lib),
+                               rtol=1e-10)
+    # sensitivity over the observable-space mean
+    r = subprocess.run(
+        CLI + ["sensitivity", str(state), "--n=64", "--output=-",
+               "--quiet"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    body = [l for l in r.stdout.splitlines() if not l.startswith("#")]
+    assert len(body) == 3  # 1 param x 3 observables

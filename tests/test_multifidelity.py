@@ -379,3 +379,206 @@ def test_multifidelity_sequential_design(rng):
     imp = implausibility(emu, y_exp, np.array([1e-4]),
                          jnp.asarray(wave.points))
     assert np.all(np.asarray(imp) <= 3.0), np.asarray(imp)
+
+
+# --- Multivariate (t > 1) multi-fidelity -------------------------------------
+
+
+def _mv_obs(f, x):
+    """Three observables driven by one latent curve + independent pieces —
+    a multivariate Forrester-style family whose AR(1) link holds exactly
+    per observable."""
+    b = f(x)
+    return np.stack([b, 0.5 * b + 3 * x, -b + x ** 2], axis=1)
+
+
+def _mv_mf_emulator(key=0, noise=None):
+    from madaiemulator_tpu.models.multifidelity import (
+        fit_multivariate_multifidelity,
+    )
+
+    x_lo = np.linspace(0, 1, 40)
+    x_hi = np.array([0.0, 0.15, 0.3, 0.45, 0.6, 0.75, 0.9, 1.0])
+    cfg = GPConfig(nparams=1, regression_order=1)
+    emu = fit_multivariate_multifidelity(
+        jax.random.key(key),
+        [x_lo[:, None], x_hi[:, None]],
+        [_mv_obs(forrester_low, x_lo), _mv_obs(forrester, x_hi)],
+        cfg, pca_variance=0.999, n_restarts=4, max_steps=60, noise=noise,
+    )
+    return emu, x_lo, x_hi
+
+
+def test_mv_multifidelity_beats_single_fidelity(rng):
+    """The flagship-configuration acceptance test: a t=3 observable block
+    emulated across two fidelities through ONE shared PCA basis must beat
+    the single-fidelity multivariate emulator fit on the scarce
+    high-fidelity runs alone."""
+    from madaiemulator_tpu.models.multifidelity import (
+        predict_multivariate_multifidelity,
+    )
+    from madaiemulator_tpu.models.multivariate import (
+        fit_multivariate,
+        predict_multivariate,
+    )
+
+    emu, x_lo, x_hi = _mv_mf_emulator()
+    assert emu.n_outputs == 3
+    xq = np.linspace(0.02, 0.98, 200)
+    truth = _mv_obs(forrester, xq)
+    m, v = predict_multivariate_multifidelity(emu, xq[:, None])
+    assert m.shape == (200, 3) and v.shape == (200, 3)
+    rmse_mf = float(np.sqrt(np.mean((np.asarray(m) - truth) ** 2)))
+    cfg = GPConfig(nparams=1, regression_order=1)
+    emu_sf = fit_multivariate(
+        jax.random.key(0), x_hi[:, None], _mv_obs(forrester, x_hi), cfg,
+        pca_variance=0.999,
+    )
+    m_sf, _ = predict_multivariate(emu_sf, xq[:, None])
+    rmse_sf = float(np.sqrt(np.mean((np.asarray(m_sf) - truth) ** 2)))
+    assert rmse_mf < 0.3 * rmse_sf, (rmse_mf, rmse_sf)
+    assert rmse_mf < 0.2, rmse_mf  # observable range is ~[-16, 16]
+    assert np.all(np.asarray(v) >= 0)
+    # the generative AR(1) scale (hi = 2*lo + linear trend) is recovered
+    # in EVERY component's score space (the shared basis preserves it)
+    assert np.allclose(np.asarray(emu.rho[0]), 2.0, atol=0.2), emu.rho
+    # level=0 predicts the LOW fidelity observables
+    m0, _ = predict_multivariate_multifidelity(emu, xq[:, None], level=0)
+    rmse0 = float(np.sqrt(np.mean(
+        (np.asarray(m0) - _mv_obs(forrester_low, xq)) ** 2)))
+    assert rmse0 < 0.2, rmse0
+    with pytest.raises(ValueError, match="out of range"):
+        predict_multivariate_multifidelity(emu, xq[:, None], level=2)
+
+
+def test_mv_multifidelity_snapshot_round_trip(rng, tmp_path):
+    from madaiemulator_tpu.io.snapshot import (
+        read_snapshot_auto,
+        write_snapshot_auto,
+    )
+    from madaiemulator_tpu.models.multifidelity import (
+        MultivariateMultiFidelityEmulator,
+        predict_multivariate_multifidelity,
+    )
+
+    # noise on the cheap level exercises the has_noise block
+    emu, x_lo, _ = _mv_mf_emulator(noise=[np.full(40, 1e-8), None])
+    xq = np.linspace(0.02, 0.98, 50)
+    m0, v0 = predict_multivariate_multifidelity(emu, xq[:, None])
+    for ext in ("txt", "npz"):
+        path = str(tmp_path / f"state.{ext}")
+        write_snapshot_auto(path, emu, ["x"], ["a", "b", "c"])
+        emu2, pn, on = read_snapshot_auto(path)
+        assert isinstance(emu2, MultivariateMultiFidelityEmulator)
+        assert pn == ["x"] and on == ["a", "b", "c"]
+        assert emu2.levels[0].noise is not None
+        m1, v1 = predict_multivariate_multifidelity(emu2, xq[:, None])
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                                   rtol=1e-7, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(emu2.rho),
+                                   np.asarray(emu.rho), rtol=1e-12)
+
+
+def test_mv_multifidelity_model_file_round_trip(tmp_path):
+    from madaiemulator_tpu.io.modelfile import (
+        is_multifidelity_model_file,
+        read_multifidelity_model_file,
+        write_multifidelity_model_file,
+    )
+
+    x_lo = np.linspace(0, 1, 9)
+    x_hi = np.linspace(0, 1, 4)
+    Y_lo = _mv_obs(forrester_low, x_lo)
+    Y_hi = _mv_obs(forrester, x_hi)
+    low_at_hi = _mv_obs(forrester_low, x_hi)
+    path = str(tmp_path / "model_mv.txt")
+    write_multifidelity_model_file(
+        path, [x_lo[:, None], x_hi[:, None]], [Y_lo, Y_hi],
+        lower_values=[low_at_hi], param_names=["x"],
+        output_names=["a", "b", "c"],
+    )
+    assert is_multifidelity_model_file(path)
+    mf = read_multifidelity_model_file(path)
+    assert mf.noutputs == 3 and mf.output_names == ["a", "b", "c"]
+    assert mf.nlevels == 2 and mf.nparams == 1
+    np.testing.assert_allclose(mf.targets[0], Y_lo, rtol=1e-15)
+    np.testing.assert_allclose(mf.targets[1], Y_hi, rtol=1e-15)
+    np.testing.assert_allclose(mf.lower_values[0], low_at_hi, rtol=1e-15)
+    # scalar writers stay byte-compatible: no noutputs header for t=1
+    p2 = str(tmp_path / "model_s.txt")
+    write_multifidelity_model_file(
+        p2, [x_lo[:, None]], [Y_lo[:, 0]], param_names=["x"],
+        output_name="f",
+    )
+    assert "noutputs" not in open(p2).read()
+    assert read_multifidelity_model_file(p2).noutputs == 1
+
+
+def test_mv_multifidelity_calibrate_and_design(rng):
+    """The full workflow layer runs over a multivariate MF emulator:
+    in-graph MCMC recovers the true parameter, implausibility separates
+    truth from far points, both acquisitions propose in-bounds points."""
+    from madaiemulator_tpu.models.calibrate import (
+        calibrate,
+        implausibility,
+        make_log_posterior,
+    )
+    from madaiemulator_tpu.models.design import (
+        active_variance_design,
+        nroy_wave_design,
+    )
+
+    emu, _, _ = _mv_mf_emulator()
+    theta_true = 0.55
+    y_exp = _mv_obs(forrester, np.array([theta_true]))[0]
+    exp_var = np.full(3, 1e-4)
+    res = calibrate(
+        jax.random.key(1), emu, y_exp, exp_var,
+        n_walkers=16, n_steps=300, burn_in=150,
+    )
+    post_mean = float(res.samples.mean())
+    assert abs(post_mean - theta_true) < 0.05, post_mean
+    # history matching with a realistic experimental scale (std 0.1 vs
+    # the emulator's ~0.03 rmse on the steep Forrester observables):
+    # truth survives the 3-sigma rule, a far point is ruled out
+    hm_var = np.full(3, 1e-2)
+    imp = implausibility(emu, y_exp, hm_var,
+                         jnp.asarray([[theta_true], [0.05]]))
+    assert float(imp[0]) < 3.0 < float(imp[1]), np.asarray(imp)
+    # wrong observable count is rejected loudly
+    with pytest.raises(ValueError, match="predicts 3"):
+        make_log_posterior(emu, y_exp[:2], exp_var[:2])
+    with pytest.raises(ValueError, match="predicts 3"):
+        implausibility(emu, y_exp[:2], exp_var[:2],
+                       jnp.asarray([[theta_true]]))
+    prop = active_variance_design(jax.random.key(2), emu, n_new=4,
+                                  pool_size=256)
+    assert prop.points.shape == (4, 1)
+    assert np.all((prop.points >= 0.0) & (prop.points <= 1.0))
+    wave = nroy_wave_design(jax.random.key(3), emu, y_exp, hm_var,
+                            n_new=4, pool_size=512)
+    assert wave.points.shape == (4, 1)
+    imp_w = implausibility(emu, y_exp, hm_var, jnp.asarray(wave.points))
+    assert np.all(np.asarray(imp_w) <= 3.0), np.asarray(imp_w)
+
+
+def test_mv_multifidelity_loo(rng):
+    """Per-level per-component LOO: finite, calibrated against the
+    shared-PCA representation of the stored targets."""
+    from madaiemulator_tpu.models.diagnostics import (
+        loo_cv_multifidelity_mv,
+        reconstruct_level_targets_mv,
+        validation_summary,
+    )
+
+    emu, _, _ = _mv_mf_emulator()
+    results = loo_cv_multifidelity_mv(emu)
+    assert len(results) == emu.n_levels
+    for k, (res, loo_mean, loo_var) in enumerate(results):
+        assert bool(np.asarray(res.ok).all())
+        Y_true = reconstruct_level_targets_mv(emu, k)
+        assert loo_mean.shape == Y_true.shape
+        s = validation_summary(loo_mean, loo_var, Y_true)
+        assert np.isfinite(s["rmse"]) and s["rmse"] < 2.0, (k, s)
