@@ -143,12 +143,13 @@ class Emulator : public EmulatorBase {
 struct MFLevel {
   int npoints = 0;
   bool has_noise = false;
-  std::vector<double> theta;  // (ntheta): amp, nugget, length scales
-  double rho = 0.0;           // stored AR(1) scale (levels >= 1)
+  std::vector<double> theta;  // v1: (ntheta); v2: (r*ntheta) per component
+  double rho = 0.0;           // v1 stored AR(1) scale (levels >= 1)
   std::vector<double> X;      // (n_k * d), scaled design
-  std::vector<double> y;      // (n_k) targets
-  std::vector<double> h;      // (n_k) lower-fidelity basis column (k >= 1)
-  std::vector<double> noise;  // (n_k) per-point noise variances, or empty
+  std::vector<double> y;      // v1: (n_k) targets; v2: Z (n_k * r) scores
+  std::vector<double> h;      // v1: (n_k); v2: H (n_k * r) lower columns
+  std::vector<double> noise;  // v1: (n_k); v2: (n_k * r), or empty
+  std::vector<double> rhos;   // v2: (r) per-component AR(1) scales
 };
 
 struct MFSnapshot {
@@ -158,8 +159,14 @@ struct MFSnapshot {
   int regression_order = 0;
   bool predict_variance_includes_nugget = true;
   int nparams = 0;
-  std::vector<std::string> param_names, output_names;  // output_names: 1
-  std::vector<double> mins, ranges;                    // (d), (d)
+  // version 2 (multivariate): shared PCA block — io/snapshot.py
+  // write_snapshot_multifidelity_mv; v1 leaves these at t = r = 1/empty
+  int noutputs = 1, ncomponents = 1;
+  std::vector<double> ymean, ystd;  // (t), (t)  [v2]
+  std::vector<double> eigenvalues;  // (r)       [v2]
+  std::vector<double> U;            // (t*r)     [v2]
+  std::vector<std::string> param_names, output_names;
+  std::vector<double> mins, ranges;  // (d), (d)
   std::vector<MFLevel> levels;
   int ntheta() const;
 };
@@ -177,7 +184,9 @@ class MultiFidelityEmulator : public EmulatorBase {
   explicit MultiFidelityEmulator(const MFSnapshot& snapshot);
 
   int number_of_parameters() const override { return s_.nparams; }
-  int number_of_outputs() const override { return 1; }
+  int number_of_outputs() const override {
+    return s_.version >= 2 ? s_.noutputs : 1;
+  }
   int number_of_levels() const { return (int)s_.levels.size(); }
   const std::vector<std::string>& parameter_names() const override {
     return s_.param_names;
@@ -198,9 +207,19 @@ class MultiFidelityEmulator : public EmulatorBase {
     std::vector<double> LA;      // (p*p) lower Cholesky of H^T C^-1 H
     std::vector<double> LinvH;   // (n*p) = L^-1 H
   };
+  LevelState BuildLevelState(const double* X, const double* y,
+                             const double* h, const double* noise,
+                             const double* theta, int n, bool has_lower) const;
+  // one recursion step: GP predict at xs with the lower level's recursive
+  // mean riding as the last basis value (has_lower); returns the mean and
+  // writes the GP-only variance to *var_gp
+  double QueryLevel(const LevelState& st, const double* X,
+                    const double* theta, int n, const double* xs,
+                    double lower_mean, bool has_lower, double* var_gp) const;
   void Precompute();
 
   MFSnapshot s_;
+  // v1: one state per level; v2: (level, component) row-major [k*r + c]
   std::vector<LevelState> levels_;
 };
 

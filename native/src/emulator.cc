@@ -527,7 +527,7 @@ MFSnapshot LoadSnapshotMF(std::istream& in) {
     throw std::runtime_error("not a multi-fidelity snapshot");
   MFSnapshot s;
   s.version = t.NextInt();
-  if (s.version != 1)
+  if (s.version != 1 && s.version != 2)
     throw std::runtime_error("unsupported multi-fidelity snapshot version " +
                              std::to_string(s.version));
   Expect(t, "covariance");
@@ -538,14 +538,25 @@ MFSnapshot LoadSnapshotMF(std::istream& in) {
   s.regression_order = t.NextInt();
   Expect(t, "predict_variance_includes_nugget");
   s.predict_variance_includes_nugget = t.NextInt() != 0;
+  if (s.version >= 2) {
+    Expect(t, "pca_standardize");
+    t.NextInt();  // metadata; ystd is applied directly
+  }
   Expect(t, "nparams");
   s.nparams = t.NextInt();
+  if (s.version >= 2) {
+    Expect(t, "noutputs");
+    s.noutputs = t.NextInt();
+    Expect(t, "ncomponents");
+    s.ncomponents = t.NextInt();
+  }
   Expect(t, "nlevels");
   const int L = t.NextInt();
   if (L < 1) throw std::runtime_error("snapshot: nlevels < 1");
   const int d = s.nparams;
+  const int r = s.ncomponents;
   for (int k = 0; k < d; ++k) s.param_names.push_back(t.Next());
-  s.output_names.push_back(t.Next());
+  for (int j = 0; j < s.noutputs; ++j) s.output_names.push_back(t.Next());
   auto vec = [&t](int k) {
     std::vector<double> v(k);
     for (int i = 0; i < k; ++i) v[i] = t.NextDouble();
@@ -553,6 +564,12 @@ MFSnapshot LoadSnapshotMF(std::istream& in) {
   };
   s.mins = vec(d);
   s.ranges = vec(d);
+  if (s.version >= 2) {
+    s.ymean = vec(s.noutputs);
+    s.ystd = vec(s.noutputs);
+    s.eigenvalues = vec(r);
+    s.U = vec(s.noutputs * r);
+  }
   const int nt = s.ntheta();
   for (int k = 0; k < L; ++k) {
     Expect(t, "level");
@@ -561,15 +578,27 @@ MFSnapshot LoadSnapshotMF(std::istream& in) {
     MFLevel lv;
     lv.npoints = t.NextInt();
     lv.has_noise = t.NextInt() != 0;
-    lv.theta = vec(nt);
-    if (k > 0) {
-      Expect(t, "rho");
-      lv.rho = t.NextDouble();
+    if (s.version >= 2) {
+      lv.theta = vec(r * nt);
+      if (k > 0) {
+        Expect(t, "rho");
+        lv.rhos = vec(r);
+      }
+      lv.X = vec(lv.npoints * d);
+      lv.y = vec(lv.npoints * r);  // Z scores, (n * r) row-major
+      if (k > 0) lv.h = vec(lv.npoints * r);
+      if (lv.has_noise) lv.noise = vec(lv.npoints * r);
+    } else {
+      lv.theta = vec(nt);
+      if (k > 0) {
+        Expect(t, "rho");
+        lv.rho = t.NextDouble();
+      }
+      lv.X = vec(lv.npoints * d);
+      lv.y = vec(lv.npoints);
+      if (k > 0) lv.h = vec(lv.npoints);
+      if (lv.has_noise) lv.noise = vec(lv.npoints);
     }
-    lv.X = vec(lv.npoints * d);
-    lv.y = vec(lv.npoints);
-    if (k > 0) lv.h = vec(lv.npoints);
-    if (lv.has_noise) lv.noise = vec(lv.npoints);
     s.levels.push_back(std::move(lv));
   }
   return s;
@@ -589,76 +618,153 @@ MultiFidelityEmulator::MultiFidelityEmulator(const MFSnapshot& snapshot)
   Precompute();
 }
 
-void MultiFidelityEmulator::Precompute() {
+// Build one (level, component) GLS factorization: C = K + nugget I
+// (+ known noise), H = poly basis (+ the lower-fidelity column whose GLS
+// coefficient is rho). X is strided (n x d); y/h/noise are per-component
+// columns gathered by the caller.
+MultiFidelityEmulator::LevelState MultiFidelityEmulator::BuildLevelState(
+    const double* X, const double* y, const double* h, const double* noise,
+    const double* theta, int n, bool has_lower) const {
   const int d = s_.nparams;
-  const int p_poly = 1 + s_.regression_order * d;
-  levels_.resize(s_.levels.size());
-  for (size_t k = 0; k < s_.levels.size(); ++k) {
-    const MFLevel& lv = s_.levels[k];
-    LevelState& st = levels_[k];
-    const int n = lv.npoints;
-    const int p = st.p = p_poly + (k > 0 ? 1 : 0);
-    const double* th = lv.theta.data();
-    // C = K + nugget I (+ known noise); jitter is 0 at f64 parity
-    st.L.assign(n * n, 0.0);
-    for (int i = 0; i < n; ++i)
-      for (int j = 0; j <= i; ++j) {
-        double v = KernelEval(s_.cov, s_.power_exp_alpha, d, &lv.X[i * d],
-                              &lv.X[j * d], th);
-        st.L[i * n + j] = v;
-        st.L[j * n + i] = v;
-      }
-    for (int i = 0; i < n; ++i) {
-      st.L[i * n + i] += th[1];
-      if (lv.has_noise) st.L[i * n + i] += lv.noise[i];
+  const int p = 1 + s_.regression_order * d + (has_lower ? 1 : 0);
+  LevelState st;
+  st.p = p;
+  st.L.assign(n * n, 0.0);
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j <= i; ++j) {
+      double v = KernelEval(s_.cov, s_.power_exp_alpha, d, &X[i * d],
+                            &X[j * d], theta);
+      st.L[i * n + j] = v;
+      st.L[j * n + i] = v;
     }
-    if (!CholeskyLower(st.L, n))
-      throw std::runtime_error("multi-fidelity level covariance is not SPD");
-    // H: poly basis + (k >= 1) the lower-fidelity column — its GLS
-    // coefficient is rho (models/multifidelity.py)
-    std::vector<double> H(n * p, 0.0);
-    for (int i = 0; i < n; ++i) {
-      PolyBasisRow(&lv.X[i * d], d, s_.regression_order, &H[i * p]);
-      if (k > 0) H[i * p + p - 1] = lv.h[i];
-    }
-    st.LinvH.assign(n * p, 0.0);
-    std::vector<double> colbuf(n);
-    for (int j = 0; j < p; ++j) {
-      for (int i = 0; i < n; ++i) colbuf[i] = H[i * p + j];
-      SolveLower(st.L, n, colbuf.data());
-      for (int i = 0; i < n; ++i) st.LinvH[i * p + j] = colbuf[i];
-    }
-    st.LA.assign(p * p, 0.0);
-    for (int a = 0; a < p; ++a)
-      for (int b = 0; b <= a; ++b) {
-        double sum = 0.0;
-        for (int i = 0; i < n; ++i)
-          sum += st.LinvH[i * p + a] * st.LinvH[i * p + b];
-        st.LA[a * p + b] = sum;
-        st.LA[b * p + a] = sum;
-      }
-    if (!CholeskyLower(st.LA, p))
-      throw std::runtime_error(
-          "multi-fidelity regression normal matrix is not SPD");
-    std::vector<double> Linvy = lv.y;
-    SolveLower(st.L, n, Linvy.data());
-    st.beta.assign(p, 0.0);
-    for (int a = 0; a < p; ++a) {
-      double sum = 0.0;
-      for (int i = 0; i < n; ++i) sum += st.LinvH[i * p + a] * Linvy[i];
-      st.beta[a] = sum;
-    }
-    SolveLower(st.LA, p, st.beta.data());
-    SolveUpperT(st.LA, p, st.beta.data());
-    st.alpha.assign(n, 0.0);
-    for (int i = 0; i < n; ++i) {
-      double hb = 0.0;
-      for (int a = 0; a < p; ++a) hb += H[i * p + a] * st.beta[a];
-      st.alpha[i] = lv.y[i] - hb;
-    }
-    SolveLower(st.L, n, st.alpha.data());
-    SolveUpperT(st.L, n, st.alpha.data());
+  for (int i = 0; i < n; ++i) {
+    st.L[i * n + i] += theta[1];
+    if (noise) st.L[i * n + i] += noise[i];
   }
+  if (!CholeskyLower(st.L, n))
+    throw std::runtime_error("multi-fidelity level covariance is not SPD");
+  std::vector<double> H(n * p, 0.0);
+  for (int i = 0; i < n; ++i) {
+    PolyBasisRow(&X[i * d], d, s_.regression_order, &H[i * p]);
+    if (has_lower) H[i * p + p - 1] = h[i];
+  }
+  st.LinvH.assign(n * p, 0.0);
+  std::vector<double> colbuf(n);
+  for (int j = 0; j < p; ++j) {
+    for (int i = 0; i < n; ++i) colbuf[i] = H[i * p + j];
+    SolveLower(st.L, n, colbuf.data());
+    for (int i = 0; i < n; ++i) st.LinvH[i * p + j] = colbuf[i];
+  }
+  st.LA.assign(p * p, 0.0);
+  for (int a = 0; a < p; ++a)
+    for (int b = 0; b <= a; ++b) {
+      double sum = 0.0;
+      for (int i = 0; i < n; ++i)
+        sum += st.LinvH[i * p + a] * st.LinvH[i * p + b];
+      st.LA[a * p + b] = sum;
+      st.LA[b * p + a] = sum;
+    }
+  if (!CholeskyLower(st.LA, p))
+    throw std::runtime_error(
+        "multi-fidelity regression normal matrix is not SPD");
+  std::vector<double> Linvy(y, y + n);
+  SolveLower(st.L, n, Linvy.data());
+  st.beta.assign(p, 0.0);
+  for (int a = 0; a < p; ++a) {
+    double sum = 0.0;
+    for (int i = 0; i < n; ++i) sum += st.LinvH[i * p + a] * Linvy[i];
+    st.beta[a] = sum;
+  }
+  SolveLower(st.LA, p, st.beta.data());
+  SolveUpperT(st.LA, p, st.beta.data());
+  st.alpha.assign(n, 0.0);
+  for (int i = 0; i < n; ++i) {
+    double hb = 0.0;
+    for (int a = 0; a < p; ++a) hb += H[i * p + a] * st.beta[a];
+    st.alpha[i] = y[i] - hb;
+  }
+  SolveLower(st.L, n, st.alpha.data());
+  SolveUpperT(st.L, n, st.alpha.data());
+  return st;
+}
+
+void MultiFidelityEmulator::Precompute() {
+  const int L = (int)s_.levels.size();
+  const int nt = s_.ntheta();
+  if (s_.version >= 2) {
+    const int r = s_.ncomponents;
+    levels_.clear();
+    levels_.reserve(L * r);
+    std::vector<double> ycol, hcol, nzcol;
+    for (int k = 0; k < L; ++k) {
+      const MFLevel& lv = s_.levels[k];
+      const int n = lv.npoints;
+      for (int c = 0; c < r; ++c) {
+        ycol.resize(n);
+        for (int i = 0; i < n; ++i) ycol[i] = lv.y[i * r + c];
+        const double* hp = nullptr;
+        if (k > 0) {
+          hcol.resize(n);
+          for (int i = 0; i < n; ++i) hcol[i] = lv.h[i * r + c];
+          hp = hcol.data();
+        }
+        const double* nzp = nullptr;
+        if (lv.has_noise) {
+          nzcol.resize(n);
+          for (int i = 0; i < n; ++i) nzcol[i] = lv.noise[i * r + c];
+          nzp = nzcol.data();
+        }
+        levels_.push_back(BuildLevelState(lv.X.data(), ycol.data(), hp, nzp,
+                                          &lv.theta[c * nt], n, k > 0));
+      }
+    }
+    return;
+  }
+  levels_.clear();
+  levels_.reserve(L);
+  for (int k = 0; k < L; ++k) {
+    const MFLevel& lv = s_.levels[k];
+    levels_.push_back(BuildLevelState(
+        lv.X.data(), lv.y.data(), k > 0 ? lv.h.data() : nullptr,
+        lv.has_noise ? lv.noise.data() : nullptr, lv.theta.data(),
+        lv.npoints, k > 0));
+  }
+}
+
+double MultiFidelityEmulator::QueryLevel(const LevelState& st,
+                                         const double* X, const double* theta,
+                                         int n, const double* xs,
+                                         double lower_mean, bool has_lower,
+                                         double* var_gp) const {
+  const int d = s_.nparams;
+  const int p = st.p;
+  std::vector<double> ks(n);
+  for (int i = 0; i < n; ++i)
+    ks[i] = KernelEval(s_.cov, s_.power_exp_alpha, d, &X[i * d], xs, theta);
+  std::vector<double> h(p);
+  PolyBasisRow(xs, d, s_.regression_order, h.data());
+  if (has_lower) h[p - 1] = lower_mean;
+  double m = 0.0;
+  for (int a = 0; a < p; ++a) m += h[a] * st.beta[a];
+  for (int i = 0; i < n; ++i) m += ks[i] * st.alpha[i];
+  std::vector<double> v = ks;
+  SolveLower(st.L, n, v.data());
+  double kss = theta[0] +
+               (s_.predict_variance_includes_nugget ? theta[1] : 0.0);
+  double vv = 0.0;
+  for (int i = 0; i < n; ++i) vv += v[i] * v[i];
+  std::vector<double> g(p);
+  for (int a = 0; a < p; ++a) {
+    double sum = h[a];
+    for (int i = 0; i < n; ++i) sum -= st.LinvH[i * p + a] * v[i];
+    g[a] = sum;
+  }
+  SolveLower(st.LA, p, g.data());
+  double ww = 0.0;
+  for (int a = 0; a < p; ++a) ww += g[a] * g[a];
+  double out = kss - vv + ww;
+  *var_gp = out > 0.0 ? out : 0.0;
+  return m;
 }
 
 void MultiFidelityEmulator::QueryEmulator(const std::vector<double>& x,
@@ -669,45 +775,50 @@ void MultiFidelityEmulator::QueryEmulator(const std::vector<double>& x,
     throw std::invalid_argument("QueryEmulator: wrong point dimension");
   std::vector<double> xs(d);
   for (int k = 0; k < d; ++k) xs[k] = (x[k] - s_.mins[k]) / s_.ranges[k];
+  const int nt = s_.ntheta();
+  if (s_.version >= 2) {
+    // componentwise recursion in score space, then the PCA rotation —
+    // models/multifidelity.py _predict_recursive_mv +
+    // models/multivariate.py reconstruct_observables
+    const int r = s_.ncomponents, t = s_.noutputs;
+    std::vector<double> m_pc(r, 0.0), v_pc(r, 0.0);
+    for (int c = 0; c < r; ++c) {
+      double mean = 0.0, var = 0.0;
+      for (size_t k = 0; k < s_.levels.size(); ++k) {
+        const MFLevel& lv = s_.levels[k];
+        double var_gp = 0.0;
+        const double rho = k > 0 ? lv.rhos[c] : 0.0;
+        mean = QueryLevel(levels_[k * r + c], lv.X.data(),
+                          &lv.theta[c * nt], lv.npoints, xs.data(), mean,
+                          k > 0, &var_gp);
+        var = (k > 0 ? rho * rho * var : 0.0) + var_gp;
+      }
+      m_pc[c] = mean;
+      v_pc[c] = var;
+    }
+    means.assign(t, 0.0);
+    errors.assign(t, 0.0);
+    for (int j = 0; j < t; ++j) {
+      double mj = 0.0, vj = 0.0;
+      for (int c = 0; c < r; ++c) {
+        const double u = s_.U[j * r + c];
+        mj += std::sqrt(s_.eigenvalues[c]) * u * m_pc[c];
+        vj += s_.eigenvalues[c] * u * u * v_pc[c];
+      }
+      means[j] = s_.ymean[j] + s_.ystd[j] * mj;
+      errors[j] = s_.ystd[j] * s_.ystd[j] * vj;
+    }
+    return;
+  }
   // recursive serve (models/multifidelity.py _predict_recursive):
   // mean_k = h.beta + k*.alpha with the level-(k-1) recursive mean as the
-  // last basis column; var_k = rho_k^2 var_{k-1} + varGP_k, where the
-  // stored rho propagates the variance and beta.back() scales the mean
-  // (identical by construction; matches the Python reader's convention).
+  // last basis column; var_k = rho_k^2 var_{k-1} + varGP_k.
   double mean = 0.0, var = 0.0;
   for (size_t k = 0; k < s_.levels.size(); ++k) {
     const MFLevel& lv = s_.levels[k];
-    const LevelState& st = levels_[k];
-    const int n = lv.npoints;
-    const int p = st.p;
-    const double* th = lv.theta.data();
-    std::vector<double> ks(n);
-    for (int i = 0; i < n; ++i)
-      ks[i] =
-          KernelEval(s_.cov, s_.power_exp_alpha, d, &lv.X[i * d], xs.data(), th);
-    std::vector<double> h(p);
-    PolyBasisRow(xs.data(), d, s_.regression_order, h.data());
-    if (k > 0) h[p - 1] = mean;  // lower level's recursive mean
-    double m = 0.0;
-    for (int a = 0; a < p; ++a) m += h[a] * st.beta[a];
-    for (int i = 0; i < n; ++i) m += ks[i] * st.alpha[i];
-    std::vector<double> v = ks;
-    SolveLower(st.L, n, v.data());
-    double kss = th[0] + (s_.predict_variance_includes_nugget ? th[1] : 0.0);
-    double vv = 0.0;
-    for (int i = 0; i < n; ++i) vv += v[i] * v[i];
-    std::vector<double> g(p);
-    for (int a = 0; a < p; ++a) {
-      double s = h[a];
-      for (int i = 0; i < n; ++i) s -= st.LinvH[i * p + a] * v[i];
-      g[a] = s;
-    }
-    SolveLower(st.LA, p, g.data());
-    double ww = 0.0;
-    for (int a = 0; a < p; ++a) ww += g[a] * g[a];
-    double var_gp = kss - vv + ww;
-    if (var_gp < 0.0) var_gp = 0.0;
-    mean = m;
+    double var_gp = 0.0;
+    mean = QueryLevel(levels_[k], lv.X.data(), lv.theta.data(), lv.npoints,
+                      xs.data(), mean, k > 0, &var_gp);
     var = (k > 0 ? lv.rho * lv.rho * var : 0.0) + var_gp;
   }
   means.assign(1, mean);

@@ -338,3 +338,64 @@ def test_native_pipe_binary_matches_python_cli(rng, tmp_path, lib):
     a = np.asarray([float(v) for v in cpp_lines[hdr:]])
     b = np.asarray([float(v) for v in py_lines[hdr:]])
     np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize("noise", [False, True])
+def test_native_matches_jax_mv_multifidelity(rng, tmp_path, lib, noise):
+    """MULTIVARIATE multi-fidelity (MF grammar v2) snapshots serve through
+    the same C ABI: the native emulator rebuilds every (level, component)
+    GLS state, recurses componentwise, and applies the shared-PCA
+    rotation exactly as the JAX path."""
+    from madaiemulator_tpu.io.snapshot import write_snapshot_multifidelity_mv
+    from madaiemulator_tpu.models.multifidelity import (
+        fit_multivariate_multifidelity,
+        predict_multivariate_multifidelity,
+    )
+
+    def f_hi(x):
+        return (6 * x - 2) ** 2 * np.sin(12 * x - 4)
+
+    def f_lo(x):
+        return 0.5 * f_hi(x) + 10 * (x - 0.5) - 5
+
+    def obs(f, x):
+        b = f(x)
+        return np.stack([b, 0.5 * b + 3 * x, -b + x ** 2], axis=1)
+
+    x_lo = np.linspace(0, 1, 25)
+    x_hi = np.linspace(0, 1, 7)
+    cfg = GPConfig(nparams=1, regression_order=1, n_restarts=3,
+                   max_opt_steps=40)
+    nz = [10.0 ** rng.uniform(-5, -3, size=25), None] if noise else None
+    emu = fit_multivariate_multifidelity(
+        jax.random.key(0), [x_lo[:, None], x_hi[:, None]],
+        [obs(f_lo, x_lo), obs(f_hi, x_hi)], cfg, pca_variance=0.999,
+        lower_values=[obs(f_lo, x_hi)], noise=nz,
+    )
+    state = str(tmp_path / "mvmf.txt")
+    write_snapshot_multifidelity_mv(state, emu, ["x"], ["a", "b", "c"])
+    ne = native.NativeEmulator(state)
+    assert ne.nparams == 1 and ne.noutputs == 3
+    xq = np.linspace(0.05, 0.95, 9)
+    mj, vj = predict_multivariate_multifidelity(emu, xq[:, None])
+    for i in range(9):
+        mc, vc = ne.query(xq[i: i + 1])
+        np.testing.assert_allclose(mc, np.asarray(mj[i]), rtol=1e-7,
+                                   atol=1e-9)
+        np.testing.assert_allclose(vc, np.asarray(vj[i]), rtol=1e-6,
+                                   atol=1e-10)
+    # and through the pipe binary: 2t labeled columns
+    native.build()
+    r = subprocess.run(
+        [str(native._NATIVE_DIR / "build" / "madai_query"), state],
+        input="0.25\n", capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.strip().splitlines()
+    assert lines[0] == "1" and lines[2] == "6"
+    assert lines[3] == "mean_a" and lines[6] == "variance_a"
+    vals = np.array([float(v) for v in lines[9:]])
+    mq, vq = predict_multivariate_multifidelity(emu, np.array([[0.25]]))
+    np.testing.assert_allclose(vals[:3], np.asarray(mq[0]), rtol=1e-7)
+    np.testing.assert_allclose(vals[3:], np.asarray(vq[0]), rtol=1e-6,
+                               atol=1e-10)
