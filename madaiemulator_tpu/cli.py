@@ -71,6 +71,9 @@ upstream grammars could not be pinned; see SURVEY.md §0.1):
     Gradient-enhanced: estimate_thetas --gradients_file trains joint
     value+gradient GPs; the snapshot (format version 3) persists the
     projected gradient blocks and serves through every dense path.
+    With --inducing it trains a gradient-enhanced SPARSE fit instead
+    (joint rows against the inducing values; the ordinary SGPR
+    snapshot serves it).
 
     Sparse (SGPR): estimate_thetas --inducing=M trains past the exact
     one-chip envelope (O(N*M^2) — N ~ 1e6 at M=512-1024); the snapshot
@@ -219,8 +222,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "(greedy-maximin subset of the design) replace the N x N Gram "
         "with O(N*M^2) work — one chip trains N ~ 1e6 at M=512-1024. "
         "The snapshot stores the O(M^2) serve state under its own "
-        "grammar. Excludes --fit_method=iterative / --gradients_file / "
-        "--alpha_grid",
+        "grammar. Composes with --gradients_file (joint value+gradient "
+        "rows against the inducing values); excludes "
+        "--fit_method=iterative / --alpha_grid",
     )
     est.add_argument(
         "--inducing_opt_steps", type=int, default=0, metavar="K",
@@ -562,29 +566,49 @@ def cmd_estimate_thetas(args) -> int:
                   file=sys.stderr)
             return 2
     if getattr(args, "inducing", 0):
-        if args.fit_method == "iterative" or args.gradients_file \
-                or args.alpha_grid:
+        if args.fit_method == "iterative" or args.alpha_grid:
             print(
                 "error: --inducing (sparse SGPR) excludes "
-                "--fit_method=iterative, --gradients_file and "
-                "--alpha_grid (models/sparse.py)",
+                "--fit_method=iterative and --alpha_grid "
+                "(models/sparse.py)",
                 file=sys.stderr,
             )
             return 2
         from madaiemulator_tpu.models.sparse import fit_multivariate_sparse
 
-        emu = fit_multivariate_sparse(
-            jax.random.key(args.seed),
-            jnp.asarray(mf.X, dtype=dtype),
-            jnp.asarray(mf.Y, dtype=dtype),
-            cfg,
-            pca_variance=args.pca_variance,
-            inducing=args.inducing,
-            inducing_opt_steps=args.inducing_opt_steps,
-            restart_chunk=args.restart_chunk,
-            row_chunk=args.row_chunk,
-            noise=noise,
-        )
+        gradients = None
+        if getattr(args, "gradients_file", None):
+            # gradient-enhanced SPARSE fit: joint value+gradient rows
+            # against the inducing values (models/sparse._sgpr_system)
+            try:
+                gradients = jnp.asarray(
+                    read_gradients_file(
+                        args.gradients_file, mf.npoints, mf.nparams,
+                        mf.noutputs,
+                    ),
+                    dtype=dtype,
+                )
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+        try:
+            emu = fit_multivariate_sparse(
+                jax.random.key(args.seed),
+                jnp.asarray(mf.X, dtype=dtype),
+                jnp.asarray(mf.Y, dtype=dtype),
+                cfg,
+                pca_variance=args.pca_variance,
+                inducing=args.inducing,
+                inducing_opt_steps=args.inducing_opt_steps,
+                restart_chunk=args.restart_chunk,
+                row_chunk=args.row_chunk,
+                noise=noise,
+                gradients=gradients,
+            )
+        except ValueError as e:
+            # e.g. --gradients_file with a once-differentiable kernel
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         from madaiemulator_tpu.io.snapshot import write_snapshot_auto as _w
 
         _w(args.state_file, emu, param_names=mf.param_names,

@@ -56,7 +56,11 @@ from madaiemulator_tpu.models.fit import (
     _u_to_params,
     sample_restarts,
 )
-from madaiemulator_tpu.models.gp import GPData, regression_basis
+from madaiemulator_tpu.models.gp import (
+    GPData,
+    regression_basis,
+    regression_basis_grad,
+)
 from madaiemulator_tpu.ops import kernels, linalg
 from madaiemulator_tpu.ops.kernels import GPParams
 from madaiemulator_tpu.utils.config import GPConfig
@@ -147,10 +151,17 @@ def _sgpr_system(
 ) -> _SGPRSystem:
     X, y = data.X, data.y
     n = X.shape[0]
+    d = X.shape[1]
     dtype = y.dtype
     HI = jax.lax.Precision.HIGHEST
     amp = jnp.exp(params.log_amp)
     m = Z.shape[0]
+    has_grad = data.dY is not None
+    if has_grad and data.h_extra is not None:
+        raise ValueError(
+            "h_extra and dY cannot be combined (same rule as the dense "
+            "path: the extra regression columns have no derivative rows)"
+        )
     Kmm = kernels.cross_covariance(Z, Z, params, config)
     Kmm = 0.5 * (Kmm + Kmm.T) + (
         _mm_jitter(dtype) * amp
@@ -165,19 +176,55 @@ def _sgpr_system(
     rsD = jax.lax.rsqrt(D)
     # D-dependent scalars never need padding games: they are O(n) cheap
     sum_logD = jnp.sum(jnp.log(D))
-    sum_ampD = jnp.sum(amp / D)
+    sum_kD = jnp.sum(amp / D)
+    if has_grad:
+        # Gradient observations join the likelihood as extra rows whose
+        # cross-covariance to the inducing VALUES is the derivative
+        # kernel (ops/kernels.joint_cross) — the inducing set stays m
+        # value points, so the serve state's shape and the snapshot
+        # grammar are untouched. Gradient rows carry the same RELATIVE
+        # noise floor as the dense joint Gram (gram_joint): the nugget
+        # expressed in gradient units, nugget * c_g / ell_a^2, plus any
+        # known per-partial noise. Prior diag of a gradient row is
+        # amp * c_g / ell_a^2 (grad_prior_scale), which feeds the
+        # Titsias trace term.
+        cg = jnp.asarray(kernels.grad_prior_scale(config), dtype)
+        ell = kernels._ell_vec(params, config, d)
+        grad_unit = cg / (ell * ell)  # (d,)
+        Dg = jnp.exp(params.log_nugget) * grad_unit[None, :] + (
+            data.dY_noise.astype(dtype) if data.dY_noise is not None
+            else jnp.zeros((n, d), dtype)
+        )  # (n, d)
+        rsDg = jax.lax.rsqrt(Dg)
+        sum_logD = sum_logD + jnp.sum(jnp.log(Dg))
+        sum_kD = sum_kD + jnp.sum((amp * grad_unit)[None, :] / Dg)
     p = 1 + config.regression_order * X.shape[1]
     if data.h_extra is not None:
         p = p + data.h_extra.shape[1]
 
-    def block_summaries(Xb, yb, rsDb, hb):
-        Kb = kernels.cross_covariance(Z, Xb, params, config)  # (m, cb)
-        Ab = linalg.solve_lower(Lm, Kb) * rsDb[None, :]
-        Hb = regression_basis(Xb, config.regression_order)
-        if hb is not None:
-            Hb = jnp.concatenate([Hb, hb.astype(dtype)], axis=1)
-        Hw = rsDb[:, None] * Hb
-        yw = rsDb * yb
+    def block_summaries(Xb, yb, rsDb, hb, dYb=None, rsDgb=None):
+        if dYb is None:
+            Kb = kernels.cross_covariance(Z, Xb, params, config)  # (m, cb)
+            Hb = regression_basis(Xb, config.regression_order)
+            if hb is not None:
+                Hb = jnp.concatenate([Hb, hb.astype(dtype)], axis=1)
+            rsJ, yJ = rsDb, yb
+        else:
+            cb = Xb.shape[0]
+            # (m, cb(1+d)): value columns then gradient columns in the
+            # (point, dim) row-major order of dY.reshape(-1)
+            Kb = kernels.joint_cross(
+                Z, Xb, params, config, grad_cols=True
+            )
+            Hb = jnp.concatenate([
+                regression_basis(Xb, config.regression_order),
+                regression_basis_grad(Xb, config.regression_order),
+            ], axis=0)
+            rsJ = jnp.concatenate([rsDb, rsDgb.reshape(cb * d)])
+            yJ = jnp.concatenate([yb, dYb.reshape(cb * d)])
+        Ab = linalg.solve_lower(Lm, Kb) * rsJ[None, :]
+        Hw = rsJ[:, None] * Hb
+        yw = rsJ * yJ
         dot = lambda a, b: jnp.dot(a, b, preferred_element_type=dtype,
                                    precision=HI)
         return (
@@ -193,7 +240,9 @@ def _sgpr_system(
     if row_chunk is None or n <= row_chunk:
         he = data.h_extra
         AAT, G_AH, g_Ay, S_HH, S_Hy, S_yy, tr_AA = block_summaries(
-            X, y, rsD, he
+            X, y, rsD, he,
+            data.dY.astype(dtype) if has_grad else None,
+            rsDg if has_grad else None,
         )
     else:
         # pad with rsD = 0 rows: whitened operands vanish, so every
@@ -214,15 +263,24 @@ def _sgpr_system(
             hg = hp.reshape(blocks, row_chunk, -1)
         else:
             hg = None
+        if has_grad:
+            dYp = jnp.concatenate([
+                data.dY.astype(dtype), jnp.zeros((pad, d), dtype)
+            ])
+            rgp = jnp.concatenate([rsDg, jnp.zeros((pad, d), dtype)])
+            dYg = dYp.reshape(blocks, row_chunk, d)
+            rgg = rgp.reshape(blocks, row_chunk, d)
+        else:
+            dYg = rgg = None
 
         @jax.checkpoint
         def body_fn(carry, blk):
-            if hg is None:
-                Xb, yb, rb = blk
-                hb = None
-            else:
-                Xb, yb, rb, hb = blk
-            parts = block_summaries(Xb, yb, rb, hb)
+            it = iter(blk)
+            Xb, yb, rb = next(it), next(it), next(it)
+            hb = next(it) if hg is not None else None
+            dYb = next(it) if dYg is not None else None
+            rgb = next(it) if rgg is not None else None
+            parts = block_summaries(Xb, yb, rb, hb, dYb, rgb)
             return tuple(ca + pa for ca, pa in zip(carry, parts)), None
 
         init = (
@@ -231,9 +289,13 @@ def _sgpr_system(
             jnp.zeros((p,), dtype), jnp.zeros((), dtype),
             jnp.zeros((), dtype),
         )
-        xs = (Xg, yg, rg) if hg is None else (Xg, yg, rg, hg)
+        xs = [Xg, yg, rg]
+        if hg is not None:
+            xs.append(hg)
+        if dYg is not None:
+            xs.extend([dYg, rgg])
         (AAT, G_AH, g_Ay, S_HH, S_Hy, S_yy, tr_AA), _ = jax.lax.scan(
-            body_fn, init, xs
+            body_fn, init, tuple(xs)
         )
 
     B = jnp.eye(m, dtype=dtype) + 0.5 * (AAT + AAT.T)
@@ -256,7 +318,7 @@ def _sgpr_system(
         beta, jnp.dot(HSH, beta, precision=HI), precision=HI
     )
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB))) + sum_logD
-    trace = sum_ampD - tr_AA
+    trace = sum_kD - tr_AA
     c = linalg.solve_lower(LB, g_Ay - jnp.dot(G_AH, beta, precision=HI))
     return _SGPRSystem(Lm=Lm, LB=LB, LA=LA, beta=beta, c=c, E=T_H,
                        quad=quad, logdet=logdet, trace=trace, ok=ok)
@@ -279,6 +341,8 @@ def elbo(
     """
     sys = _sgpr_system(params, data, config, Z, row_chunk=row_chunk)
     n = data.y.shape[0]
+    if data.dY is not None:
+        n = n * (1 + data.X.shape[1])  # joint value+gradient rows
     ll = (
         -0.5 * sys.quad - 0.5 * sys.logdet
         - 0.5 * n * math.log(2.0 * math.pi) - 0.5 * sys.trace
@@ -373,11 +437,6 @@ def fit_sgpr(
     jit-able end to end; restarts vmap exactly like models/fit.fit_gp
     (same bounded reparameterization, same dead-start semantics via -inf).
     """
-    if data.dY is not None:
-        raise ValueError(
-            "fit_sgpr: gradient observations are dense-path only "
-            "(the inducing approximation has no joint-operator yet)"
-        )
     R = config.n_restarts if n_restarts is None else n_restarts
     steps = config.max_opt_steps if max_steps is None else max_steps
     dtype = data.y.dtype
@@ -480,10 +539,6 @@ def fit_sgpr_host(
     memory capping all come from models/fit.fit_gp_host (host_kwargs
     forward to it — vg_batch=1 is the right setting at N ~ 1e6).
     """
-    if data.dY is not None:
-        raise ValueError(
-            "fit_sgpr_host: gradient observations are dense-path only"
-        )
     from madaiemulator_tpu.models.fit import fit_gp_host
 
     dtype = data.y.dtype
@@ -554,6 +609,8 @@ def fit_multivariate_sparse(
     restart_chunk: int | None = None,
     row_chunk: int | None = None,
     noise=None,
+    gradients=None,
+    gradient_noise=None,
 ) -> SparseMultivariateEmulator:
     """Sparse multivariate fit: PCA -> per-PC SGPR (shared inducing set).
 
@@ -563,9 +620,19 @@ def fit_multivariate_sparse(
     is the memory-sane default at N ~ 1e6). noise is (N,) or (N, t)
     per-point observation variances, projected to PC space exactly as the
     dense path (models/multivariate.project_noise).
+
+    gradients: optional observed output gradients (N, d, t) w.r.t. the
+    RAW inputs ((N, d) when t == 1) — every component then trains on the
+    joint (value, gradient) likelihood against the m inducing VALUES
+    (see _sgpr_system), the exact sparse counterpart of the dense
+    gradient-enhanced path. The serve state's shape is unchanged, so
+    snapshots/pipe/C++ serve gradient-trained emulators as-is.
+    gradient_noise: known per-partial variances, same shape.
     """
     from madaiemulator_tpu.models.multivariate import (
         pca_decompose,
+        project_gradient_noise,
+        project_gradients,
         project_noise,
     )
     from madaiemulator_tpu.utils.designs import apply_scaling, fit_scaling
@@ -584,14 +651,25 @@ def fit_multivariate_sparse(
         None if noise is None
         else project_noise(noise, pca, dtype=dtype)
     )
+    dZ = (
+        None if gradients is None
+        else project_gradients(gradients, pca, scaling, dtype=dtype)
+    )  # (N, d, r) in SCALED design coordinates
+    dZ_noise = (
+        None if gradient_noise is None
+        else project_gradient_noise(gradient_noise, pca, scaling,
+                                    dtype=dtype)
+    )
+    if dZ_noise is not None and dZ is None:
+        raise ValueError("gradient_noise given without gradients")
     Zi = (
         select_inducing(Xs, int(inducing))
         if isinstance(inducing, int)
         else jnp.asarray(inducing, dtype)
     )
 
-    def fit_component(k, y_c, nz_c):
-        data_c = GPData(X=Xs, y=y_c, noise=nz_c)
+    def fit_component(k, y_c, nz_c, dY_c, dYn_c):
+        data_c = GPData(X=Xs, y=y_c, noise=nz_c, dY=dY_c, dY_noise=dYn_c)
         return fit_sgpr(
             k, data_c, config, inducing=Zi,
             n_restarts=n_restarts, max_steps=max_steps,
@@ -600,19 +678,26 @@ def fit_multivariate_sparse(
             row_chunk=row_chunk,
         )
 
-    # noise presence is a trace-static property: pick ONE jitted callable
-    # up front so all r components reuse a single compile
-    if noise_pc is None:
-        fit_jit = jax.jit(lambda k, y: fit_component(k, y, None))
-    else:
-        fit_jit = jax.jit(fit_component)
+    # optional-field presence is trace-static: bind ONE jitted callable
+    # over the present fields so all r components reuse a single compile
+    present = (noise_pc is not None, dZ is not None, dZ_noise is not None)
+
+    def fit_jit_args(c):
+        return (
+            noise_pc[:, c] if present[0] else None,
+            dZ[:, :, c] if present[1] else None,
+            dZ_noise[:, :, c] if present[2] else None,
+        )
+
+    fit_jit = jax.jit(
+        lambda k, y, nz, dY, dYn: fit_component(k, y, nz, dY, dYn),
+        static_argnames=(),
+    )
     keys = jax.random.split(key, r)
     results = []
     for c in range(r):
-        if noise_pc is None:
-            results.append(fit_jit(keys[c], Zsc[:, c]))
-        else:
-            results.append(fit_jit(keys[c], Zsc[:, c], noise_pc[:, c]))
+        nz_c, dY_c, dYn_c = fit_jit_args(c)
+        results.append(fit_jit(keys[c], Zsc[:, c], nz_c, dY_c, dYn_c))
     params = jax.tree.map(lambda *a: jnp.stack(a), *[f.params for f in results])
     states = jax.tree.map(lambda *a: jnp.stack(a), *[f.state for f in results])
     return SparseMultivariateEmulator(

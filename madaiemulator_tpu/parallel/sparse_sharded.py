@@ -56,6 +56,9 @@ def shard_data_rows(data: GPData, mesh: Mesh) -> GPData:
         noise=None if data.noise is None else jax.device_put(data.noise, row),
         h_extra=None if data.h_extra is None
         else jax.device_put(data.h_extra, mat),
+        dY=None if data.dY is None else jax.device_put(data.dY, mat),
+        dY_noise=None if data.dY_noise is None
+        else jax.device_put(data.dY_noise, mat),
     )
 
 

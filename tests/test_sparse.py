@@ -218,12 +218,125 @@ def test_heteroscedastic_noise_downweights_noisy_points(rng):
     assert abs(float(m[0]) - float(jnp.sin(4 * Xq[0, 0]))) < 0.1
 
 
-def test_fit_sgpr_rejects_gradient_data(rng):
-    data = _toy(rng)
-    data = data._replace(dY=jnp.zeros((data.X.shape[0], 2)))
-    cfg = GPConfig(nparams=2)
-    with pytest.raises(ValueError, match="dense-path only"):
-        sparse.fit_sgpr(jax.random.key(0), data, cfg, inducing=10)
+# --- Gradient-enhanced SGPR --------------------------------------------------
+#
+# Gradient observations join the joint likelihood as extra rows against the
+# m inducing VALUES (models/sparse._sgpr_system) — the sparse counterpart
+# of the dense joint path. The serve state's shape is unchanged, so the
+# snapshot grammar / pipe / C++ serve gradient-trained emulators as-is.
+
+
+def _grad_toy(rng, n=14, d=2):
+    X = jnp.asarray(rng.uniform(0, 1, (n, d)))
+    y = jnp.sin(3 * X[:, 0]) + 0.5 * X[:, 1] ** 2
+    dY = jnp.stack([3 * jnp.cos(3 * X[:, 0]), X[:, 1]], axis=1)
+    return GPData(X=X, y=y, dY=dY)
+
+
+def test_sgpr_gradient_elbo_streamed_and_bounded(rng):
+    """Joint-rows ELBO: streamed (row_chunk) equals one-shot exactly, and
+    the Titsias bound sits below the dense JOINT value+gradient LML."""
+    data = _grad_toy(rng, n=30)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    p = _params(2, ls=0.4, nugget=1e-4)
+    Z = data.X[:10]
+    e1 = float(sparse.elbo(p, data, cfg, Z))
+    e2 = float(sparse.elbo(p, data, cfg, Z, row_chunk=8))
+    np.testing.assert_allclose(e1, e2, rtol=1e-10)
+    lml_joint = float(log_marginal_likelihood(p, data, cfg))
+    assert e1 <= lml_joint + 1e-6, (e1, lml_joint)
+    # gradients change the fit: value-only ELBO is a different quantity
+    e_v = float(sparse.elbo(p, GPData(X=data.X, y=data.y), cfg, Z))
+    assert not np.isclose(e1, e_v)
+
+
+def test_sgpr_gradients_beat_value_only_on_scarce_design(rng):
+    """On a scarce design, (value, gradient) observations per run carry
+    ~(1+d)x the information: the gradient fit must beat the value-only
+    fit at the SAME inducing budget."""
+    data = _grad_toy(rng, n=14)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    fit_g = sparse.fit_sgpr(jax.random.key(0), data, cfg, inducing=14,
+                            n_restarts=3, max_steps=60)
+    fit_v = sparse.fit_sgpr(jax.random.key(0),
+                            GPData(X=data.X, y=data.y), cfg, inducing=14,
+                            n_restarts=3, max_steps=60)
+    Xq = jnp.asarray(rng.uniform(0.05, 0.95, (300, 2)))
+    truth = jnp.sin(3 * Xq[:, 0]) + 0.5 * Xq[:, 1] ** 2
+    mg, vg = sparse.predict_sgpr(fit_g.state, fit_g.params, cfg, Xq)
+    mv, _ = sparse.predict_sgpr(fit_v.state, fit_v.params, cfg, Xq)
+    rg = float(jnp.sqrt(jnp.mean((mg - truth) ** 2)))
+    rv = float(jnp.sqrt(jnp.mean((mv - truth) ** 2)))
+    assert rg < rv, (rg, rv)
+    assert bool(jnp.all(vg >= 0))
+
+
+def test_sgpr_gradient_noise_and_rejections(rng):
+    """Known per-partial gradient noise flows into the joint D; h_extra
+    cannot combine with dY (same rule as the dense path); Matern-3/2 has
+    no gradient prior and is rejected by the kernel layer."""
+    data = _grad_toy(rng)
+    cfg = GPConfig(nparams=2, regression_order=1)
+    dn = jnp.full(data.dY.shape, 1e-4)
+    fit = sparse.fit_sgpr(jax.random.key(0), data._replace(dY_noise=dn),
+                          cfg, inducing=10, n_restarts=2, max_steps=30)
+    assert np.isfinite(float(fit.elbo))
+    p = _params(2)
+    with pytest.raises(ValueError, match="h_extra and dY"):
+        sparse.elbo(p, data._replace(h_extra=jnp.ones((14, 1))), cfg,
+                    data.X[:5])
+    cfg32 = GPConfig(nparams=2,
+                     covariance=CovarianceFamily.MATERN32)
+    with pytest.raises(ValueError, match="differentiab"):
+        sparse.elbo(p, data, cfg32, data.X[:5])
+
+
+def test_multivariate_sparse_with_gradients_round_trips(rng, tmp_path):
+    """fit_multivariate_sparse(gradients=...): exact PC-space gradient
+    projection + per-component joint SGPR; the resulting emulator beats
+    its value-only twin and — because the serve state is unchanged —
+    persists through the EXISTING sparse snapshot grammar."""
+    from madaiemulator_tpu.io.snapshot import (
+        read_snapshot_auto,
+        write_snapshot_auto,
+    )
+
+    n = 16
+    X = rng.uniform(1.0, 3.0, (n, 2))
+    g1 = np.sin(2 * X[:, 0]) + X[:, 1]
+    g2 = X[:, 0] * X[:, 1]
+    Y = np.stack([g1, g2], axis=1)
+    dY = np.stack([
+        np.stack([2 * np.cos(2 * X[:, 0]), np.ones(n)], axis=1),
+        np.stack([X[:, 1], X[:, 0]], axis=1),
+    ], axis=2)  # (n, d, t) raw-input gradients
+    cfg = GPConfig(nparams=2, regression_order=1)
+    emu_g = sparse.fit_multivariate_sparse(
+        jax.random.key(0), X, Y, cfg, pca_variance=0.999, inducing=n,
+        n_restarts=3, max_steps=60, gradients=dY,
+    )
+    emu_v = sparse.fit_multivariate_sparse(
+        jax.random.key(0), X, Y, cfg, pca_variance=0.999, inducing=n,
+        n_restarts=3, max_steps=60,
+    )
+    Xq = rng.uniform(1.1, 2.9, (200, 2))
+    truth = np.stack([np.sin(2 * Xq[:, 0]) + Xq[:, 1],
+                      Xq[:, 0] * Xq[:, 1]], axis=1)
+    mg, vgv = sparse.predict_multivariate_sparse(emu_g, jnp.asarray(Xq))
+    mv, _ = sparse.predict_multivariate_sparse(emu_v, jnp.asarray(Xq))
+    rg = float(np.sqrt(np.mean((np.asarray(mg) - truth) ** 2)))
+    rv = float(np.sqrt(np.mean((np.asarray(mv) - truth) ** 2)))
+    assert rg < rv, (rg, rv)
+    assert bool(jnp.all(vgv >= 0))
+    # serve state is inducing-space only -> the existing grammar persists
+    # a gradient-trained emulator unchanged
+    path = str(tmp_path / "g.txt")
+    write_snapshot_auto(path, emu_g, ["a", "b"], ["o0", "o1"])
+    emu2, _, _ = read_snapshot_auto(path)
+    m2, v2 = sparse.predict_multivariate_sparse(emu2, jnp.asarray(Xq))
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(mg), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(vgv), rtol=1e-7,
+                               atol=1e-14)
 
 
 def _mv_problem(rng, n=500):
@@ -350,6 +463,14 @@ def test_elbo_sharded_matches_single_device(rng):
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-10)
+    # gradient-observation (joint-row) data shards too: dY/dY_noise ride
+    # row-sharded and the summary collectives reproduce the joint ELBO
+    dY = jnp.stack([3 * jnp.cos(3 * X[:, 0]),
+                    0.5 * jnp.ones((n,), X.dtype)], axis=1)
+    data_g = GPData(X=X, y=y, dY=dY)
+    e_ref = float(sparse.elbo(p, data_g, cfg, Z))
+    e_sh = float(elbo_sharded(p, data_g, cfg, Z, mesh))
+    np.testing.assert_allclose(e_sh, e_ref, rtol=1e-9)
 
 
 def test_sparse_emulator_drives_sequential_design(rng):
@@ -569,3 +690,47 @@ def test_cli_sparse_rejections(rng, tmp_path):
         input="0.5 0.5\n", capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 2 and "O(m^2)" in r.stderr
+
+
+def test_cli_sparse_with_gradients(rng, tmp_path):
+    """--inducing composes with --gradients_file: the CLI trains a
+    gradient-enhanced sparse fit and the ordinary SGPR snapshot serves
+    it through the pipe."""
+    from madaiemulator_tpu.io.modelfile import write_model_file
+
+    n = 16
+    X = rng.uniform(0, 1, (n, 2))
+    y = np.sin(3 * X[:, 0]) + 0.5 * X[:, 1] ** 2
+    dY = np.stack([3 * np.cos(3 * X[:, 0]), X[:, 1]], axis=1)
+    model = tmp_path / "model.txt"
+    grads = tmp_path / "grads.txt"
+    state = tmp_path / "state.txt"
+    write_model_file(str(model), X, y[:, None], ["a", "b"], ["f"])
+    with open(grads, "w") as f:
+        for i in range(n):
+            f.write(f"{dY[i, 0]:.17g} {dY[i, 1]:.17g}\n")
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(state), "--inducing=16",
+               "--regression_order=1", "--restarts=3", "--steps=60",
+               f"--gradients_file={grads}", "--quiet"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "SGPR" in open(state).readline()
+    r = subprocess.run(
+        CLI + ["interactive_mode", str(state)],
+        input="0.5 0.5\n", capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    mean = float(lines[-2])
+    want = float(np.sin(1.5) + 0.5 * 0.25)
+    assert abs(mean - want) < 0.05, (mean, want)
+    # a once-differentiable kernel is rejected cleanly, not a traceback
+    r = subprocess.run(
+        CLI + ["estimate_thetas", str(model), str(state), "--inducing=16",
+               "--covariance_fn=matern32", f"--gradients_file={grads}",
+               "--quiet"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2 and "differentiab" in r.stderr
