@@ -9,6 +9,13 @@ envelope, with an O(m^2) serving distillate at the end.
 
 Emits one JSON line per stage (same contract as capability_64k.py).
 Run AFTER a relay health probe (ROADMAP protocol).
+
+Usage:
+  python bench/capability_1m.py [N] [m] [restarts] [steps]   # one config
+  python bench/capability_1m.py sweep [N] [restarts] [steps] # m in
+      {256, 512, 1024}: ELBO / fit wall / serve rmse convergence table
+      (VERDICT r4 weak #5 — the 1M claim gets the same evidentiary
+      standard as the 16k Cholesky). Data is generated once and shared.
 """
 
 import json
@@ -33,30 +40,12 @@ def sync(x):
     np.asarray(jax.device_get(leaf[(slice(0, 1),) * leaf.ndim]))
 
 
-def main():
+def make_problem(n, d, dtype):
+    """Synthetic smooth target generated ON DEVICE (no 1M-point host
+    transfer): anisotropic sines + an interaction, noise sigma=0.05."""
     import jax
     import jax.numpy as jnp
 
-    from madaiemulator_tpu.models import sparse
-    from madaiemulator_tpu.models.gp import GPData
-    from madaiemulator_tpu.utils.compile_cache import enable_compile_cache
-    from madaiemulator_tpu.utils.config import GPConfig
-
-    enable_compile_cache()
-
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    m = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    restarts = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    steps = int(sys.argv[4]) if len(sys.argv) > 4 else 40
-    d = 4
-    dtype = jnp.float32
-
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {dev.device_kind}; "
-        f"N={n} m={m} restarts={restarts} steps={steps} d={d}")
-
-    # synthetic smooth target, generated ON DEVICE (no 1M-point host
-    # transfer): anisotropic sines + an interaction, noise sigma=0.05
     @jax.jit
     def make_data(key):
         kx, ke = jax.random.split(key)
@@ -73,7 +62,20 @@ def main():
     X, y, f_true = make_data(jax.random.key(0))
     sync(y)
     log(f"data on device: {time.perf_counter() - t0:.1f} s")
+    return X, y, f_true
 
+
+def run_one(n, m, restarts, steps, X, y):
+    """Fit + serve one (n, m) configuration; returns the summary row."""
+    import jax
+    import jax.numpy as jnp
+
+    from madaiemulator_tpu.models import sparse
+    from madaiemulator_tpu.models.gp import GPData
+    from madaiemulator_tpu.utils.config import GPConfig
+
+    d = X.shape[1]
+    dtype = X.dtype
     cfg = GPConfig(
         nparams=d, regression_order=1, n_restarts=restarts,
         max_opt_steps=steps, linesearch="backtracking",
@@ -95,7 +97,7 @@ def main():
     t_fit = time.perf_counter() - t0
     elbo = float(fit.elbo)
     n_finite = int(np.isfinite(np.asarray(fit.restart_elbos)).sum())
-    log(f"fit: {t_fit:.1f} s  elbo={elbo:.6g}  "
+    log(f"fit m={m}: {t_fit:.1f} s  elbo={elbo:.6g}  "
         f"({n_finite}/{restarts} restarts finite)")
     emit(
         metric=f"sgpr_fit_n{n}_m{m}",
@@ -105,9 +107,10 @@ def main():
 
     # serve: 4096 queries from the O(m^2) state, rmse vs the noiseless truth
     nq = 4096
+
     @jax.jit
     def queries(key):
-        kq, ke = jax.random.split(key)
+        kq, _ = jax.random.split(key)
         Xq = jax.random.uniform(kq, (nq, d), dtype=dtype)
         fq = (
             jnp.sin(4.0 * Xq[:, 0])
@@ -136,6 +139,52 @@ def main():
         wall_ms=round(t_serve * 1e3, 1), rmse=round(rmse, 5),
         mean_posterior_sd=round(mean_sd, 5),
     )
+    return {
+        "m": m, "fit_s": round(t_fit, 1), "elbo": round(elbo, 1),
+        "serve_rmse": round(rmse, 5), "serve_ms": round(t_serve * 1e3, 1),
+        "restarts_finite": n_finite,
+    }
+
+
+def main():
+    import jax
+
+    from madaiemulator_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    sweep = len(sys.argv) > 1 and sys.argv[1] == "sweep"
+    if sweep:
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        restarts = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        steps = int(sys.argv[4]) if len(sys.argv) > 4 else 40
+        ms = (256, 512, 1024)
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+        ms = (int(sys.argv[2]) if len(sys.argv) > 2 else 512,)
+        restarts = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        steps = int(sys.argv[4]) if len(sys.argv) > 4 else 40
+    d = 4
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}; "
+        f"N={n} m={list(ms)} restarts={restarts} steps={steps} d={d}")
+
+    # relay probe (ROADMAP protocol)
+    t0 = time.perf_counter()
+    x = jnp.ones((2048, 2048), jnp.float32)
+    sync(jnp.dot(x, x))
+    t_probe = time.perf_counter() - t0
+    emit(metric="relay_probe_s", value=round(t_probe, 2),
+         healthy=bool(t_probe < 10.0))
+
+    X, y, _ = make_problem(n, d, jnp.float32)
+
+    rows = [run_one(n, m, restarts, steps, X, y) for m in ms]
+    if len(rows) > 1:
+        emit(metric=f"sgpr_m_sweep_n{n}", rows=rows,
+             note="ELBO should increase with m; rmse should converge")
 
 
 if __name__ == "__main__":

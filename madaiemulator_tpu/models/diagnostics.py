@@ -218,8 +218,10 @@ def posterior_covariance(
     """
     Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
     Hs = regression_basis(Xs, config.regression_order)  # (m, p)
-    mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
     hi = jax.lax.Precision.HIGHEST
+    mean = jnp.dot(Hs, state.beta, precision=hi) + jnp.dot(
+        Ks.T, state.alpha, precision=hi
+    )
     Kss = kernels.cross_covariance(Xs, Xs, params, config)
     Kss = 0.5 * (Kss + Kss.T)
     V = linalg.solve_lower(state.L, Ks)  # (N, m)
@@ -343,8 +345,9 @@ def reconstruct_training_outputs(emu) -> jax.Array:
     pca = emu.pca
     Z = emu.Z
     sqrt_lam = jnp.sqrt(pca.eigenvalues.astype(Z.dtype))
-    return pca.ymean[None, :] + (
-        (Z * sqrt_lam[None, :]) @ pca.U.T
+    return pca.ymean[None, :] + jnp.matmul(
+        Z * sqrt_lam[None, :], pca.U.T,
+        precision=jax.lax.Precision.HIGHEST,
     ) * pca.ystd[None, :]
 
 
@@ -526,8 +529,9 @@ def reconstruct_level_targets_mv(emu, k: int) -> jax.Array:
     pca = emu.pca
     Z = emu.levels[k].Z
     sqrt_lam = jnp.sqrt(pca.eigenvalues.astype(Z.dtype))
-    return pca.ymean[None, :] + (
-        (Z * sqrt_lam[None, :]) @ pca.U.T
+    return pca.ymean[None, :] + jnp.matmul(
+        Z * sqrt_lam[None, :], pca.U.T,
+        precision=jax.lax.Precision.HIGHEST,
     ) * pca.ystd[None, :]
 
 
@@ -603,7 +607,7 @@ def posterior_covariance_iterative(
     Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
     Hs = regression_basis(Xs, config.regression_order)  # (m, p)
     hi = jax.lax.Precision.HIGHEST
-    mean = jnp.dot(Hs, state.beta) + jnp.dot(
+    mean = jnp.dot(Hs, state.beta, precision=hi) + jnp.dot(
         Ks.T, state.alpha, precision=hi
     )
     mv = _matvec_for(params, data, config, None, row_chunk)

@@ -250,8 +250,17 @@ def _factor(
     LA = linalg.xla_cholesky(A)
     ok = jnp.logical_and(ok, linalg.chol_ok(LA))
     LAsafe = jnp.where(ok, LA, jnp.eye(LA.shape[0], dtype=LA.dtype))
-    beta = linalg.cho_solve(LAsafe, jnp.dot(Linv_H.T, Linv_y))
-    resid = y - jnp.dot(H, beta)
+    # The small GLS dots MUST pin matmul precision: at DEFAULT, TPU
+    # lowers them to bf16 MXU ops whenever they are batched (vmapped
+    # components/restarts) while the unbatched trace takes an exact VPU
+    # path — measured (round 5): a bf16 resid error of ~9e-3 amplified
+    # through the cond~1e7 solve turned a vmapped serve's alpha into
+    # garbage (max mean error 5.8 vs 0.006 unvmapped, SAME factor L).
+    hi = jax.lax.Precision.HIGHEST
+    beta = linalg.cho_solve(
+        LAsafe, jnp.dot(Linv_H.T, Linv_y, precision=hi)
+    )
+    resid = y - jnp.dot(H, beta, precision=hi)
     alpha = linalg.cho_solve(Lsafe, resid)
     return GPPosteriorState(
         L=Lsafe, alpha=alpha, beta=beta, LA=LAsafe, Linv_H=Linv_H, ok=ok
@@ -266,8 +275,12 @@ def _lml_value(params: GPParams, data: GPData, config: GPConfig):
     n = y.shape[0]
     # quadratic form via alpha: r^T C^-1 r = r . alpha
     H = training_basis(data, config)
-    r = y - jnp.dot(H, st.beta)
-    quad = jnp.dot(r, st.alpha)
+    # precision pinned for the same reason as in _factor: batched (vmapped
+    # restart/component) lowering turns DEFAULT dots into bf16 MXU ops,
+    # and quad = r . alpha carries the likelihood value itself
+    hi = jax.lax.Precision.HIGHEST
+    r = y - jnp.dot(H, st.beta, precision=hi)
+    quad = jnp.dot(r, st.alpha, precision=hi)
     logdet = linalg.logdet_from_chol(st.L)
     ll = -0.5 * quad - 0.5 * logdet - 0.5 * n * math.log(2.0 * math.pi)
     if config.reml:
@@ -542,8 +555,12 @@ def _predict_fast_core(
     with jax.named_scope("cross_kernel"):
         Ks = kernels.cross_covariance(data.X, Xs, params, config)  # (N, m)
     Hs = regression_basis(Xs, config.regression_order)  # (m, p)
-    mean = jnp.dot(Hs, st.beta) + jnp.dot(Ks.T, st.alpha)
     hi = jax.lax.Precision.HIGHEST
+    # mean dots pinned: alpha's scale is ~kappa at ill-conditioned states,
+    # so a bf16 (batched-lowering) contraction loses the mean outright
+    mean = jnp.dot(Hs, st.beta, precision=hi) + jnp.dot(
+        Ks.T, st.alpha, precision=hi
+    )
     with jax.named_scope("solve_gemm"):
         V = jnp.dot(fp.Linv, Ks, preferred_element_type=Ks.dtype, precision=hi)
     kss = kernels.kdiag(Xs, params, config)  # (m,)
@@ -635,13 +652,18 @@ def _predict_core(
                 data.X, Xs, params, config
             )  # (N, m)
     Hs = query_basis(Xs, config, hs_extra)  # (m, p)
-    mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
+    hi = jax.lax.Precision.HIGHEST
+    # precision pinned (see _factor): batched lowering makes DEFAULT dots
+    # bf16, and alpha/G sit on conditioning-amplified paths
+    mean = jnp.dot(Hs, state.beta, precision=hi) + jnp.dot(
+        Ks.T, state.alpha, precision=hi
+    )
     with jax.named_scope("solve"):
         V = linalg.solve_lower(state.L, Ks)  # (N, m)
     kss = kernels.kdiag(Xs, params, config)  # (m,)
     var = kss - jnp.sum(V * V, axis=0)
     # GLS variance correction: g = h(x*) - H^T C^-1 k* = Hs^T - (L^-1 H)^T V
-    G = Hs.T - jnp.dot(state.Linv_H.T, V)  # (p, m)
+    G = Hs.T - jnp.dot(state.Linv_H.T, V, precision=hi)  # (p, m)
     W = linalg.solve_lower(state.LA, G)  # (p, m)
     var = var + jnp.sum(W * W, axis=0)
     var = jnp.maximum(var, 0.0)
@@ -735,7 +757,10 @@ def _predict_gradient_core(
         grad_rows=data.dY is not None, grad_cols=True, value_cols=False,
     )  # (rows, m*d)
     Hs = regression_basis_grad(Xs, config.regression_order)  # (m*d, p)
-    mean = jnp.dot(Hs, state.beta) + jnp.dot(Ks.T, state.alpha)
+    hi = jax.lax.Precision.HIGHEST
+    mean = jnp.dot(Hs, state.beta, precision=hi) + jnp.dot(
+        Ks.T, state.alpha, precision=hi
+    )
     V = linalg.solve_lower(state.L, Ks)  # (rows, m*d)
     amp = jnp.exp(params.log_amp)
     ell = kernels._ell_vec(params, config, d)
@@ -747,7 +772,7 @@ def _predict_gradient_core(
     )
     kss = jnp.tile(base * cg / (ell * ell), (m,))  # (m*d,) prior grad var
     var = kss - jnp.sum(V * V, axis=0)
-    G = Hs.T - jnp.dot(state.Linv_H.T, V)  # (p, m*d)
+    G = Hs.T - jnp.dot(state.Linv_H.T, V, precision=hi)  # (p, m*d)
     W = linalg.solve_lower(state.LA, G)
     var = jnp.maximum(var + jnp.sum(W * W, axis=0), 0.0)
     return mean.reshape(m, d), var.reshape(m, d)

@@ -952,9 +952,9 @@ def predict_iterative_from_state(
     def do_chunk(xq):
         Ks = kernels.cross_covariance(data.X, xq, params, config)  # (n, c)
         Hs = regression_basis(xq, config.regression_order)  # (c, p)
-        mean = jnp.dot(Hs, beta) + jnp.dot(
-            Ks.T, alpha, precision=lax.Precision.HIGHEST
-        )
+        mean = jnp.dot(
+            Hs, beta, precision=lax.Precision.HIGHEST
+        ) + jnp.dot(Ks.T, alpha, precision=lax.Precision.HIGHEST)
         if not with_variance:
             return mean, jnp.zeros_like(mean)
         if variance_method == "precond":

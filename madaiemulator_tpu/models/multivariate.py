@@ -156,7 +156,9 @@ def project_scores(Y, pca: PCAState, dtype=None) -> jnp.ndarray:
         pca.eigenvalues.astype(Y.dtype), jnp.finfo(Y.dtype).tiny
     )
     Yc = (Y - pca.ymean.astype(Y.dtype)[None, :]) / pca.ystd.astype(Y.dtype)[None, :]
-    return (Yc @ pca.U.astype(Y.dtype)) / jnp.sqrt(lam)[None, :]
+    return jnp.matmul(
+        Yc, pca.U.astype(Y.dtype), precision=jax.lax.Precision.HIGHEST
+    ) / jnp.sqrt(lam)[None, :]
 
 
 def project_noise(noise, pca: PCAState, dtype=None) -> jnp.ndarray:
@@ -190,7 +192,10 @@ def project_noise(noise, pca: PCAState, dtype=None) -> jnp.ndarray:
         jnp.finfo(noise.dtype).tiny,
     )
     U2 = (pca.U.astype(noise.dtype)) ** 2  # (t, r)
-    return (noise / ystd[None, :] ** 2) @ U2 / lam[None, :]
+    return jnp.matmul(
+        noise / ystd[None, :] ** 2, U2,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / lam[None, :]
 
 
 def project_gradients(
@@ -527,8 +532,15 @@ def reconstruct_observables(
     ymean = pca.ymean.astype(m_pc.dtype)
     ystd = pca.ystd.astype(m_pc.dtype)
     sqrt_lam = jnp.sqrt(lam)
-    mean = ymean[None, :] + (m_pc.T * sqrt_lam[None, :]) @ U.T * ystd[None, :]
-    var = (v_pc.T * lam[None, :]) @ (U.T**2) * (ystd[None, :] ** 2)
+    hi = jax.lax.Precision.HIGHEST
+    # rotation pinned: user-facing observable means/variances should not
+    # pick up bf16 rounding when this runs on the TPU (see gp._factor note)
+    mean = ymean[None, :] + jnp.matmul(
+        m_pc.T * sqrt_lam[None, :], U.T, precision=hi
+    ) * ystd[None, :]
+    var = jnp.matmul(
+        v_pc.T * lam[None, :], U.T ** 2, precision=hi
+    ) * (ystd[None, :] ** 2)
     return mean, var
 
 

@@ -386,10 +386,15 @@ def predict_sgpr(
     Ksm = kernels.cross_covariance(state.Z, Xs, params, config)  # (m, s)
     v1 = linalg.solve_lower(state.Lm, Ksm)
     v2 = linalg.solve_lower(state.LB, v1)
-    mean = jnp.dot(Hs, state.beta) + jnp.dot(v2.T, state.c)
+    hi = jax.lax.Precision.HIGHEST
+    # precision pinned (models/gp._factor note): batched lowering makes
+    # DEFAULT dots bf16 on the MXU
+    mean = jnp.dot(Hs, state.beta, precision=hi) + jnp.dot(
+        v2.T, state.c, precision=hi
+    )
     kss = kernels.kdiag(Xs, params, config)
     var = kss - jnp.sum(v1 * v1, axis=0) + jnp.sum(v2 * v2, axis=0)
-    G = Hs.T - jnp.dot(state.E.T, v1)  # (p, s)
+    G = Hs.T - jnp.dot(state.E.T, v1, precision=hi)  # (p, s)
     W = linalg.solve_lower(state.LA, G)
     var = var + jnp.sum(W * W, axis=0)
     return mean, jnp.maximum(var, 0.0)

@@ -390,3 +390,65 @@ def test_f32_auto_jitter_keeps_smooth_optimum_reachable(rng):
         cfg,
     )
     assert np.isfinite(float(ll64))
+
+
+def test_vmapped_serve_matches_unvmapped_at_high_condition(rng):
+    """Batched (vmapped) precompute+predict must agree with the unbatched
+    program at an ill-conditioned operating point.
+
+    Round-5 TPU finding: with matmul precision UNPINNED, the small GLS dots
+    in _factor (resid = y - H beta, the beta rhs) lower to exact VPU ops
+    when unbatched but to bf16 MXU ops when the same program is vmapped
+    over a component axis — a ~9e-3 resid error that the cond~1e7 solve
+    amplified into a garbage alpha (serve mean off by 5.8 on an O(0.7)
+    target, SAME Cholesky factor). All such dots are now pinned HIGHEST;
+    this pins the vmapped==unvmapped contract (exact on CPU, tight on TPU).
+    """
+    n, d, r = 96, 2, 3
+    X = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    # SMOOTH targets: the tiny-nugget GP then interpolates a well-posed
+    # surface (alpha is huge but the prediction itself is determined);
+    # noise targets at this conditioning are f32-indeterminate and would
+    # make the contract vacuous
+    Xn = np.asarray(X)
+    Z = jnp.asarray(
+        np.stack(
+            [
+                np.sin(4 * Xn[:, 0]) + Xn[:, 1],
+                (Xn[:, 1] - 0.3) ** 2 + 0.5 * Xn[:, 0],
+                np.cos(3 * Xn[:, 0]) * Xn[:, 1],
+            ],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    Xq = jnp.asarray(rng.uniform(size=(24, d)), jnp.float32)
+    cfg = GPConfig(nparams=d, regression_order=1)
+    # near-noiseless smooth optimum: amp O(0.1), nugget ~ 3e-8 (the MV-MF
+    # repro's fitted component-0 values -> kappa bound ~ 7e6 at f32)
+    params_b = GPParams(
+        log_amp=jnp.log(jnp.asarray([0.15, 0.36, 1.5], jnp.float32)),
+        log_nugget=jnp.log(jnp.asarray([3e-8, 2e-7, 1e-6], jnp.float32)),
+        log_ls=jnp.log(
+            jnp.asarray([[0.73, 0.45], [0.45, 0.71], [0.56, 0.49]],
+                        jnp.float32)
+        ),
+    )
+
+    def serve_one(p, y, q):
+        data = GPData(X=X, y=y)
+        st = gp.precompute_predictor(p, data, cfg)
+        return gp.predict_from_precomputed(st, p, data, q, cfg)
+
+    p0 = jax.tree.map(lambda a: a[0], params_b)
+    m_u, v_u = jax.jit(lambda p, y, q: serve_one(p, y, q))(p0, Z[:, 0], Xq)
+    m_b, v_b = jax.jit(
+        jax.vmap(serve_one, in_axes=(0, 1, None))
+    )(params_b, Z, Xq)
+    # CPU: bit-identical algebra; TPU: pinned-precision ops, tight agreement
+    np.testing.assert_allclose(
+        np.asarray(m_b[0]), np.asarray(m_u), rtol=0, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_b[0]), np.asarray(v_u), rtol=1e-2, atol=5e-3
+    )
