@@ -8,6 +8,12 @@ the fused Pallas panel does not help — so attribute the time directly:
   C. full factorization (reference point).
 A + B + data movement should reconstruct C; whichever stream dominates is
 the latency story for the VERDICT #5 writeup.
+
+Round-5 addition: every stream is ALSO measured x4 in-graph (outer
+lax.scan whose carry scales the operands by (1 + c*1e-30) and consumes
+each iteration's result) — the single-dispatch walls above carry the
+~25-30 ms relay floor, which at these sizes is the same order as the
+device math itself (B2/B3/D walls of 27-30 ms are floor-dominated).
 """
 
 import sys
@@ -77,32 +83,30 @@ def main():
                                                update_precision="high"))(C)
     sync(L)
 
-    # C. full factorization
-    t_full, _ = timeit(
-        jax.jit(lambda M: linalg.left_cholesky(M, block=b,
-                                               update_precision="high")), C)
-    log(f"C full left_cholesky: {t_full*1e3:.1f} ms")
+    one = jnp.asarray(1.0, dtype)
+    tiny = jnp.asarray(1e-30, dtype)
 
-    # A. history GEMMs only, chained via a scalar carry
-    @jax.jit
-    def gemms_only(A, Lf):
-        acc = jnp.asarray(0.0, dtype)
+    # ---- stream bodies: body(c, C, L) -> scalar; the carry c perturbs
+    # the operands so an outer x4 scan can neither CSE nor skip ----------
+
+    def full_body(c, A, Lf):
+        Lr = linalg.left_cholesky(A * (one + c * tiny), block=b,
+                                  update_precision="high")
+        return jnp.max(jnp.abs(Lr)) * tiny + c
+
+    def gemms_body(c, A, Lf):
+        acc = c * tiny
         for j in range(1, nb):
             cj = j * b
             Pa = A[cj:, cj:cj + b] - jnp.dot(
                 Lf[cj:, :cj] + acc, Lf[cj:cj + b, :cj].T,
                 preferred_element_type=dtype, precision=prec,
             )
-            acc = jnp.max(jnp.abs(Pa)) * jnp.asarray(1e-30, dtype)
-        return acc
+            acc = jnp.max(jnp.abs(Pa)) * tiny
+        return acc + c
 
-    t_gemm, _ = timeit(gemms_only, C, L)
-    log(f"A history GEMMs only: {t_gemm*1e3:.1f} ms")
-
-    # B. panel chain only: chol + tri_inv + TRSM-GEMM per panel, chained
-    @jax.jit
-    def panels_only(A, Lf):
-        acc = jnp.asarray(0.0, dtype)
+    def panels_body(c, A, Lf):
+        acc = c * tiny
         for j in range(nb):
             cj = j * b
             blk = Lf[cj:cj + b, cj:cj + b]
@@ -113,62 +117,72 @@ def main():
             if cj + b < n:
                 L21 = jnp.dot(A[cj + b:, cj:cj + b], invK.T,
                               preferred_element_type=dtype, precision=prec)
-                acc = jnp.max(jnp.abs(L21)) * jnp.asarray(1e-30, dtype)
+                acc = jnp.max(jnp.abs(L21)) * tiny
             else:
-                acc = jnp.max(jnp.abs(invK)) * jnp.asarray(1e-30, dtype)
-        return acc
+                acc = jnp.max(jnp.abs(invK)) * tiny
+        return acc + c
 
-    t_pan, _ = timeit(panels_only, C, L)
-    log(f"B panel chain only (chol+inv+L21, incl. {nb} SPD rebuilds): "
-        f"{t_pan*1e3:.1f} ms")
-
-    # B2. just the 16 chol custom-calls, chained
-    @jax.jit
-    def chols_only(Lf):
-        acc = jnp.asarray(0.0, dtype)
+    def chols_body(c, A, Lf):
+        acc = c * tiny
         for j in range(nb):
             cj = j * b
             blk = Lf[cj:cj + b, cj:cj + b]
             D = jnp.dot(blk, blk.T, preferred_element_type=dtype,
                         precision=jax.lax.Precision.HIGHEST)
             Lkk = lax.linalg.cholesky(D + acc)
-            acc = jnp.max(jnp.abs(Lkk)) * jnp.asarray(1e-30, dtype)
-        return acc
+            acc = jnp.max(jnp.abs(Lkk)) * tiny
+        return acc + c
 
-    t_chol, _ = timeit(chols_only, L)
-    log(f"B2 {nb} x chol(1024) (+SPD rebuild GEMMs): {t_chol*1e3:.1f} ms")
-
-    # B3. just the 16 tri_inv chains
-    @jax.jit
-    def invs_only(Lf):
-        acc = jnp.asarray(0.0, dtype)
+    def invs_body(c, A, Lf):
+        acc = c * tiny
         for j in range(nb):
             cj = j * b
-            blk = jnp.tril(Lf[cj:cj + b, cj:cj + b]) + acc * jnp.eye(b, dtype=dtype)
+            blk = jnp.tril(Lf[cj:cj + b, cj:cj + b]) * (one + acc)
             invK = tri_inv_block(blk, precision=prec)
-            acc = jnp.max(jnp.abs(invK)) * jnp.asarray(1e-30, dtype)
-        return acc
+            acc = jnp.max(jnp.abs(invK)) * tiny
+        return acc + c
 
-    t_inv, _ = timeit(invs_only, L)
-    log(f"B3 {nb} x tri_inv(1024): {t_inv*1e3:.1f} ms")
-
-    # D. data movement: concatenate + dynamic_update_slice stream
-    @jax.jit
-    def dus_only(Lf):
+    def dus_body(c, A, Lf):
         out = jnp.zeros_like(Lf)
+        Lp = Lf * (one + c * tiny)
         for j in range(nb):
             cj = j * b
             col = jnp.concatenate(
-                [Lf[cj:cj + b, cj:cj + b], Lf[cj + b:, cj:cj + b]], axis=0)
+                [Lp[cj:cj + b, cj:cj + b], Lp[cj + b:, cj:cj + b]], axis=0)
             out = lax.dynamic_update_slice(out, col, (cj, cj))
-        return out
+        return jnp.max(jnp.abs(out)) * tiny + c
 
-    t_dus, _ = timeit(dus_only, L)
-    log(f"D concat+update_slice stream: {t_dus*1e3:.1f} ms")
+    K = 4
 
-    log(f"reconstruction: A {t_gemm*1e3:.1f} + B {t_pan*1e3:.1f} + "
+    def measure(name, body):
+        single = jax.jit(
+            lambda A, Lf: body(jnp.asarray(0.0, dtype), A, Lf))
+        t1, _ = timeit(single, C, L)
+
+        @jax.jit
+        def chained(A, Lf):
+            def step(c, _):
+                return body(c, A, Lf), None
+            return lax.scan(step, jnp.asarray(0.0, dtype), None,
+                            length=K)[0]
+
+        tk, _ = timeit(chained, C, L, reps=2)
+        log(f"{name}: wall {t1*1e3:.1f} ms | device (x{K} in-graph) "
+            f"{tk/K*1e3:.1f} ms | implied floor {t1*1e3 - tk/K*1e3:.1f} ms")
+        return tk / K
+
+    t_full = measure("C  full left_cholesky", full_body)
+    t_gemm = measure("A  history GEMMs only", gemms_body)
+    t_pan = measure(f"B  panel chain (chol+inv+L21, {nb} SPD rebuilds)",
+                    panels_body)
+    t_chol = measure(f"B2 {nb} x chol(1024)+SPD-rebuild", chols_body)
+    t_inv = measure(f"B3 {nb} x tri_inv(1024)", invs_body)
+    t_dus = measure("D  concat+update_slice stream", dus_body)
+
+    log(f"device reconstruction: A {t_gemm*1e3:.1f} + B {t_pan*1e3:.1f} + "
         f"D {t_dus*1e3:.1f} = {(t_gemm + t_pan + t_dus)*1e3:.1f} ms "
-        f"vs C {t_full*1e3:.1f} ms")
+        f"vs C {t_full*1e3:.1f} ms "
+        f"(B2 chol-only {t_chol*1e3:.1f}, B3 inv-only {t_inv*1e3:.1f})")
 
 
 if __name__ == "__main__":
