@@ -337,7 +337,22 @@ def _lml_dense_fwd(params: GPParams, data: GPData, config: GPConfig):
 def _lml_dense_bwd(config: GPConfig, res, g):
     params, data, st = res
     L = st.L
-    hi = jax.lax.Precision.HIGHEST
+    # The two O(N^3) backward terms (tri_inv of L, Cinv = Linv^T Linv)
+    # are 82% of the N=16k value+grad call at HIGHEST (measured budget,
+    # bench/profile_vg16k.py: vg 0.487 s = tri_inv 0.118 + Cinv GEMM
+    # 0.281 + gram VJP 0.016 + fwd 0.092). They FOLLOW the factorization
+    # precision tier: when the operand's rigorous conditioning bound
+    # admits the "high" (bf16x3) update tier for the Cholesky itself
+    # (ops/linalg.choose_update_precision), the same bound covers the
+    # gradient contraction, and the measured lever is 0.182 s/call
+    # (vg 0.487 -> 0.305). "auto"/"highest" keep full-f32 HIGHEST — the
+    # gradient at ill-conditioned thetas is part of the accuracy contract
+    # (see the round-5 bf16-under-vmap finding in _factor).
+    hi = (
+        jax.lax.Precision.HIGH
+        if config.cholesky_update_precision == "high"
+        else jax.lax.Precision.HIGHEST
+    )
     n = L.shape[0]
     if L.dtype == jnp.float64:
         Linv = jax.lax.linalg.triangular_solve(

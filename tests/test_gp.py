@@ -113,6 +113,32 @@ def test_closed_form_vjp_matern_isotropic(rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8)
 
 
+def test_bwd_follows_high_update_tier(rng):
+    """When the factorization runs at the "high" (bf16x3) update tier, the
+    closed-form VJP's two O(N^3) terms follow it (measured lever: 0.182 s
+    of a 0.487 s N=16k vg call, bench/profile_vg16k.py). The gradient at
+    the high tier must still match plain autodiff on a benign operand —
+    on CPU the tiers coincide (wiring check); on TPU this bounds the
+    tier's gradient divergence at the conditioning the tier is rated for."""
+    import dataclasses
+
+    cfg, data, p = setup_problem(rng)
+    cfg_high = dataclasses.replace(
+        cfg, cholesky_method="left", cholesky_block=8,
+        cholesky_update_precision="high",
+    )
+    g_high = jax.grad(
+        lambda pp: gp.log_marginal_likelihood(pp, data, cfg_high)
+    )(p)
+    g_ad = jax.grad(
+        lambda pp: gp.log_marginal_likelihood_ad(pp, data, cfg)
+    )(p)
+    for a, b in zip(jax.tree.leaves(g_ad), jax.tree.leaves(g_high)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-7
+        )
+
+
 def test_non_spd_gives_neg_inf(rng):
     cfg, data, p = setup_problem(rng)
     # an absurd negative-nugget-like setup can't happen (log space), so force
