@@ -19,13 +19,14 @@ def main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     restarts = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-    # Cap concurrent optimizer cells at 4096: E x R >= 8192 zoom-linesearch
-    # cells reproducibly crashed the TPU worker (ROADMAP.md); chunking the
-    # ensemble axis is the documented workaround.
+    # Cap concurrent optimizer cells at 2048: a 4096-cell program
+    # (E=2048 x R=2 unchunked) crashed the TPU worker in the round-5
+    # retest — the envelope tightened from round 2 (ROADMAP.md); chunking
+    # the ensemble axis is the documented workaround.
     if len(sys.argv) > 5:
         chunk = int(sys.argv[5]) or None
     else:
-        chunk = max(1, 4096 // restarts) if E * restarts > 4096 else None
+        chunk = max(1, 2048 // restarts) if E * restarts > 2048 else None
         if chunk is not None and E % chunk != 0:
             # largest divisor of E not exceeding the cap (a power-of-two
             # round-down is NOT a divisor when E isn't a power of two)
